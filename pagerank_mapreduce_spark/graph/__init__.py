@@ -1,0 +1,16 @@
+from pagerank_mapreduce_spark.graph.pagerank import (
+    out_degrees,
+    pagerank,
+    reverse_adjacency,
+    websize,
+)
+from pagerank_mapreduce_spark.graph.io import format_ranks, ranks_close
+
+__all__ = [
+    "pagerank",
+    "out_degrees",
+    "websize",
+    "reverse_adjacency",
+    "format_ranks",
+    "ranks_close",
+]

@@ -1,0 +1,190 @@
+"""Damped PageRank over an edge DataFrame — the reference's raison d'être.
+
+Semantics replicate the reference kernel exactly (mr-pr-cpp.cpp:110-180,
+identical in mr-pr-mpi.cpp:121-191 and mr-pr-mpi-base.cpp:40-110):
+
+- vertices are dense ids ``0..n-1`` with ``n = max(id)+1`` (websize,
+  mr-pr-cpp.cpp:203-210); ids that never appear in the edge list still
+  hold rank (they are dangling).
+- rank vector initialized to ``e1 = (1, 0, ..., 0)`` (mr-pr-cpp.cpp:128).
+- per iteration (mr-pr-cpp.cpp:130-177):
+  ``sum_pr``/``dangling_pr`` computed over the *pre-normalization*
+  current vector; old vector normalized to sum 1 (skipped on iteration
+  0); ``one_Av = alpha * dangling_pr / n``; ``one_Iv = (1-alpha)/n``;
+  ``new[i] = alpha * sum_{j->i} old[j]/outdeg[j] + one_Av + one_Iv``;
+  L1 diff vs the normalized old vector; stop at diff <= convergence or
+  max_iterations. Defaults alpha=0.85, convergence=1e-5,
+  max_iterations=10000 (mr-pr-cpp.cpp:11-13).
+- duplicate edges contribute multiply; self-loops count
+  (the reference parser never dedups, mr-pr-cpp.cpp:89-108).
+
+Scale design (100 TB stance):
+
+- **No reverse-adjacency materialization.** The reference builds
+  ``incoming[i]`` lists via MapReduce; at power-law skew a
+  ``collect_list`` would OOM the hot keys. Contributions are
+  aggregated directly with an algebraic ``sum`` (map-side partial
+  aggregation is automatic), so skewed in-degree stays safe and AQE
+  skew handling applies.
+- **Edges cached once, pre-partitioned on the join key** (``src``):
+  the per-iteration ``ranks ⋈ links`` reuses the cached layout; only
+  the (much smaller) rank vector shuffles each iteration.
+- **Driver sees scalars only** — three aggregates per iteration
+  (diff, sum, dangling-sum); ranks never ``collect()``.
+- **Lineage truncated every iteration** via ``localCheckpoint`` on
+  the already-materialized iteration result, keeping plan analysis
+  O(1) across thousands of iterations (Catalyst has no fixed-point
+  operator; the loop lives in the driver, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.85  # mr-pr-cpp.cpp:11
+CONVERGENCE = 1e-5  # mr-pr-cpp.cpp:12
+MAX_ITERATIONS = 10000  # mr-pr-cpp.cpp:13
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """out-degree per src page (reference ``num_outgoing``,
+    mr-pr-cpp.cpp:202-208). Returns (src, deg)."""
+    return edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+
+def websize(edges: DataFrame) -> int:
+    """``max(max(src), max(dst)) + 1`` (mr-pr-cpp.cpp:203-210)."""
+    row = edges.agg(
+        (F.greatest(F.max("src"), F.max("dst")) + 1).alias("n")
+    ).first()
+    return int(row["n"]) if row["n"] is not None else 0
+
+
+def reverse_adjacency(edges: DataFrame, sort: bool = True) -> DataFrame:
+    """Reverse adjacency list: (dst, in_links ARRAY<BIGINT>).
+
+    The exact semantic core of the reference's MapReduce job: map
+    reverses each edge to (dst, src) (mr-pr-cpp.cpp:59-69), shuffle
+    groups by dst, reduce re-emits the group (mr-pr-cpp.cpp:71-79 /
+    collate+collect in mr-pr-mpi-base.cpp:143-146,202-203).
+
+    NOTE: materializing per-vertex lists is inherently skew-fragile —
+    the PageRank loop deliberately never calls this (see module doc);
+    it exists for parity and for consumers that want the lists.
+    """
+    agg = F.collect_list("src")
+    if sort:
+        agg = F.array_sort(agg)
+    return edges.groupBy("dst").agg(agg.alias("in_links"))
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id BIGINT, rank DOUBLE)
+    iterations: int
+    diff: float  # final L1 delta
+    num_vertices: int
+    diffs: list[float] = field(default_factory=list)
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = ALPHA,
+    convergence: float = CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    num_vertices: int | None = None,
+) -> PageRankResult:
+    """Run the reference PageRank fixed point; returns distributed ranks."""
+    spark = edges.sparkSession
+    n = num_vertices if num_vertices is not None else websize(edges)
+    if n <= 0:
+        raise ValueError("empty graph")
+
+    deg = out_degrees(edges)
+    # Edge relation with the degree of its source attached, cached and
+    # pre-partitioned on the per-iteration join key.
+    links = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition("src")
+        .persist()
+    )
+    # Dense vertex relation with out-degree (0 for dangling), cached.
+    vertices = spark.range(n).select(F.col("id").cast("bigint").alias("id"))
+    vdeg = (
+        vertices.join(deg.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .persist()
+    )
+
+    # init e1: pr[0] = 1 (mr-pr-cpp.cpp:128)
+    pr = vdeg.select(
+        "id",
+        "deg",
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank"),
+    ).localCheckpoint()
+
+    # Pre-loop stats of the init vector: sum = 1; dangling mass is 1
+    # iff vertex 0 has no outgoing links.
+    deg0 = vdeg.filter(F.col("id") == 0).first()["deg"]
+    sum_pr = 1.0
+    dangling_pr = 1.0 if deg0 == 0 else 0.0
+
+    one_Iv = (1.0 - alpha) / n
+    diff = float("inf")
+    diffs: list[float] = []
+    iterations = 0
+
+    while diff > convergence and iterations < max_iterations:
+        # Iteration 0 uses the raw vector; later iterations normalize
+        # the previous vector to sum 1 (mr-pr-cpp.cpp:139-147). The
+        # dangling term uses the PRE-normalization mass, exactly as the
+        # reference does (mr-pr-cpp.cpp:132-138,155).
+        norm = 1.0 if iterations == 0 else sum_pr
+        one_Av = alpha * dangling_pr / n
+
+        # h[i] = sum_{j -> i} old[j]/outdeg[j]; normalization is a
+        # scalar, so it is applied after the aggregate (h_raw / norm).
+        contribs = (
+            pr.join(links, pr.id == links.src)
+            .groupBy(links.dst)
+            .agg(F.sum(pr.rank / links.deg).alias("h_raw"))
+        )
+        merged = (
+            pr.join(contribs, pr.id == contribs.dst, "left")
+            .select(
+                "id",
+                "deg",
+                (F.col("rank") / norm).alias("old_rank"),
+                (
+                    alpha * F.coalesce(F.col("h_raw"), F.lit(0.0)) / norm
+                    + one_Av
+                    + one_Iv
+                ).alias("new_rank"),
+            )
+            .localCheckpoint()  # materializes; truncates lineage
+        )
+        row = merged.agg(
+            F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("diff"),
+            F.sum("new_rank").alias("s"),
+            F.sum(F.when(F.col("deg") == 0, F.col("new_rank")).otherwise(0.0)).alias(
+                "d"
+            ),
+        ).first()
+        diff, sum_pr, dangling_pr = float(row["diff"]), float(row["s"]), float(row["d"])
+        diffs.append(diff)
+        pr = merged.select("id", "deg", F.col("new_rank").alias("rank"))
+        iterations += 1
+
+    links.unpersist()
+    vdeg.unpersist()
+    return PageRankResult(
+        ranks=pr.select("id", "rank"),
+        iterations=iterations,
+        diff=diff,
+        num_vertices=n,
+        diffs=diffs,
+    )

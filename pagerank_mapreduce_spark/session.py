@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engines hand-tune page sizes, spill paths and all-to-all
+flow control (MR-MPI doc/settings.txt); on Spark the equivalents are
+AQE, shuffle-partition sizing and Arrow-batched Python interop, set
+once here so every entry point (tests, bench, driver) agrees.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pagerank-mapreduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults are chosen for correctness at local[*] test scale while
+    staying valid on a large cluster:
+
+    - AQE on: runtime partition coalescing + skew-join splitting
+      (replaces MR-MPI's hand-rolled flow control / scale-back loop,
+      src/mapreduce.cpp:472-517).
+    - Arrow on: Pandas UDF batches cross the Python boundary
+      columnar, never row-at-a-time.
+    - shuffle partitions sized from the available cores locally; a
+      real cluster overrides via spark.sql.shuffle.partitions or AQE.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

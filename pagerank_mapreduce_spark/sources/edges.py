@@ -1,0 +1,81 @@
+"""Edge-list sources.
+
+The reference's only external input format is a text file of directed
+hyperlink edges, one ``"<src> <dst>"`` per line, validated against
+``(0|[1-9][0-9]*)\\s(0|[1-9][0-9]*)$`` with an abort naming the first
+bad line (reference: mr-pr-cpp.cpp:89-108 ``parse_hlfile``,
+mr-pr-mpi.cpp:44-62, mr-pr-mpi-base.cpp:167-196).
+
+Spark-first equivalents:
+
+- ``read_edge_list`` — distributed text scan (FileSourceScanExec does
+  the byte-balanced, line-aligned splitting that the reference's mmap
+  datasource hand-rolls at include/detail/datasource.hpp:93-168) +
+  regex validation + typed projection. Validation failure raises with
+  the first offending line, matching the reference's
+  ``"invalid input at line number : N"`` abort semantics.
+- ``derive_edges`` — a deterministic graph derived from the driver's
+  parquet fixtures (FIXTURES.md Track B), so graph queries run inside
+  the parquet world and have a DuckDB-SQL mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Anchored form of the reference's validation regex (mr-pr-cpp.cpp:93).
+EDGE_LINE_REGEX = r"^(0|[1-9][0-9]*)[ \t](0|[1-9][0-9]*)$"
+
+
+def read_edge_list(
+    spark: SparkSession, path: str, validate: bool = True
+) -> DataFrame:
+    """Read a ``"<src> <dst>"`` text edge list into edges(src,dst).
+
+    Duplicate edges and self-loops are preserved — the reference
+    parser never dedups (mr-pr-cpp.cpp:89-108) and each duplicate
+    contributes to PageRank separately.
+    """
+    lines = spark.read.text(path)
+    if validate:
+        # Cheap distributed validation pass; the reference aborts on the
+        # first malformed line with its line number. Line numbers are not
+        # stable across a distributed scan, so we report offending content.
+        bad = (
+            lines.filter(F.length(F.rtrim(F.col("value"))) > 0)
+            .filter(~F.rtrim(F.col("value")).rlike(EDGE_LINE_REGEX))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(f"invalid input line: {bad[0]['value']!r}")
+    parts = F.split(F.rtrim(F.col("value")), r"[ \t]")
+    return (
+        lines.filter(F.length(F.rtrim(F.col("value"))) > 0)
+        .select(
+            parts.getItem(0).cast("bigint").alias("src"),
+            parts.getItem(1).cast("bigint").alias("dst"),
+        )
+    )
+
+
+# Deterministic fixture-derived graph (mirrored by DERIVE_EDGES_SQL so the
+# DuckDB oracle sees the identical edge set). o_orderkey is unique and
+# o_custkey skews toward repeat customers, so the modulo projection yields
+# a multigraph with duplicate edges, self-loops and dangling vertices —
+# the same stressors as the reference's test corpus (FIXTURES.md Track A).
+def derive_edges(spark: SparkSession, sf_dir: str, n_vertices: int = 1000) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        (F.col("o_orderkey") % n_vertices).cast("bigint").alias("src"),
+        (F.col("o_custkey") % n_vertices).cast("bigint").alias("dst"),
+    )
+
+
+def derive_edges_sql(n_vertices: int = 1000) -> str:
+    """DuckDB-SQL mirror of :func:`derive_edges`."""
+    return (
+        f"SELECT CAST(o_orderkey % {n_vertices} AS BIGINT) AS src, "
+        f"CAST(o_custkey % {n_vertices} AS BIGINT) AS dst FROM orders"
+    )

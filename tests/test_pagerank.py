@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_mapreduce_spark.graph import (
+    format_ranks,
+    out_degrees,
+    pagerank,
+    ranks_close,
+    reverse_adjacency,
+    websize,
+)
+from pagerank_mapreduce_spark.sources import read_edge_list
+
+from tests.oracle_pagerank import (
+    SMALL_GRAPH,
+    gen_barabasi,
+    gen_erdos,
+    pagerank_oracle,
+)
+
+TOL = 1e-4  # correctness_checker.cpp:48
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+
+
+def _assert_matches_oracle(spark, edges):
+    result = pagerank(_edges_df(spark, edges))
+    expected, it = pagerank_oracle(edges)
+    got = {r["id"]: r["rank"] for r in result.ranks.collect()}
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i] == pytest.approx(exp, abs=TOL), f"vertex {i}"
+    # rank sum ≈ 1 (the "s =" trailer invariant)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert result.iterations == it
+
+
+def test_small_graph_with_dangling(spark):
+    _assert_matches_oracle(spark, SMALL_GRAPH)
+
+
+def test_barabasi_1000(spark):
+    _assert_matches_oracle(spark, gen_barabasi(1000))
+
+
+def test_erdos_1000_with_dupes_and_self_loops(spark):
+    _assert_matches_oracle(spark, gen_erdos(1000))
+
+
+def test_isolated_vertices_hold_rank(spark):
+    # vertex ids 0..9 exist because websize = max(id)+1, even though
+    # only 0 and 9 appear in edges (mr-pr-cpp.cpp:203-210)
+    edges = [(0, 9)]
+    result = pagerank(_edges_df(spark, edges))
+    assert result.num_vertices == 10
+    assert result.ranks.count() == 10
+    expected, _ = pagerank_oracle(edges)
+    got = {r["id"]: r["rank"] for r in result.ranks.collect()}
+    np.testing.assert_allclose(
+        [got[i] for i in range(10)], expected, atol=TOL
+    )
+
+
+def test_out_degrees_and_websize(spark):
+    df = _edges_df(spark, SMALL_GRAPH)
+    deg = {r["src"]: r["deg"] for r in out_degrees(df).collect()}
+    assert deg == {0: 3, 1: 2, 2: 1, 3: 1}
+    assert websize(df) == 5
+
+
+def test_reverse_adjacency(spark):
+    df = _edges_df(spark, SMALL_GRAPH)
+    adj = {r["dst"]: r["in_links"] for r in reverse_adjacency(df).collect()}
+    assert adj == {1: [0, 1], 2: [0, 0, 1], 3: [2], 4: [3]}
+
+
+def test_edge_list_reader_and_validation(spark, tmp_path):
+    p = tmp_path / "edges.txt"
+    p.write_text("0 1\n1 2\n2 0\n")
+    df = read_edge_list(spark, str(p))
+    assert sorted((r["src"], r["dst"]) for r in df.collect()) == [
+        (0, 1),
+        (1, 2),
+        (2, 0),
+    ]
+    bad = tmp_path / "bad.txt"
+    bad.write_text("0 1\n01 2\n")  # leading zero fails the reference regex
+    with pytest.raises(ValueError, match="invalid input"):
+        read_edge_list(spark, str(bad))
+
+
+def test_formatted_sink_and_checker(spark, tmp_path):
+    edges = SMALL_GRAPH
+    result = pagerank(_edges_df(spark, edges))
+    lines = [r["value"] for r in format_ranks(result.ranks).collect()]
+    assert len(lines) == result.num_vertices + 1
+    assert lines[0].startswith("0 = ")
+    assert lines[-1].startswith("s = ")
+    # trailer sum parses back to ~1
+    assert float(lines[-1].split(" = ")[1]) == pytest.approx(1.0, abs=1e-6)
+    # checker: identical ranks pass, perturbed ranks fail
+    assert ranks_close(result.ranks, result.ranks)
+    from pyspark.sql import functions as F
+
+    perturbed = result.ranks.withColumn(
+        "rank", F.col("rank") + F.when(F.col("id") == 0, 0.001).otherwise(0.0)
+    )
+    assert not ranks_close(result.ranks, perturbed)
