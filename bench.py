@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop writer (full computation,
+no driver collect). The flagship PageRank runs to convergence on the
+fixture-derived graph — per-iteration time is the comparable number
+vs BASELINE.md (the reference times its MapReduce phase; Spark's
+fixed per-job overhead dominates at these scales, see BASELINE.md
+"Interpretation").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pagerank_mapreduce_spark.queries import CATALOG
+from pagerank_mapreduce_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "pagerank",
+    "graph_rev_adjacency",
+    "rel_q1_pricing",
+    "rel_top_revenue_orders",
+    "rel_sortmerge_join",
+    "rel_window_moving",
+    "mr_compress_wordcount",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "sim_cosine_topk",
+    "stream_session",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="pagerank-mapreduce-spark-bench")
+    spark.range(1000).count()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        materialize(CATALOG[name].fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

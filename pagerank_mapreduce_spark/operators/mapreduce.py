@@ -1,0 +1,262 @@
+"""The MapReduce operator algebra, re-expressed on DataFrames.
+
+The reference's capability surface is the operator set of its two
+vendored engines — MR-MPI (mapreduce-7Apr14/src/mapreduce.h:59-127)
+and cdmh/mapreduce (include/detail/job.hpp) — whose data model is
+(key, value) pair streams grouped into (key, multivalue) sets. On
+Spark the idiomatic carrier is a DataFrame with arbitrary schema; the
+"key" is whatever column(s) you group/partition by. These wrappers
+keep the reference's operator names and semantics while lowering to
+the DataFrame primitives Catalyst can optimize:
+
+====================  ========================================
+MR-MPI op             Spark lowering
+====================  ========================================
+map (v1 task fan)     spark.range(n) + mapInPandas
+map (v5 KV iterate)   mapInPandas / select (narrow, pipelined)
+aggregate(hash)       repartition(n, key)   [Exchange(Hash)]
+convert()             partition-local group (mapInPandas)
+collate(hash)         groupBy(key).agg(collect_list)
+compress(func)        partition-local reduce (map-side combine)
+clone()               array(value) singleton multivalue
+collapse(key)         per-partition collect_list(struct(k,v))
+gather(n)             coalesce(n)
+broadcast(root)       F.broadcast (broadcast-hash-join side)
+add(mr2)              unionAll
+sort_keys             orderBy / sortWithinPartitions
+sort_values           orderBy(value)
+sort_multivalues      array_sort inside the group
+scan(func)            foreachPartition (read-only)
+kv_stats              count + per-partition histogram
+====================  ========================================
+
+Scale notes: ``collate``/``collapse`` materialize per-key or
+per-partition lists and are skew-fragile by construction (exactly
+like MR-MPI's multi-block KMVs, src/mapreduce.cpp:1784-1830, which
+exist because hot keys outgrow memory pages). Algebraic aggregation
+(``compress`` → sum/count/...) gets automatic map-side partial
+aggregation and is the scale path; prefer it whenever the reduce
+function is associative — Catalyst cannot partial-aggregate a
+``collect_list``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- map
+
+
+def mr_map_tasks(
+    spark: SparkSession,
+    nmap: int,
+    func: Callable[[int], Iterator[tuple]],
+    schema: str,
+) -> DataFrame:
+    """MR-MPI map() variant 1 (src/mapreduce.cpp:1009-1150): run
+    ``nmap`` generator tasks distributed over the cluster, each
+    emitting rows. Task→executor assignment is Spark's scheduler
+    (the dynamic analogue of mapstyle=2 master/slave)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.strip().split()[0] for f in schema.split(",")]
+        for pdf in batches:
+            rows = [row for task_id in pdf["id"] for row in func(int(task_id))]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(nmap).repartition(nmap).mapInPandas(run, schema)
+
+
+def mr_map(
+    df: DataFrame,
+    func: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """MR-MPI map() variant 5 — iterate an existing KV set, emit new
+    rows (src/mapreduce.cpp:1455-1541). Arrow-batched; prefer plain
+    ``select`` with built-in functions when the transform is
+    expressible — this exists for genuinely imperative callbacks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield func(pdf)
+
+    return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------- shuffle / group family
+
+
+def aggregate(df: DataFrame, *key: str, num_partitions: int | None = None) -> DataFrame:
+    """MR-MPI aggregate(hash) (src/mapreduce.cpp:382-536): route all
+    copies of a key to one place. Pure Exchange(HashPartitioning);
+    MR-MPI's page-at-a-time flow control is Spark shuffle-internal."""
+    if num_partitions:
+        return df.repartition(num_partitions, *key)
+    return df.repartition(*key)
+
+
+def convert(df: DataFrame, key: str, value: str) -> DataFrame:
+    """MR-MPI convert() (src/keymultivalue.cpp:486-638): **partition-
+    local** KV→KMV grouping, zero communication. Returns
+    (key, values ARRAY) per distinct key *per partition* — apply
+    after :func:`aggregate` to reproduce ``collate``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            g = pdf.groupby(key, sort=False)[value].agg(list).reset_index()
+            g.columns = [key, "values"]
+            yield g
+
+    ktype = dict(df.dtypes)[key]
+    vtype = dict(df.dtypes)[value]
+    return df.mapInPandas(run, f"{key} {ktype}, values array<{vtype}>")
+
+
+def collate(df: DataFrame, key: str | Column, value: str | Column, sort: bool = False) -> DataFrame:
+    """MR-MPI collate() = aggregate + convert (src/mapreduce.cpp:683-706):
+    full shuffled group-by producing (key, values ARRAY)."""
+    agg = F.collect_list(value)
+    if sort:
+        agg = F.array_sort(agg)
+    return df.groupBy(key).agg(agg.alias("values"))
+
+
+def compress(df: DataFrame, key: str, value: str, how: str = "sum") -> DataFrame:
+    """MR-MPI compress() (src/mapreduce.cpp:717-819): partition-local
+    reduce — the classic combiner. In Catalyst this is the automatic
+    partial-aggregation half of ``groupBy().agg``; this wrapper makes
+    the local-only step explicit and observable (no Exchange in the
+    plan)."""
+
+    fns = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+    if how not in fns:
+        raise ValueError(f"unsupported combiner {how!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            g = pdf.groupby(key, sort=False)[value].agg(fns[how]).reset_index()
+            g.columns = [key, value]
+            yield g
+
+    ktype = dict(df.dtypes)[key]
+    vtype = "bigint" if how == "count" else dict(df.dtypes)[value]
+    return df.mapInPandas(run, f"{key} {ktype}, {value} {vtype}")
+
+
+def clone(df: DataFrame, value: str) -> DataFrame:
+    """MR-MPI clone() (src/mapreduce.cpp:604-625): each value becomes a
+    singleton multivalue."""
+    return df.withColumn("values", F.array(F.col(value))).drop(value)
+
+
+def collapse(df: DataFrame) -> DataFrame:
+    """MR-MPI collapse() (src/mapreduce.cpp:654-675): per partition,
+    the whole KV set becomes ONE row (partition_id, rows ARRAY<STRUCT>)."""
+    return (
+        df.withColumn("part", F.spark_partition_id())
+        .groupBy("part")
+        .agg(F.collect_list(F.struct(*df.columns)).alias("rows"))
+    )
+
+
+def scrunch(df: DataFrame, nprocs: int) -> DataFrame:
+    """MR-MPI scrunch() = gather + collapse (src/mapreduce.cpp:1980-2005)."""
+    return collapse(gather(df, nprocs))
+
+
+# ------------------------------------------------- movement / set ops
+
+
+def gather(df: DataFrame, nprocs: int = 1) -> DataFrame:
+    """MR-MPI gather(n) (src/mapreduce.cpp:858-1001): concentrate data
+    onto n partitions. ``coalesce`` avoids a full shuffle, matching
+    the reference's point-to-point sends (no all-to-all)."""
+    return df.coalesce(nprocs)
+
+
+def broadcast_small(df: DataFrame) -> DataFrame:
+    """MR-MPI broadcast(root) (src/mapreduce.cpp:542-596): mark a
+    (small) dataset for replication to every executor — Spark realizes
+    it as the build side of a broadcast hash join."""
+    return F.broadcast(df)
+
+
+def add(df: DataFrame, other: DataFrame) -> DataFrame:
+    """MR-MPI add(mr2) (src/mapreduce.cpp:345-371): append pairs —
+    union-all (the reference has no dedup semantics)."""
+    return df.unionAll(other)
+
+
+# --------------------------------------------------------------- sort
+
+
+def sort_keys(df: DataFrame, *key: str, ascending: bool = True, local: bool = False) -> DataFrame:
+    """MR-MPI sort_keys (src/mapreduce.cpp:2007-2054). ``local=True``
+    reproduces the reference's per-processor sort
+    (sortWithinPartitions); default is the global sort users actually
+    want (Spark range-partitions + externally sorts, the same
+    spill-to-disk merge the reference hand-rolls with Spool runs)."""
+    cols = [F.col(k).asc() if ascending else F.col(k).desc() for k in key]
+    return df.sortWithinPartitions(*cols) if local else df.orderBy(*cols)
+
+
+def sort_multivalues(df: DataFrame, values_col: str = "values", ascending: bool = True) -> DataFrame:
+    """MR-MPI sort_multivalues (src/mapreduce.cpp:2115-2265): sort
+    within each group's value array."""
+    arr = F.array_sort(F.col(values_col))
+    if not ascending:
+        arr = F.reverse(arr)
+    return df.withColumn(values_col, arr)
+
+
+# ---------------------------------------------------- scan / stats
+
+
+def scan(df: DataFrame, func: Callable) -> None:
+    """MR-MPI scan() (src/mapreduce.cpp:1838-1970): read-only visit of
+    every pair, no emission."""
+    df.foreachPartition(lambda rows: [func(r) for r in rows] and None)
+
+
+def kv_stats(df: DataFrame) -> DataFrame:
+    """MR-MPI kv_stats (src/mapreduce.cpp:2845-2913): global pair count
+    plus per-partition distribution (the reference prints per-proc
+    histograms)."""
+    return (
+        df.withColumn("part", F.spark_partition_id())
+        .groupBy("part")
+        .agg(F.count("*").alias("pairs"))
+        .agg(
+            F.sum("pairs").alias("total_pairs"),
+            F.count("*").alias("partitions"),
+            F.min("pairs").alias("min_pairs"),
+            F.max("pairs").alias("max_pairs"),
+        )
+    )
+
+
+# ------------------------------------------------- canonical example
+
+
+def word_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The MR-MPI word-frequency example (doc/Examples.txt): tokenize,
+    count per word. Algebraic agg → map-side combine, skew-safe."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def top_k(df: DataFrame, k: int, *order_cols: Column) -> DataFrame:
+    """Top-k (the example's "top 10 words"): global order + limit.
+    Spark plans this as TakeOrderedAndProject — per-partition heaps,
+    no full sort — which is what you want at 100 TB."""
+    return df.orderBy(*order_cols).limit(k)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two tiers, as a 100 TB design demands:
+
+- ``cosine_topk`` — brute-force exact top-k against a query vector.
+  One narrow scan, per-partition TakeOrdered heaps, no shuffle of the
+  embedding column beyond k rows. The correctness baseline.
+- ``lsh_topk`` — random-hyperplane LSH: bucket by sign bits, probe
+  only the query's bucket (and optional neighboring buckets by
+  Hamming distance). At scale the bucket column is a partition/
+  cluster key so a probe touches a small fraction of files; here it
+  is a filter that Catalyst pushes onto the scan of the bucketed
+  materialization.
+
+Hyperplanes are generated from a seeded NumPy RNG on the driver and
+embedded as literals — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.functions.vectors import cosine, dot
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``.
+
+    Ties broken by id for determinism. Output: (id, cos DOUBLE)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 8).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit bucket id for a vector column against fixed planes."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(F.col(vec_col).cast("array<double>"), p) >= 0, 1).otherwise(0)
+        bucket = bucket + bit * (1 << i)
+    return bucket
+
+
+def lsh_bucketize(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the bucketed table (the index-build step). At scale
+    this is written out partitioned by ``bucket`` so probes prune."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return embeddings.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
+
+
+def lsh_topk(
+    bucketed: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``probe_hamming`` bits of the query's bucket."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qbits = sum(
+        (1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) >= 0
+    )
+    candidates = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbits))) <= probe_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 8).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: only
+    same-bucket pairs are scored (plus nothing else — recall traded
+    for the absence of a cross join). Output (a, b, cos)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    b = lsh_bucketize(embeddings, dim, n_planes, seed, vec_col)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round(
+                cosine(
+                    F.col(f"l.{vec_col}").cast("array<double>"),
+                    F.col(f"r.{vec_col}").cast("array<double>"),
+                ),
+                8,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

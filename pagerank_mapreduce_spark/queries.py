@@ -1,0 +1,828 @@
+"""Named query catalog — the driver-checkable operator surface.
+
+Every operator family from SURVEY.md §2 (plus the training-data
+pipeline extensions) is represented by a named query over the parquet
+fixture tables. Each entry pairs
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built on the
+  engine's operators, and
+- an equivalent DuckDB ANSI-SQL string (``None`` for genuinely
+  non-SQL-expressible ops → the driver records a rows-only check).
+
+Column names and types are aligned on both sides (aggregates aliased
+identically, BIGINT casts where DuckDB would widen to HUGEINT,
+floating aggregates rounded) because the driver hash-compares values
+after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.functions import text as T
+from pagerank_mapreduce_spark.graph import pagerank
+from pagerank_mapreduce_spark.operators import dedup as D
+from pagerank_mapreduce_spark.operators import mapreduce as M
+from pagerank_mapreduce_spark.operators import similarity as S
+from pagerank_mapreduce_spark.sources.edges import derive_edges, derive_edges_sql
+from pagerank_mapreduce_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        CATALOG[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+N_GRAPH = 1000  # vertex-space size of the fixture-derived graph
+_EDGES_SQL = derive_edges_sql(N_GRAPH)
+
+
+# ===================================================== graph track
+# The reference's own capability: PageRank and its building blocks
+# (SURVEY.md §2.1), on a deterministic graph derived from orders.
+
+
+@_q("pagerank", None)  # iterative fixed point — not SQL-expressible
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    res = pagerank(edges, max_iterations=100)
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+@_q(
+    "graph_rev_adjacency",
+    f"""SELECT dst, string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS in_links
+        FROM ({_EDGES_SQL}) GROUP BY dst""",
+)
+def q_rev_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: map (dst,src) + collate + reduce (mr-pr-cpp.cpp:59-79);
+    # csv-joined sorted list so the oracle compares strings, not arrays
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return edges.groupBy("dst").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("src")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("in_links")
+    )
+
+
+@_q(
+    "graph_out_degrees",
+    f"SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src",
+)
+def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6: num_outgoing (mr-pr-cpp.cpp:202-208)
+    from pagerank_mapreduce_spark.graph import out_degrees
+
+    return out_degrees(derive_edges(spark, sf_dir, N_GRAPH))
+
+
+@_q(
+    "graph_websize",
+    f"SELECT CAST(greatest(max(src), max(dst)) + 1 AS BIGINT) AS n FROM ({_EDGES_SQL})",
+)
+def q_websize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 (mr-pr-cpp.cpp:203-210)
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return edges.agg(
+        (F.greatest(F.max("src"), F.max("dst")) + 1).cast("bigint").alias("n")
+    )
+
+
+@_q(
+    "graph_dangling",
+    f"""SELECT DISTINCT dst AS id FROM ({_EDGES_SQL})
+        WHERE dst NOT IN (SELECT src FROM ({_EDGES_SQL}))""",
+)
+def q_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dangling pages (linked-to, no outgoing) — the one_Av input
+    # (mr-pr-cpp.cpp:133-138); left-anti join = NOT IN with no NULLs
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .join(edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+    )
+
+
+# ============================================== MapReduce algebra track
+# MR-MPI operator surface (SURVEY.md §2.2) demonstrated on fixtures.
+
+
+@_q(
+    "mr_collate",
+    """SELECT user_id,
+              string_agg(event_type, ',' ORDER BY event_type) AS values
+       FROM events GROUP BY user_id""",
+)
+def q_mr_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collate = aggregate + convert (src/mapreduce.cpp:683-706);
+    # sort_multivalues (:2115) applied for determinism
+    ev = _t(spark, sf_dir, "events")
+    grouped = M.collate(ev.select("user_id", "event_type"), "user_id", "event_type")
+    return M.sort_multivalues(grouped).select(
+        "user_id", F.array_join("values", ",").alias("values")
+    )
+
+
+@_q(
+    "mr_compress_wordcount",
+    """SELECT word, count(*) AS cnt FROM (
+         SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+         FROM documents) t
+       WHERE word <> '' GROUP BY word""",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the canonical MR-MPI example (doc/Examples.txt): map emits
+    # (word,1), compress/reduce sums — algebraic agg gets automatic
+    # map-side combine (the compress(), src/mapreduce.cpp:717-819)
+    return M.word_frequency(_t(spark, sf_dir, "documents"), "text")
+
+
+@_q(
+    "mr_topk_words",
+    """SELECT word, count(*) AS cnt FROM (
+         SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+         FROM documents) t
+       WHERE word <> '' GROUP BY word
+       ORDER BY cnt DESC, word LIMIT 20""",
+)
+def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "top 10 words" from doc/Examples.txt → TakeOrderedAndProject
+    wf = M.word_frequency(_t(spark, sf_dir, "documents"), "text")
+    return M.top_k(wf, 20, F.col("cnt").desc(), F.col("word"))
+
+
+@_q(
+    "mr_kv_stats",
+    """SELECT count(*) AS pairs, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+              CAST(min(n_chars) AS BIGINT) AS min_bytes,
+              CAST(max(n_chars) AS BIGINT) AS max_bytes
+       FROM documents""",
+)
+def q_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kv_stats global counters (src/mapreduce.cpp:2845-2913): pair
+    # count + byte totals (per-partition histograms are in M.kv_stats
+    # but partition counts aren't oracle-stable)
+    return _t(spark, sf_dir, "documents").agg(
+        F.count("*").alias("pairs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.min("n_chars").cast("bigint").alias("min_bytes"),
+        F.max("n_chars").cast("bigint").alias("max_bytes"),
+    )
+
+
+@_q(
+    "mr_add_union",
+    """SELECT key, count(*) AS cnt FROM (
+         SELECT o_custkey AS key FROM orders
+         UNION ALL SELECT c_custkey AS key FROM customer) t
+       GROUP BY key""",
+)
+def q_mr_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # add(mr2) = union-all append (src/mapreduce.cpp:345-371)
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return M.add(a, b).groupBy("key").agg(F.count("*").alias("cnt"))
+
+
+@_q(
+    "mr_sort_keys",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
+)
+def q_mr_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort_keys global variant (src/mapreduce.cpp:2007-2054) + top-k
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+# ================================================= relational track
+# Capability categories with no reference implementation
+# (SURVEY.md §2.5) — Spark built-ins, DuckDB-checkable.
+
+
+@_q(
+    "rel_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "rel_top_revenue_orders",
+    """SELECT l_orderkey, o_orderdate,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dim filter → join fact → agg → top-k
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "rel_broadcast_join",
+    """SELECT r_name, n_name, count(*) AS n_suppliers,
+              round(sum(s_acctbal), 2) AS total_acctbal
+       FROM supplier, nation, region
+       WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dim-table joins — explicitly broadcast (MR-MPI broadcast(),
+    # src/mapreduce.cpp:542-596, realized as BroadcastHashJoin)
+    s = _t(spark, sf_dir, "supplier")
+    n = M.broadcast_small(_t(spark, sf_dir, "nation"))
+    r = M.broadcast_small(_t(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@_q(
+    "rel_sortmerge_join",
+    """SELECT o_orderstatus, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM lineitem, orders WHERE l_orderkey = o_orderkey
+       GROUP BY o_orderstatus""",
+)
+def q_sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fact-fact equi-join: Spark picks sort-merge (or shuffled hash
+    # under AQE) — both sides shuffle once on the key
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "rel_semi_join",
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       GROUP BY c_mktsegment""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
+    "rel_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "rel_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+              round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "rel_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "rel_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@_q(
+    "rel_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             FROM orders) t WHERE rnk <= 3""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "rel_window_moving",
+    """SELECT l_partkey, l_orderkey, l_linenumber,
+              round(sum(l_quantity) OVER (
+                PARTITION BY l_partkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_qty
+       FROM lineitem""",
+)
+def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 0)
+    )
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("moving_qty"),
+    )
+
+
+@_q(
+    "rel_set_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000""",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 50000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@_q(
+    "rel_set_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select("c_custkey")
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.subtract(b)  # EXCEPT DISTINCT semantics
+
+
+@_q(
+    "rel_string_funcs",
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+              substr(p_name, 1, 5) AS name_prefix,
+              CAST(length(p_name) AS BIGINT) AS name_len,
+              replace(p_type, ' ', '_') AS type_snake,
+              concat(p_brand, '#', p_type) AS brand_type
+       FROM part""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@_q(
+    "rel_date_funcs",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+              CAST(month(o_orderdate) AS BIGINT) AS m,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+              count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2, 3""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
+    "rel_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              round(sqrt(l_extendedprice), 6) AS price_sqrt,
+              round(ln(l_extendedprice + 1), 6) AS price_ln,
+              abs(round(l_extendedprice - l_quantity * 1000, 2)) AS price_delta,
+              ceil(l_quantity) AS qty_ceil, floor(l_quantity) AS qty_floor,
+              CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+       FROM lineitem""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.abs(
+            F.round(F.col("l_extendedprice") - F.col("l_quantity") * 1000, 2)
+        ).alias("price_delta"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+@_q(
+    "rel_distinct_agg",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+              count(DISTINCT l_suppkey) AS n_supps
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@_q("rel_approx_count_distinct", None)  # approximate — no exact oracle
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++-based; rows-only check. rel_distinct_agg is the exact twin.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    )
+
+
+@_q(
+    "rel_json_funcs",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              count(*) AS cnt, round(sum(value), 4) AS total_value
+       FROM events GROUP BY 1""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@_q(
+    "rel_case_when",
+    """SELECT event_type,
+              CASE WHEN value >= 100 THEN 'high'
+                   WHEN value >= 50 THEN 'mid'
+                   ELSE 'low' END AS band,
+              count(*) AS cnt,
+              round(coalesce(avg(nullif(value, 0.0)), -1.0), 4) AS avg_nonzero
+       FROM events GROUP BY 1, 2""",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("band")
+    )
+    return ev.groupBy("event_type", band).agg(
+        F.count("*").alias("cnt"),
+        F.round(
+            F.coalesce(F.avg(F.nullif(F.col("value"), F.lit(0.0))), F.lit(-1.0)), 4
+        ).alias("avg_nonzero"),
+    )
+
+
+# ================================================== text / dedup track
+
+
+@_q(
+    "text_stats",
+    """SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS BIGINT) AS n_tokens,
+              CAST(length(text)
+                   - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g'))
+                   AS BIGINT) AS n_punct,
+              CAST(length(text) AS BIGINT) AS n_chars_computed
+       FROM documents""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_\s]", ""))
+        )
+        .cast("bigint")
+        .alias("n_punct"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@_q(
+    "text_lang_counts",
+    # mirror of functions.text.lang_id: per-language marker-token hits,
+    # first strictly-greater language wins, else 'und'
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       scores AS (
+         SELECT doc_id,
+           len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+           len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+           len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+           len(list_filter(t, x -> list_contains(['el','la','que','de','es'], x))) AS s_es
+         FROM toks)
+       SELECT CASE
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+              count(*) AS cnt
+       FROM scores GROUP BY 1""",
+)
+def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(T.lang_id("text").alias("lang_guess")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@_q(
+    "dedup_exact",
+    """SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+              CAST(min(doc_id) AS BIGINT) AS doc_id
+       FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents")).select("fp", "doc_id")
+
+
+@_q("dedup_minhash_pairs", None)  # engine-hash-specific → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup(d, threshold=0.5).orderBy("a", "b")
+
+
+@_q("dedup_simhash_pairs", None)  # engine-hash-specific → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.simhash_candidates(d, bands=4, k=2)
+        .filter(F.col("hamming") <= 8)
+        .orderBy("a", "b")
+    )
+
+
+@_q(
+    "sim_cosine_topk",
+    """SELECT e.vec_id,
+              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])), 6) AS cos
+       FROM embeddings e,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       ORDER BY cos DESC, e.vec_id LIMIT 10""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = S.cosine_topk(emb, list(query), k=10)
+    return top.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+@_q("sim_lsh_topk", None)  # approximate probe — rows-only
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    bucketed = S.lsh_bucketize(emb, dim=len(query))
+    return S.lsh_topk(bucketed, query, k=10)
+
+
+@_q("sim_embedding_near_dups", None)  # LSH recall — rows-only
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=8
+    ).orderBy("a", "b")
+
+
+# =================================================== streaming track
+# Batch-mode window semantics (identical expressions run under
+# readStream in streaming/; the batch form is what the oracle checks).
+
+
+@_q(
+    "stream_tumbling",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+              count(*) AS cnt, round(sum(value), 4) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "total")
+    )
+
+
+@_q(
+    "stream_sliding",
+    """SELECT ws, count(*) AS cnt FROM (
+         SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts)
+                          - INTERVAL '30 minutes']) AS ws
+         FROM events) t GROUP BY ws""",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1h windows sliding every 30m → each event in exactly 2 windows
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+
+
+@_q(
+    "stream_session",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sessions AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+       FROM sessions GROUP BY user_id, sid""",
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@_q(
+    "stream_dedup",
+    """SELECT event_type, count(*) AS cnt FROM (
+         SELECT DISTINCT user_id, event_type FROM events) t GROUP BY 1""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch analogue of dropDuplicates state dedup
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -1,0 +1,87 @@
+"""Local mirror of the driver's correctness gate: run every catalog
+query on Spark AND its DuckDB oracle, compare row count + values
+(order-insensitive, columns sorted by name). Exact equality is
+required for non-float values; floats must match to 1e-9 (catalog
+queries round explicitly so engine summation order cannot leak into
+the driver's value hash)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pagerank_mapreduce_spark.queries import CATALOG
+from pagerank_mapreduce_spark.sources.tables import TABLE_NAMES
+
+ORACLE_NAMES = [n for n, s in CATALOG.items() if s.oracle is not None]
+ROWS_ONLY_NAMES = [n for n, s in CATALOG.items() if s.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _key(row):
+    return tuple(
+        (x is None, "" if x is None else str(type(x)), str(x)) for x in row
+    )
+
+
+def assert_frames_match(name, spark_rows, duck_rows, spark_cols, duck_cols):
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    cols = sorted(spark_cols)
+    s_idx = [spark_cols.index(c) for c in cols]
+    d_idx = [duck_cols.index(c) for c in cols]
+    s_rows = sorted(
+        [tuple(_norm(r[i]) for i in s_idx) for r in spark_rows], key=_key
+    )
+    d_rows = sorted(
+        [tuple(_norm(r[i]) for i in d_idx) for r in duck_rows], key=_key
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        for c, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, float) and isinstance(y, float):
+                ok = (
+                    math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                    or (math.isnan(x) and math.isnan(y))
+                )
+            else:
+                ok = x == y
+            assert ok, f"{name}: row {i} col {cols[c]}: spark={x!r} duck={y!r}"
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    spec = CATALOG[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+    assert_frames_match(name, spark_rows, duck_rows, sdf.columns, duck_cols)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    sdf = CATALOG[name].fn(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
