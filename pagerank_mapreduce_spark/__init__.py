@@ -16,7 +16,20 @@ Everything is DataFrame-first: logical plans are declared with the
 DataFrame/SQL API and Catalyst/Tungsten choose the physical strategy.
 """
 
+from pagerank_mapreduce_spark.graph import out_degrees, pagerank, websize
+from pagerank_mapreduce_spark.graph.io import format_ranks, ranks_close
 from pagerank_mapreduce_spark.session import get_spark
+from pagerank_mapreduce_spark.sources.edges import read_edge_list
+from pagerank_mapreduce_spark.sources.tables import load_table
 
-__all__ = ["get_spark"]
+__all__ = [
+    "format_ranks",
+    "get_spark",
+    "load_table",
+    "out_degrees",
+    "pagerank",
+    "ranks_close",
+    "read_edge_list",
+    "websize",
+]
 __version__ = "0.1.0"

@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The design a 100 TB training-data pipeline needs: media payloads are
+``BinaryType`` columns with typed metadata alongside; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip row-at-a-time.
+
+The decode kernels themselves are STUBBED — the image/audio libs are
+not in this container — behind ``decoder=`` injection points with a
+deterministic fake used by default and in tests. Everything
+Spark-side is real and tested: schema, batch shape, partition sizing,
+UDF signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, mime string, "
+    "n_bytes bigint"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, feature array<float>, "
+    "decode_ok boolean"
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's utf-8 bytes as an opaque
+    payload so the binary-column pipeline is exercised on real data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for an image/audio decoder: derives a
+    fixed-width feature vector from a digest of the bytes. Replace via
+    ``decoder=`` with e.g. a PIL/torchvision kernel in production."""
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode + feature-extract over binary payloads.
+
+    Arrow batches flow into pandas; the decoder runs per payload
+    inside the batch (vectorize inside ``decoder`` if the real kernel
+    supports it). Failures surface as decode_ok=False rows rather
+    than task failures — at 100 TB a poison payload must not kill the
+    stage."""
+    decode = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    feats.append(decode(bytes(payload)))
+                    oks.append(True)
+                except Exception:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage — Spark plumbing real, pixel kernel stubbed.
+
+    Raises NotImplementedError from the kernel (per-row) unless a real
+    imaging library is installed; the deterministic fake path is
+    ``extract_features``. Kept separate so the stub boundary is
+    explicit and greppable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raise NotImplementedError(
+                "image resize requires an imaging library not present in "
+                "this container; inject a kernel or use extract_features"
+            )
+            yield pdf  # pragma: no cover
+
+    return media.mapInPandas(run, media.schema)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, decoder: Callable | None = None
+) -> DataFrame:
+    """Video frame-sampling stage: emits (media_id, frame_no, feature)
+    rows — a one-to-many mapInPandas (the UDTF shape). Frame decode is
+    stubbed with a deterministic fake deriving ``n_frames`` from the
+    payload size (1 frame per 64 bytes)."""
+    decode = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "feature": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = max(1, len(data) // 64)
+                for f_no in range(0, n_frames, every_n):
+                    chunk = data[f_no * 64 : (f_no + 1) * 64] or data
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f_no)
+                    out["feature"].append(decode(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id bigint, frame_no int, feature array<float>"
+    )

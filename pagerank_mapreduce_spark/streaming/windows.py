@@ -1,0 +1,108 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (MR-MPI has no streaming surface —
+SURVEY.md §2.5); this module is the engine's Structured-Streaming
+extension per the north star. Each transformation is expressed once
+and works on BOTH a batch DataFrame and a streaming DataFrame — the
+batch form is what the DuckDB oracle checks in the query catalog
+(stream_* entries); tests run the same logic through ``readStream``
+with ``trigger(availableNow=True)`` to exercise the streaming
+machinery (watermarks, state stores, late-data drop).
+
+Scale notes: watermark + windowed aggregation keeps state bounded;
+``dropDuplicatesWithinWatermark`` ages dedup state out; session
+windows use Spark's built-in session-window state merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch slice). Schema comes from the batch reader; the ts
+    column carries the same nanos→micros conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # FileStreamSource needs a directory or glob, not a bare file path
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(f"{sf_dir}/events*.parquet")
+    _ = schema  # documentational: batch and stream schemas align
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type with late-data drop."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "total")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based merge); state is Spark's
+    built-in session-window store, bounded by the watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_events(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful streaming dedup. In streaming mode the state store
+    holds one entry per key within the watermark horizon; batch mode
+    degrades to dropDuplicates."""
+    keys = keys or ["user_id", "event_type"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Drain an availableNow stream into an in-memory table for tests;
+    returns the StreamingQuery (caller awaits termination)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

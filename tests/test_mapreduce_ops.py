@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.operators import mapreduce as M
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    # small KV relation: (key, value)
+    data = [(i % 5, i) for i in range(100)]
+    return spark.createDataFrame(data, "key int, value int")
+
+
+def test_mr_map_tasks(spark):
+    # MR-MPI map() v1: nmap generator tasks fan out over the cluster
+    df = M.mr_map_tasks(
+        spark, 4, lambda t: [(t, j) for j in range(3)], "task int, j int"
+    )
+    rows = sorted((r["task"], r["j"]) for r in df.collect())
+    assert rows == [(t, j) for t in range(4) for j in range(3)]
+
+
+def test_mr_map_kv_iterate(kv):
+    # MR-MPI map() v5: emit new KVs from an existing KV set
+    out = M.mr_map(
+        kv,
+        lambda pdf: pd.DataFrame({"key": pdf["key"], "doubled": pdf["value"] * 2}),
+        "key int, doubled int",
+    )
+    got = {(r["key"], r["doubled"]) for r in out.collect()}
+    assert (0, 0) in got and (4, 198) in got
+    assert len(got) == 100
+
+
+def test_aggregate_then_convert_equals_collate(kv):
+    # collate == aggregate (shuffle by key) + convert (local group)
+    via_parts = M.convert(M.aggregate(kv, "key", num_partitions=4), "key", "value")
+    # after aggregate, each key lives in exactly one partition → one
+    # row per key, same multiset of values as the global collate
+    local = {
+        r["key"]: sorted(r["values"]) for r in via_parts.collect()
+    }
+    full = {
+        r["key"]: sorted(r["values"])
+        for r in M.collate(kv, "key", "value").collect()
+    }
+    assert local == full
+
+
+def test_convert_is_partition_local(kv):
+    # without a prior shuffle, convert must NOT combine across
+    # partitions: total rows >= number of distinct keys
+    parts = kv.repartition(8)
+    out = M.convert(parts, "key", "value")
+    per_key = out.groupBy("key").count().collect()
+    assert all(r["count"] >= 1 for r in per_key)
+    total_values = out.select(F.explode("values")).count()
+    assert total_values == 100  # nothing lost, nothing merged globally
+
+
+def test_compress_local_sum(kv):
+    # compress = partition-local combiner; global groupBy of its
+    # output equals the direct global sum
+    local = M.compress(M.aggregate(kv, "key", num_partitions=4), "key", "value")
+    got = {
+        r["key"]: r["total"]
+        for r in local.groupBy("key").agg(F.sum("value").alias("total")).collect()
+    }
+    want = {
+        r["key"]: r["total"]
+        for r in kv.groupBy("key").agg(F.sum("value").alias("total")).collect()
+    }
+    assert got == want
+
+
+def test_clone(kv):
+    out = M.clone(kv.limit(5), "value")
+    for r in out.collect():
+        assert isinstance(r["values"], list) and len(r["values"]) == 1
+
+
+def test_collapse_and_scrunch(kv):
+    collapsed = M.collapse(kv.repartition(4))
+    assert collapsed.count() <= 4
+    assert collapsed.select(F.explode("rows")).count() == 100
+    scr = M.scrunch(kv, 1)
+    assert scr.count() == 1
+    assert scr.select(F.explode("rows")).count() == 100
+
+
+def test_gather(kv):
+    assert M.gather(kv.repartition(8), 2).rdd.getNumPartitions() == 2
+
+
+def test_add_union(kv):
+    assert M.add(kv, kv).count() == 200
+
+
+def test_sort_keys_global_and_local(kv):
+    glob = [r["key"] for r in M.sort_keys(kv, "key").collect()]
+    assert glob == sorted(glob)
+    loc = M.sort_keys(kv.repartition(4), "key", local=True)
+    # per-partition sorted
+    def check(it):
+        keys = [r["key"] for r in it]
+        assert keys == sorted(keys)
+        return iter([])
+
+    loc.rdd.mapPartitions(check).count()
+
+
+def test_sort_multivalues(kv):
+    out = M.sort_multivalues(M.collate(kv, "key", "value"), ascending=False)
+    for r in out.collect():
+        assert r["values"] == sorted(r["values"], reverse=True)
+
+
+def test_kv_stats(kv):
+    row = M.kv_stats(kv.repartition(4)).first()
+    assert row["total_pairs"] == 100
+    assert row["partitions"] <= 4
+    assert row["min_pairs"] >= 0 and row["max_pairs"] <= 100
+
+
+def test_word_frequency_and_topk(spark):
+    docs = spark.createDataFrame(
+        [("a b b c c c",), ("c d",)], "text string"
+    )
+    wf = {r["word"]: r["cnt"] for r in M.word_frequency(docs).collect()}
+    assert wf == {"a": 1, "b": 2, "c": 4, "d": 1}
+    top = M.top_k(
+        M.word_frequency(docs), 2, F.col("cnt").desc(), F.col("word")
+    ).collect()
+    assert [(r["word"], r["cnt"]) for r in top] == [("c", 4), ("b", 2)]
+    # TakeOrderedAndProject (heap-based top-k), not a global sort
+    plan = M.top_k(M.word_frequency(docs), 2, F.col("cnt").desc())._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

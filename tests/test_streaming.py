@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.sources.tables import load_table
+from pagerank_mapreduce_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    q = W.run_to_memory_sink(stream_df, name, mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_batch):
+    stream = W.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    got = _drain(spark, W.tumbling_counts(stream), "t_tumbling")
+    want = W.tumbling_counts(events_batch)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, events_batch):
+    stream = W.read_events_stream(spark, sf_dir)
+    got = _drain(spark, W.sliding_counts(stream), "t_sliding")
+    want = W.sliding_counts(events_batch)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_session_matches_batch(spark, sf_dir, events_batch):
+    stream = W.read_events_stream(spark, sf_dir)
+    got = _drain(spark, W.session_counts(stream), "t_session")
+    want = W.session_counts(events_batch)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup(spark, sf_dir, events_batch):
+    stream = W.read_events_stream(spark, sf_dir)
+    got = _drain(spark, W.dedup_events(stream), "t_dedup", mode="append")
+    # streaming dedup-within-watermark keeps at least one row per key
+    # and no more rows than the input; batch dedup keeps exactly one
+    batch_keys = events_batch.select("user_id", "event_type").distinct().count()
+    got_keys = got.select("user_id", "event_type").distinct().count()
+    assert got_keys == batch_keys
+    assert got.count() >= batch_keys
+    assert got.count() <= events_batch.count()
+
+
+def test_late_data_dropped_with_watermark(spark, tmp_path):
+    # Spark's two-watermark semantics (SPARK-39564): in micro-batch N
+    # the LATE-EVENT filter uses the watermark in effect during batch
+    # N-1, while state EVICTION uses the watermark updated from batch
+    # N-1's max event time. So dropping a late row needs the watermark
+    # to have been advanced one full batch before the row arrives:
+    #   batch 1 advances it (max 12:30 → wm 11:30, evicting and
+    #   emitting the 10:00-11:00 window), batch 2 is a spacer so 11:30
+    #   becomes the lateness filter, batch 3 carries the late row.
+    import pandas as pd
+
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 12:30:00"]),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 12:31:00"]),  # spacer
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    d3 = pd.DataFrame(
+        {
+            "event_id": [4],
+            "ts": pd.to_datetime(["2024-01-01 10:30:00"]),  # 2h late
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [100.0],
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    d1.to_parquet(src / "batch1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "batch2.parquet", coerce_timestamps="us")
+    d3.to_parquet(src / "batch3.parquet", coerce_timestamps="us")
+    # FileStreamSource orders files by modification time — space them
+    # out so the micro-batches arrive in the intended order
+    import os, time
+
+    now = time.time()
+    os.utime(src / "batch1.parquet", (now - 120, now - 120))
+    os.utime(src / "batch2.parquet", (now - 60, now - 60))
+    os.utime(src / "batch3.parquet", (now, now))
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["ws"].hour, r["total"]) for r in spark.table("t_late").collect()]
+    # the 10:00 window was emitted during batch 1 with total=1.0; the
+    # late value=100 event must neither update it nor re-emit it
+    ten = [t for h, t in rows if h == 10]
+    assert ten == [1.0], f"late data leaked into finalized window: {rows}"

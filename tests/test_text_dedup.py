@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.functions import text as T
+from pagerank_mapreduce_spark.operators import dedup as D
+from pagerank_mapreduce_spark.operators import multimodal as MM
+from pagerank_mapreduce_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0 (modulo id)
+        (2, base + " today"),  # near dup of 0
+        (3, "der hund ist sehr gross und die katze ist klein das haus"),
+        (4, "completely different words about spark query engines here"),
+        (5, "  THE   quick brown fox jumps over the lazy dog and runs far away "),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_normalizes(docs):
+    kept = D.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 0,1,5 collapse (5 differs only in case/whitespace) → keep 0
+    assert ids == [0, 2, 3, 4]
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = D.minhash_dedup(docs, threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always survives
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 4)], "a bigint, b bigint")
+    j = {(r["a"], r["b"]): r["jaccard"] for r in D.ngram_jaccard(pairs, docs).collect()}
+    assert j[(0, 1)] == pytest.approx(1.0)
+    assert j[(0, 4)] == pytest.approx(0.0)
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    pairs = D.simhash_candidates(docs, bands=4, k=2)
+    ham = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert ham.get((0, 1)) == 0  # identical text → identical simhash
+    if (0, 2) in ham and (3, 4) in ham:
+        assert ham[(0, 2)] < ham[(3, 4)]
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog of the house is big"),
+        (1, "der hund und die katze ist das haus"),
+        (2, "xyz qqq zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "und"}
+
+
+def test_quality_and_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox is here"), (1, "!!! ??? ;;; :::")],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        "doc_id",
+        T.token_count("text").alias("tc"),
+        T.bpe_token_count("text").alias("btc"),
+        T.quality_score("text").alias("q"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[0]["tc"] == 6
+    assert rows[0]["btc"] == 6
+    assert rows[1]["btc"] == 12  # each punct char is a token
+    assert rows[0]["q"] > rows[1]["q"]  # clean text beats punct soup
+
+
+def test_cosine_topk_self_is_top(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    top = S.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_contains_exact_top1(spark, sf_dir):
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = S.cosine_topk(emb, query, k=1).first()["vec_id"]
+    bucketed = S.lsh_bucketize(emb, dim=len(query))
+    approx = [r["vec_id"] for r in S.lsh_topk(bucketed, query, k=10).collect()]
+    assert exact in approx  # query's own bucket holds the exact top-1
+
+
+def test_multimodal_feature_extraction(docs):
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(r["decode_ok"] for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # identical payloads → identical features (deterministic decode)
+    by_id = {r["media_id"]: list(r["feature"]) for r in rows}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[4]
+
+
+def test_multimodal_poison_payload_does_not_kill_stage(docs):
+    def picky(payload: bytes):
+        if b"different" in payload:
+            raise ValueError("poison")
+        return MM._fake_decode(payload)
+
+    media = MM.documents_as_media(docs)
+    rows = MM.extract_features(media, decoder=picky).collect()
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert len(bad) == 1 and bad[0]["media_id"] == 4
+
+
+def test_frame_sampling_shape(docs):
+    media = MM.documents_as_media(docs)
+    frames = MM.sample_frames(media, every_n=1)
+    assert frames.count() >= docs.count()  # ≥1 frame per media
+    assert frames.columns == ["media_id", "frame_no", "feature"]
