@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pagerank_mapreduce_spark.functions import text as T
+from pagerank_mapreduce_spark.functions.vectors import cosine
 from pagerank_mapreduce_spark.graph import pagerank
 from pagerank_mapreduce_spark.operators import dedup as D
 from pagerank_mapreduce_spark.operators import mapreduce as M
+from pagerank_mapreduce_spark.operators import multimodal as MM
 from pagerank_mapreduce_spark.operators import similarity as S
 from pagerank_mapreduce_spark.sources.edges import derive_edges, derive_edges_sql
 from pagerank_mapreduce_spark.sources.tables import load_table
@@ -825,4 +827,431 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ============================================ MapReduce algebra (cont.)
+# The remaining MR-MPI operator surface, each made oracle-stable by a
+# deterministic global aggregation after the partition-local step.
+
+
+@_q(
+    "mr_convert_grouped",
+    "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+)
+def q_mr_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aggregate + convert = collate by composition (src/mapreduce.cpp:
+    # 683-706): shuffle on the key, then partition-local KV→KMV group
+    # (src/keymultivalue.cpp:486-638). Exploding the multivalues back
+    # recovers the original multiset, making the check oracle-stable.
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    conv = M.convert(M.aggregate(ev, "user_id"), "user_id", "event_type")
+    return (
+        conv.select("user_id", F.explode("values").alias("v"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "mr_compress_sum",
+    """SELECT user_id, round(sum(value), 4) AS total
+       FROM events GROUP BY user_id""",
+)
+def q_mr_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compress() = partition-local combiner (src/mapreduce.cpp:717-819)
+    # followed by the global reduce — the two-phase aggregation Catalyst
+    # performs automatically, here made explicit and observable.
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    local = M.compress(ev, "user_id", "value", "sum")
+    return local.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+
+
+@_q("mr_clone", "SELECT user_id AS key, 1 AS nv FROM events")
+def q_mr_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clone() (src/mapreduce.cpp:604-625): value → singleton multivalue
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.col("event_type").alias("value")
+    )
+    return M.clone(ev, "value").select("key", F.size("values").alias("nv"))
+
+
+@_q(
+    "mr_scrunch",
+    "SELECT CAST(0 AS INTEGER) AS part, count(*) AS n_rows FROM events",
+)
+def q_mr_scrunch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scrunch(1) = gather + collapse (src/mapreduce.cpp:1980-2005):
+    # concentrate onto one partition, fold it into a single row
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return M.scrunch(ev, 1).select(
+        "part", F.size("rows").cast("bigint").alias("n_rows")
+    )
+
+
+@_q(
+    "mr_map_tasks",
+    """SELECT a.task_id, b.i
+       FROM (SELECT unnest(range(8)) AS task_id) a
+       CROSS JOIN (SELECT unnest(range(10)) AS i) b""",
+)
+def q_mr_map_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # map() variant 1 (src/mapreduce.cpp:1009-1150): nmap generator
+    # tasks fanned across the cluster, each emitting rows
+    def gen(task_id: int):
+        return [(task_id, i) for i in range(10)]
+
+    return M.mr_map_tasks(spark, 8, gen, "task_id bigint, i bigint")
+
+
+@_q("mr_kv_stats_detail", None)  # partition layout varies → rows-only
+def q_mr_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kv_stats per-processor histogram (src/mapreduce.cpp:2845-2913)
+    return M.kv_stats(_t(spark, sf_dir, "lineitem"))
+
+
+# ======================================== text / dedup track (cont.)
+
+
+@_q(
+    "text_quality",
+    f"""WITH s AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS t,
+                CAST(length(text) AS DOUBLE) AS len
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                least(len / 500.0, 1.0) AS lc,
+                least(len(list_filter(t, x -> list_contains(
+                        {T.STOPWORDS_EN!r}, x)))
+                      / greatest(len(t), 1) * 4.0, 1.0) AS swc,
+                least((len - length(regexp_replace(text,
+                        '[^a-zA-Z0-9_\\s]', '', 'g')))
+                      / greatest(len, 1.0) * 5.0, 1.0) AS pp
+         FROM s)
+       SELECT doc_id, round(0.5 * lc + 0.5 * swc - 0.3 * pp, 6) AS quality
+       FROM m""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@_q(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       FROM documents""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@_q(
+    "text_bpe_tokens",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpe
+       FROM documents""",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bpe_token_count("text").cast("bigint").alias("n_bpe"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(len(t) - 2),
+                            i -> array_to_string(t[i+1:i+3], ' '))
+                END AS s
+         FROM toks)
+       SELECT x.doc_id AS a, y.doc_id AS b,
+              round(len(list_intersect(list_distinct(x.s), list_distinct(y.s)))
+                    / CAST(len(list_distinct(list_concat(x.s, y.s)))
+                           AS DOUBLE), 6) AS jaccard
+       FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact n-gram Jaccard on a deterministic pair set (adjacent ids)
+    # so the verification step itself is oracle-checkable; in the LSH
+    # pipeline the same operator runs on candidate pairs only
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("a"))
+        .join(ids.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")), "a")
+    )
+    return D.ngram_jaccard(pairs, d, k=3).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ================================================= multimodal track
+# Binary payload columns + typed metadata (decode kernels stubbed with
+# a deterministic sha256 fake — the Spark plumbing is real; the oracle
+# recomputes the same digest in DuckDB).
+
+
+@_q(
+    "mm_media_stats",
+    """SELECT 'text' AS kind, count(*) AS n_media,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+              CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+              CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+       FROM documents""",
+)
+def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@_q(
+    "mm_feature_extract",
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              TRUE AS decode_ok,
+              round(CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER)
+                    / 255.0, 5) AS f0
+       FROM documents""",
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas decode stage; f0 = first feature dim (float32 in the
+    # engine → rounded to 5 where float32 vs float64 agree exactly)
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "decode_ok",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    """SELECT doc_id AS media_id,
+              CAST(unnest(range(0, greatest(octet_length(encode(text)) // 64, 1),
+                          10)) AS INTEGER) AS frame_no
+       FROM documents""",
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-to-many frame sampling (UDTF-shaped mapInPandas)
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    return MM.sample_frames(media, every_n=10).select("media_id", "frame_no")
+
+
+# ============================================== relational (cont.)
+
+
+@_q(
+    "rel_q5_region_revenue",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+       GROUP BY n_name""",
+)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: two fact-fact joins + a chain of broadcast dims
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = M.broadcast_small(_t(spark, sf_dir, "nation"))
+    r = M.broadcast_small(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            M.broadcast_small(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "rel_correlated_avg",
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+         AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+)
+def q_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    # per-key aggregate + join (what Catalyst does to the SQL form too)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    part_avg = (
+        li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(M.broadcast_small(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "rel_pivot_status",
+    """SELECT o_orderpriority,
+              count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+              count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+              count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"{s.lower()}_cnt")
+            for s in ["F", "O", "P"]
+        ],
+    )
+
+
+@_q(
+    "rel_map_lookup",
+    """SELECT o_orderkey,
+              CAST(CASE o_orderpriority
+                     WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                     WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+                     ELSE 1 END AS INTEGER) AS prio_weight
+       FROM orders""",
+)
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = F.create_map(
+        F.lit("1-URGENT"), F.lit(5),
+        F.lit("2-HIGH"), F.lit(4),
+        F.lit("3-MEDIUM"), F.lit(3),
+        F.lit("4-NOT SPECIFIED"), F.lit(2),
+        F.lit("5-LOW"), F.lit(1),
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.element_at(weights, F.col("o_orderpriority")).alias("prio_weight"),
+    )
+
+
+@_q(
+    "rel_array_agg",
+    """SELECT o_custkey,
+              array_to_string(list_sort(list_distinct(list(o_orderpriority))),
+                              ',') AS prios
+       FROM orders GROUP BY o_custkey""",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("prios")
+        )
+    )
+
+
+@_q(
+    "rel_union_distinct",
+    """SELECT c_custkey AS key FROM customer
+       UNION SELECT o_custkey AS key FROM orders""",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+@_q(
+    "graph_formatted_degrees",
+    f"""SELECT printf('%d = %d', src, deg) AS line FROM (
+          SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src) t""",
+)
+def q_formatted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10 formatted-sink shape (mr-pr-cpp.cpp:254-267) on an
+    # integer-valued relation so the oracle compares exactly; the
+    # float sink (format_ranks, %.12g) is exercised by the golden
+    # parity tests against /root/reference/result
+    from pagerank_mapreduce_spark.graph import out_degrees
+
+    deg = out_degrees(derive_edges(spark, sf_dir, N_GRAPH))
+    return deg.select(F.format_string("%d = %d", "src", "deg").alias("line"))
+
+
+@_q(
+    "sim_knn_join",
+    """SELECT q.vec_id AS qid, e.vec_id AS nid,
+              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])), 6) AS cos
+       FROM embeddings q, embeddings e
+       WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+       QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY cos DESC, e.vec_id) <= 3""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact k-NN join for a small query set: broadcast the queries,
+    # score every (query, vector) pair, per-query top-k via window.
+    # At 100 TB the query side stays broadcast; the big side is a
+    # single scan with per-partition partial top-k before the final
+    # per-query selection.
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(M.broadcast_small(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qv").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )
