@@ -148,24 +148,35 @@ def pagerank(
 
         # h[i] = sum_{j -> i} old[j]/outdeg[j]; normalization is a
         # scalar, so it is applied after the aggregate (h_raw / norm).
+        # Qualified aliases throughout: contribs is derived from pr, so
+        # the merge below is a self-join from the analyzer's view.
         contribs = (
-            pr.join(links, pr.id == links.src)
-            .groupBy(links.dst)
-            .agg(F.sum(pr.rank / links.deg).alias("h_raw"))
+            pr.alias("p")
+            .join(links.alias("l"), F.col("p.id") == F.col("l.src"))
+            .groupBy(F.col("l.dst").alias("cid"))
+            .agg(F.sum(F.col("p.rank") / F.col("l.deg")).alias("h_raw"))
         )
         merged = (
-            pr.join(contribs, pr.id == contribs.dst, "left")
+            pr.alias("q")
+            .join(contribs.alias("c"), F.col("q.id") == F.col("c.cid"), "left")
             .select(
-                "id",
-                "deg",
-                (F.col("rank") / norm).alias("old_rank"),
+                F.col("q.id").alias("id"),
+                F.col("q.deg").alias("deg"),
+                (F.col("q.rank") / norm).alias("old_rank"),
                 (
-                    alpha * F.coalesce(F.col("h_raw"), F.lit(0.0)) / norm
+                    alpha * F.coalesce(F.col("c.h_raw"), F.lit(0.0)) / norm
                     + one_Av
                     + one_Iv
                 ).alias("new_rank"),
             )
-            .localCheckpoint()  # materializes; truncates lineage
+            # Eager checkpoint = the iteration's ONE real job: it
+            # materializes the new vector and truncates lineage so plan
+            # analysis stays O(1) over thousands of iterations. The
+            # stats aggregate below then scans n checkpointed rows —
+            # negligible. (A persist-based single-job variant was tried
+            # and rejected: the self-join lineage defeats cache reuse
+            # and each iteration silently recomputes the whole chain.)
+            .localCheckpoint()
         )
         row = merged.agg(
             F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("diff"),

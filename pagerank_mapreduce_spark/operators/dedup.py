@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 from pagerank_mapreduce_spark.functions.text import fingerprint, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row work.
+
+    A small/compacted parquet source arrives as one or two input
+    splits; signature computation (dozens of hashes per row) would
+    then run on one core. At real scale the scan already yields
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ----------------------------------------------------------- exact
 
 
@@ -61,15 +74,41 @@ def shingles(col: Column | str, k: int = 3) -> Column:
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, seed=i). Pure built-ins — the signature is an
-    ARRAY<BIGINT> of length num_hashes computed JVM-side."""
+    """MinHash signature as a single column expression: per hash
+    function i, min over shingles of xxhash64(shingle, seed=i). Pure
+    built-ins — ARRAY<BIGINT> of length num_hashes, JVM-side.
+
+    Column-expression form for composition; the LSH pipeline uses the
+    explode/aggregate formulation (:func:`minhash_signatures`) which
+    codegens ~2× faster than this num_hashes-deep lambda tree."""
     sh = shingles(col, k)
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>) via explode + num_hashes algebraic min
+    aggregates. All shingles of a document sit in its input partition,
+    so map-side partial aggregation collapses the exploded rows back
+    to one row per document before the exchange — the shuffle carries
+    (id, num_hashes longs) regardless of document length, and skewed
+    document sizes never concentrate on one reducer."""
+    ex = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    agg = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -91,9 +130,7 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("sig")
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     banded = sig.select(
         id_col,
         F.explode(
@@ -112,18 +149,39 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
+    # Pair generation WITHIN buckets: one shuffle keyed on the bucket,
+    # then JVM-side combinatorics over the (sorted) member array. This
+    # computes the expensive signature pipeline exactly once — a
+    # self-join would recompute it for both sides — and the only data
+    # shuffled is (id, band, bucket). Hot buckets (boilerplate text)
+    # are the skew risk; members is bounded by bucket size, which LSH
+    # keeps small for any usable band width.
+    return _bucket_pairs(banded, id_col)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) → distinct (a, b) pairs co-bucketed in ≥1 band."""
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a", "p.b").distinct()
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
@@ -132,8 +190,15 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
     Joins the (a, b) pair relation back to shingle sets and computes
     |A∩B|/|A∪B| with array built-ins. Candidates only — never all
-    pairs. Output: (a, b, jaccard DOUBLE)."""
-    sets_df = docs.select(
+    pairs: the doc side is semi-join-pruned to ids that actually
+    appear in a pair before the (expensive) shingle computation runs.
+    Output: (a, b, jaccard DOUBLE)."""
+    pair_ids = (
+        df_pairs.select(F.col("a").alias(id_col))
+        .union(df_pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sets_df = _spread(docs.join(pair_ids, id_col, "left_semi")).select(
         F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
     )
     return (
@@ -160,8 +225,14 @@ def minhash_dedup(
     k: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard filter.
-    Returns pairs (a, b, jaccard) with jaccard >= threshold."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    Returns pairs (a, b, jaccard) with jaccard >= threshold.
+
+    The candidate pair set is persisted: it is consumed three times by
+    the verification step (two id-projections for the semi-join prune
+    and the final join) and is orders of magnitude smaller than the
+    corpus, so re-running the signature pipeline for each consumer
+    would dominate the cost."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k).persist()
     return ngram_jaccard(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
     )
@@ -179,7 +250,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     algebraic sign-sum aggregates → assemble bits. One shuffle keyed
     on the doc id; every aggregate gets map-side partial aggregation,
     so skewed document lengths stay safe at scale."""
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("h"))
     sign_sums = [
@@ -226,19 +297,35 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "sh", "bb.band", "bb.bucket")
-    l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # Same bucket-local pair generation as MinHash-LSH (no self-join;
+    # the simhash is computed once and travels with the id). array_sort
+    # on struct orders by the leading field, giving a < b for free.
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "sh"))
+            ).alias("ms")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
-        )
-        .distinct()
+        .filter(F.size("ms") > 1)
     )
-    return pairs
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ms"), i + 2, F.greatest(F.size("ms") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(
+                            x["id"].alias("a"),
+                            y["id"].alias("b"),
+                            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a", "p.b", "p.hamming").distinct()
