@@ -51,7 +51,27 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="pagerank-mapreduce-spark-bench")
-    spark.range(1000).count()  # JVM warmup
+    # JVM/codegen warm-up on the tiniest fixture: exercise the parquet
+    # reader, join, aggregate, window and checkpoint code paths once so
+    # per-query timings measure steady-state execution, not first-use
+    # classloading/JIT. (The reference's numbers likewise time only the
+    # MapReduce phase, not process startup — BASELINE.md "Metric".)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wq in (
+            "pagerank",
+            "rel_q1_pricing",
+            "rel_window_rank",
+            "rel_top_revenue_orders",
+            "dedup_minhash_pairs",
+            "stream_session",
+        ):
+            try:
+                materialize(CATALOG[wq].fn(spark, warm_dir))
+            except Exception:
+                pass
+    else:
+        spark.range(1000).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
