@@ -1213,6 +1213,182 @@ def q_formatted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.select(F.format_string("%d = %d", "src", "deg").alias("line"))
 
 
+# ==================================== relational breadth (round 1 cont.)
+# Statistical aggregates, outer/cross joins, lateral explode, arg-min/
+# max, subqueries — the remaining §2.5 capability categories.
+
+
+@_q(
+    "rel_stats_agg",
+    """SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 6) AS sd_qty,
+              round(var_samp(l_discount), 6) AS var_disc,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@_q(
+    "rel_percentiles",
+    """SELECT l_linestatus,
+              round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+              round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+       FROM lineitem GROUP BY l_linestatus""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    # quantile_cont). The approximate twin for 100 TB scans is
+    # approx_percentile — same call shape, sketch-based.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+    )
+
+
+@_q(
+    "rel_full_outer_join",
+    """SELECT count(*) AS n_rows,
+              count(*) FILTER (WHERE o_orderkey IS NULL) AS cust_only,
+              count(*) FILTER (WHERE c_custkey IS NULL) AS order_only
+       FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("cust_only"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("order_only"),
+    )
+
+
+@_q(
+    "rel_cross_join",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.select("r_name").crossJoin(n.select("n_name"))
+
+
+@_q(
+    "rel_posexplode",
+    """SELECT p_partkey,
+              CAST(unnest(range(len(words))) AS BIGINT) AS pos,
+              unnest(words) AS word
+       FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part) t""",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lateral explode with position (UDTF shape: one row → many)
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    ).select("p_partkey", F.col("pos").cast("bigint").alias("pos"), "word")
+
+
+@_q(
+    "rel_arg_minmax",
+    # tie-broken arg-extremes: max orderkey among max-price rows / min
+    # orderkey among min-price rows (≡ Spark max_by/min_by on the
+    # composite [price, key] ordering; this DuckDB build's arg_max
+    # accepts only scalar ordering keys)
+    """WITH m AS (SELECT o_orderstatus, max(o_totalprice) AS mxp,
+                         min(o_totalprice) AS mnp
+                  FROM orders GROUP BY o_orderstatus)
+       SELECT o.o_orderstatus,
+              max(o_orderkey) FILTER (WHERE o_totalprice = mxp) AS top_order,
+              min(o_orderkey) FILTER (WHERE o_totalprice = mnp) AS bottom_order
+       FROM orders o JOIN m USING (o_orderstatus)
+       GROUP BY o.o_orderstatus""",
+)
+def q_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_by/max_by with a composite (value, key) ordering so ties on
+    # the float value resolve deterministically in both engines
+    o = _t(spark, sf_dir, "orders")
+    ordering = F.array(F.col("o_totalprice"), F.col("o_orderkey").cast("double"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordering).alias("top_order"),
+        F.min_by("o_orderkey", ordering).alias("bottom_order"),
+    )
+
+
+@_q(
+    "rel_in_subquery",
+    """SELECT o_orderstatus, count(*) AS cnt FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+       GROUP BY o_orderstatus""",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IN (uncorrelated subquery) — planned as a left-semi join; the
+    # subquery side is small and broadcasts
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(M.broadcast_small(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "rel_having",
+    """SELECT o_custkey, count(*) AS n_orders FROM orders
+       GROUP BY o_custkey HAVING count(*) >= 5""",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@_q(
+    "rel_regexp_extract",
+    """SELECT s_suppkey,
+              CAST(regexp_extract(s_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+       FROM supplier""",
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.regexp_extract("s_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+    )
+
+
+@_q(
+    "sim_vector_norm",
+    """SELECT vec_id,
+              round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))), 6) AS l2
+       FROM embeddings""",
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zip_with + aggregate: the JVM-side array-math path every vector
+    # op here uses (no Python UDF in the hot loop)
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select("vec_id", F.round(F.sqrt(dot), 6).alias("l2"))
+
+
 @_q(
     "sim_knn_join",
     """SELECT q.vec_id AS qid, e.vec_id AS nid,
