@@ -830,6 +830,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_stateful_totals",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY user_id""",
+)
+def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom stateful operator (applyInPandasWithState in streaming
+    # mode; tests/test_streaming.py exercises cross-batch state) —
+    # the batch analogue is the oracle-checked form
+    from pagerank_mapreduce_spark.streaming.windows import stateful_user_totals
+
+    return stateful_user_totals(_t(spark, sf_dir, "events"))
+
+
 # ============================================ MapReduce algebra (cont.)
 # The remaining MR-MPI operator surface, each made oracle-stable by a
 # deterministic global aggregation after the partition-local step.

@@ -96,6 +96,55 @@ def dedup_events(
     return events.dropDuplicates(keys)
 
 
+def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: running (n_events, total_value) per
+    user, maintained across micro-batches in an explicit state store
+    via ``applyInPandasWithState`` — the streaming analogue of the
+    reference's per-group reduce UDF surface (SURVEY.md §2.4; MR-MPI
+    reduce callbacks, src/mapreduce.cpp:1688-1777), with state that
+    OUTLIVES a single group invocation.
+
+    Streaming: one state entry per user (two numbers — bounded by the
+    key cardinality, not the event volume); each batch emits the
+    updated totals for the users it touched. Batch: degrades to the
+    equivalent algebraic aggregation (what the DuckDB oracle checks).
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [round(tot, 4)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="cnt bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain an availableNow stream into an in-memory table for tests;
     returns the StreamingQuery (caller awaits termination)."""

@@ -52,6 +52,74 @@ def test_stream_dedup(spark, sf_dir, events_batch):
     assert got.count() <= events_batch.count()
 
 
+def test_stateful_totals_across_batches(spark, tmp_path):
+    # applyInPandasWithState: state must accumulate ACROSS micro-batches
+    import os
+    import time
+
+    import pandas as pd
+
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"] * 3),
+            "user_id": [1, 1, 2],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 10.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "ts": pd.to_datetime(["2024-01-01 11:00:00"] * 2),
+            "user_id": [1, 3],
+            "event_type": ["a", "a"],
+            "value": [4.0, 7.5],
+            "props": ["{}"] * 2,
+        }
+    )
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    d1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = W.run_to_memory_sink(
+        W.stateful_user_totals(stream), "t_stateful", mode="update"
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_stateful").collect()
+    # updates arrive in batch order; the LAST update per user is the
+    # accumulated total: user 1 = 3 events / 7.0 (state carried over
+    # batch 1 → 2), user 2 = 1 / 10.0, user 3 = 1 / 7.5
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last == {1: (3, 7.0), 2: (1, 10.0), 3: (1, 7.5)}
+    # user 1 must have been emitted twice (once per touching batch)
+    assert sum(1 for r in rows if r["user_id"] == 1) == 2
+
+
+def test_stateful_totals_batch_analogue(spark, sf_dir, events_batch):
+    got = W.stateful_user_totals(events_batch)
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_late_data_dropped_with_watermark(spark, tmp_path):
     # Spark's two-watermark semantics (SPARK-39564): in micro-batch N
     # the LATE-EVENT filter uses the watermark in effect during batch
