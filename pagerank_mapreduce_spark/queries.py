@@ -744,6 +744,17 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(bucketed, query, k=10)
 
 
+@_q("sim_ivf_topk", None)  # approximate probe — rows-only
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN: KMeans codebook + probe-pruned search; with
+    # nprobe == n_lists it reproduces sim_cosine_topk exactly
+    # (tests/test_text_dedup.py asserts that invariant)
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.ivf_build(emb, n_lists=8)
+    return S.ivf_topk(assigned, centroids, query, k=10, nprobe=2)
+
+
 @_q("sim_embedding_near_dups", None)  # LSH recall — rows-only
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dups(

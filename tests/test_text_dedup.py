@@ -100,6 +100,27 @@ def test_lsh_topk_contains_exact_top1(spark, sf_dir):
     assert exact in approx  # query's own bucket holds the exact top-1
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.ivf_build(emb, n_lists=8)
+    # probing every list must reproduce the exact brute-force top-k
+    full = [
+        (r["vec_id"], r["cos"])
+        for r in S.ivf_topk(assigned, centroids, query, k=10, nprobe=8).collect()
+    ]
+    exact = [(r["vec_id"], r["cos"]) for r in S.cosine_topk(emb, query, k=10).collect()]
+    assert full == exact
+    # a narrow probe still finds the query's own vector (cos = 1)
+    narrow = [
+        r["vec_id"]
+        for r in S.ivf_topk(assigned, centroids, query, k=10, nprobe=1).collect()
+    ]
+    assert 0 in narrow
+
+
 def test_multimodal_feature_extraction(docs):
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media)
