@@ -1,5 +1,8 @@
 from __future__ import annotations
 
+import os
+import re
+
 import numpy as np
 import pytest
 
@@ -110,3 +113,50 @@ def test_formatted_sink_and_checker(spark, tmp_path):
         "rank", F.col("rank") + F.when(F.col("id") == 0, 0.001).otherwise(0.0)
     )
     assert not ranks_close(result.ranks, perturbed)
+
+
+# ----------------------------------------------------- golden parity
+# The reference's own test strategy (SURVEY.md §5.1): end-to-end runs
+# checked against the pre-committed Python golden outputs in
+# /root/reference/result at the checker's 1e-4 tolerance
+# (correctness_checker.cpp:48). All six hand-checkable named graphs
+# plus one of each random family; the remaining erdos/barabasi sizes
+# are the same generators at other scales.
+
+GOLDEN_DIR = "/root/reference/result"
+TEST_DIR = "/root/reference/test"
+GOLDEN_GRAPHS = [
+    "bull",
+    "chvatal",
+    "coxeter",
+    "cubical",
+    "diamond",
+    "dodecahedral",
+    "erdos-10000",
+    "barabasi-20000",
+]
+
+
+def _load_golden(name):
+    vals = {}
+    with open(f"{GOLDEN_DIR}/{name}-pr-p.txt") as fh:
+        for line in fh:
+            m = re.match(r"(\S+) = (\S+)", line.strip())
+            if m:
+                vals[m.group(1)] = float(m.group(2))
+    ranksum = vals.pop("s", 1.0)
+    return vals, ranksum
+
+
+@pytest.mark.parametrize("name", GOLDEN_GRAPHS)
+def test_golden_parity(spark, name):
+    if not os.path.isdir(GOLDEN_DIR):
+        pytest.skip("reference goldens not available")
+    edges = read_edge_list(spark, f"{TEST_DIR}/{name}.txt")
+    res = pagerank(edges)
+    mine = {str(r["id"]): r["rank"] for r in res.ranks.collect()}
+    golden, ranksum = _load_golden(name)
+    assert len(mine) == len(golden)
+    worst = max(abs(mine[k] - v) for k, v in golden.items())
+    assert worst <= TOL, f"{name}: worst |delta| {worst}"
+    assert abs(sum(mine.values()) - ranksum) <= TOL
