@@ -29,15 +29,24 @@ EDGE_LINE_REGEX = r"^(0|[1-9][0-9]*)[ \t](0|[1-9][0-9]*)$"
 
 
 def read_edge_list(
-    spark: SparkSession, path: str, validate: bool = True
+    spark: SparkSession, path: str, validate: bool = True, line_sep: str | None = None
 ) -> DataFrame:
     """Read a ``"<src> <dst>"`` text edge list into edges(src,dst).
 
     Duplicate edges and self-loops are preserved — the reference
     parser never dedups (mr-pr-cpp.cpp:89-108) and each duplicate
     contributes to PageRank separately.
+
+    ``line_sep`` maps MR-MPI's map() variants 3/4 (split files into
+    byte-balanced chunks aligned to a caller-chosen separator char,
+    src/mapreduce.cpp:1157-1379): Spark's text source performs the
+    same separator-aligned splitting via the ``lineSep`` option, with
+    ``spark.sql.files.maxPartitionBytes`` as the chunk-size knob.
     """
-    lines = spark.read.text(path)
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    lines = reader.text(path)
     if validate:
         # Cheap distributed validation pass; the reference aborts on the
         # first malformed line with its line number. Line numbers are not

@@ -94,6 +94,16 @@ def test_edge_list_reader_and_validation(spark, tmp_path):
     bad.write_text("0 1\n01 2\n")  # leading zero fails the reference regex
     with pytest.raises(ValueError, match="invalid input"):
         read_edge_list(spark, str(bad))
+    # MR-MPI map v3/v4: separator-aligned chunked reads with a custom
+    # record separator (src/mapreduce.cpp:1157-1379 → lineSep option)
+    sep = tmp_path / "sep.txt"
+    sep.write_text("0 1;1 2;2 0")
+    df2 = read_edge_list(spark, str(sep), line_sep=";")
+    assert sorted((r["src"], r["dst"]) for r in df2.collect()) == [
+        (0, 1),
+        (1, 2),
+        (2, 0),
+    ]
 
 
 def test_formatted_sink_and_checker(spark, tmp_path):
