@@ -206,6 +206,15 @@ def sort_keys(df: DataFrame, *key: str, ascending: bool = True, local: bool = Fa
     return df.sortWithinPartitions(*cols) if local else df.orderBy(*cols)
 
 
+def sort_values(
+    df: DataFrame, *value: str, ascending: bool = True, local: bool = False
+) -> DataFrame:
+    """MR-MPI sort_values (src/mapreduce.cpp:2061-2108): order the KV
+    stream by value column(s) — same engine as :func:`sort_keys`, key
+    and value being just columns on a DataFrame."""
+    return sort_keys(df, *value, ascending=ascending, local=local)
+
+
 def sort_multivalues(df: DataFrame, values_col: str = "values", ascending: bool = True) -> DataFrame:
     """MR-MPI sort_multivalues (src/mapreduce.cpp:2115-2265): sort
     within each group's value array."""
