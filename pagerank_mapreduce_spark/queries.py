@@ -1457,3 +1457,350 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ==================================== TPC-H breadth (round 1, batch 2)
+# Deeper TPC-H shapes: nested aggregates, correlated EXISTS, nation-
+# pair self-join, NOT IN, disjunctive pushdown, nested semi chains.
+
+
+@_q(
+    "rel_q2_min_cost_supplier",
+    """WITH ps AS (
+         SELECT l_partkey, l_suppkey,
+                round(avg(l_extendedprice), 2) AS cost
+         FROM lineitem GROUP BY 1, 2),
+       m AS (SELECT l_partkey, min(cost) AS mc FROM ps GROUP BY 1)
+       SELECT p_partkey, s_suppkey, s_name, cost
+       FROM ps
+       JOIN m USING (l_partkey)
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       WHERE cost = mc AND p_size <= 5""",
+)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape (no partsupp fixture → supplier cost = avg price
+    # they shipped the part at): per-part min-cost supplier via a
+    # window min — one shuffle on l_partkey serves both the aggregate
+    # and the min, instead of Q2's re-scan + correlated subquery
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_extendedprice"), 2).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("mc", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("mc")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        best.join(M.broadcast_small(p), best.l_partkey == p.p_partkey)
+        .join(M.broadcast_small(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "cost")
+    )
+
+
+@_q(
+    "rel_q4_priority_exists",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority""",
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: correlated EXISTS with an inequality (late
+    # shipment) → left-semi join with a composite condition; the date
+    # filter prunes the orders side before the shuffle
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "rel_q7_nation_volume",
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                    l_extendedprice * (1 - l_discount) AS volume
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+       GROUP BY 1, 2, 3""",
+)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: the nation table joins in TWICE under different
+    # roles (supplier vs customer nation) — both broadcast; the pair
+    # predicate lands on the broadcast result, not the fact shuffle
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(M.broadcast_small(s), li.l_suppkey == s.s_suppkey)
+        .join(M.broadcast_small(n1), s.s_nationkey == F.col("n1_key"))
+        .join(M.broadcast_small(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "rel_q16_supplier_cnt",
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+       GROUP BY 1, 2""",
+)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: NOT IN (no NULLs in the key) → left-anti join
+    # against a broadcast exclusion list, then distinct-count
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(M.broadcast_small(p), li.l_partkey == p.p_partkey)
+        .join(M.broadcast_small(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "rel_q19_disjunctive",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_size BETWEEN 20 AND 30 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    # extracts the common single-side conjuncts (CNF conversion) so
+    # l_quantity/p_size range filters still push below the join.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(M.broadcast_small(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (F.col("p_size").between(20, 30) & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "rel_q20_nested_semi",
+    """SELECT s_suppkey, s_name FROM supplier
+       WHERE s_suppkey IN (
+         SELECT l_suppkey FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 's%')
+         GROUP BY l_suppkey HAVING sum(l_quantity) > 1500)""",
+)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape: a nested IN chain — parts by name prefix →
+    # qualifying shippers (HAVING over the join) → supplier semi-join
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("s%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.join(M.broadcast_small(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 1500)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        M.broadcast_small(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_q(
+    "rel_window_leadlag",
+    """SELECT o_custkey, o_orderkey,
+              lag(o_orderkey) OVER w AS prev_order,
+              lead(o_orderkey) OVER w AS next_order,
+              first_value(o_orderkey) OVER w AS first_order,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pr
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def q_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # navigation + distribution window family: lag/lead/first_value/
+    # ntile/percent_rank over one deterministic per-customer ordering
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# ================================================== skew-safe track
+# Salting operators (operators/skew.py) — semantically invisible, so
+# the oracle is the PLAIN aggregation/join: the check proves the
+# mitigation does not change results.
+
+
+@_q(
+    "skew_salted_agg",
+    """SELECT event_type, round(sum(value), 2) AS total, count(*) AS cnt,
+              round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+       FROM events GROUP BY event_type""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("sum", "value", "total_raw"),
+            ("count", "*", "cnt"),
+            ("min", "value", "vmin_raw"),
+            ("max", "value", "vmax_raw"),
+        ],
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("total_raw", 2).alias("total"),
+        "cnt",
+        F.round("vmin_raw", 4).alias("vmin"),
+        F.round("vmax_raw", 4).alias("vmax"),
+    )
+
+
+@_q(
+    "skew_salted_join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        skew.salted_join(li, o, "okey", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ============================================= graph track (cont.)
+
+
+@_q("graph_rmat_degree_hist", None)  # seeded RNG — not SQL-expressible
+def q_rmat_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R-MAT generation (the MR-MPI example, doc/Examples.txt) +
+    # out-degree histogram of the generated graph; deterministic for
+    # (scale, edge_factor, seed, n_tasks) so rows-only is stable
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges
+
+    e = rmat_edges(spark, scale=10, edge_factor=8, seed=42)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("deg")
+    )
+
+
+# ============================================ streaming track (cont.)
+
+
+@_q(
+    "stream_tws_totals",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY user_id""",
+)
+def q_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithStateInPandas operator (streaming/stateful.py) —
+    # named, typed state variables in the state store; the batch
+    # analogue is the oracle-checked form
+    from pagerank_mapreduce_spark.streaming.stateful import tws_user_totals
+
+    return tws_user_totals(_t(spark, sf_dir, "events"))

@@ -1,0 +1,225 @@
+"""Tests for skew-mitigation operators, the R-MAT generator, and the
+transformWithStateInPandas stateful operator."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.graph import pagerank
+from pagerank_mapreduce_spark.graph.rmat import rmat_edges
+from pagerank_mapreduce_spark.operators import skew
+from pagerank_mapreduce_spark.sources.tables import load_table
+from pagerank_mapreduce_spark.streaming.stateful import tws_user_totals
+from pagerank_mapreduce_spark.streaming.windows import run_to_memory_sink
+
+
+# ------------------------------------------------------------- skew
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = skew.salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("sum", "value", "total"),
+            ("count", "*", "cnt"),
+            ("min", "value", "vmin"),
+            ("max", "value", "vmax"),
+        ],
+        n_salt=16,
+    )
+    want = ev.groupBy("event_type").agg(
+        F.sum("value").alias("total"),
+        F.count("*").alias("cnt"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    g = {r["event_type"]: r for r in got.collect()}
+    w = {r["event_type"]: r for r in want.collect()}
+    assert g.keys() == w.keys()
+    for k in w:
+        assert g[k]["cnt"] == w[k]["cnt"]
+        assert g[k]["vmin"] == w[k]["vmin"]
+        assert g[k]["vmax"] == w[k]["vmax"]
+        assert abs(g[k]["total"] - w[k]["total"]) < 1e-6 * max(1.0, abs(w[k]["total"]))
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        skew.salted_agg(ev, ["event_type"], [("median", "value", "m")])
+
+
+def test_salted_agg_spreads_hot_key(spark, sf_dir):
+    # the partial phase must see a hot key split across multiple salts
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "s", skew.salt_column(16, *[c for c in ev.columns if c != "event_type"])
+    )
+    n_buckets = salted.select("event_type", "s").distinct().count()
+    n_keys = ev.select("event_type").distinct().count()
+    assert n_buckets > n_keys  # hot keys genuinely fan out
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    got = (
+        skew.salted_join(li, o, "k", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    want = (
+        li.join(o, "k")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_columns_match_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    assert (
+        skew.salted_join(li, o, "k", n_salt=4).columns == li.join(o, "k").columns
+    )
+
+
+# ------------------------------------------------------------ R-MAT
+
+
+def test_rmat_shape_and_determinism(spark):
+    e1 = rmat_edges(spark, scale=8, edge_factor=4, seed=7, dedup=False)
+    assert e1.count() == 4 << 8
+    stats = e1.agg(
+        F.min("src"), F.max("src"), F.min("dst"), F.max("dst")
+    ).first()
+    assert stats[0] >= 0 and stats[2] >= 0
+    assert stats[1] < 256 and stats[3] < 256
+    e2 = rmat_edges(spark, scale=8, edge_factor=4, seed=7, dedup=False)
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
+def test_rmat_is_skewed(spark):
+    # Graph500 parameters must give a heavy-tailed out-degree
+    # distribution: the hottest vertex far exceeds the mean degree
+    e = rmat_edges(spark, scale=10, edge_factor=8, seed=42)
+    deg = e.groupBy("src").count()
+    top = deg.agg(F.max("count")).first()[0]
+    mean = deg.agg(F.avg("count")).first()[0]
+    assert top > 5 * mean
+
+
+def test_rmat_dedup_removes_duplicates(spark):
+    raw = rmat_edges(spark, scale=6, edge_factor=16, seed=1, dedup=False)
+    ded = rmat_edges(spark, scale=6, edge_factor=16, seed=1, dedup=True)
+    assert ded.count() == raw.distinct().count() < raw.count()
+
+
+def test_rmat_pagerank_converges(spark):
+    e = rmat_edges(spark, scale=8, edge_factor=8, seed=42)
+    res = pagerank(e, max_iterations=50)
+    total = res.ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+
+
+# ----------------------------------------- transformWithStateInPandas
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas drives its state protocol over
+    # protobuf; absent/broken protobuf crashes the streaming runner
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_tws_totals_across_batches(spark, tmp_path):
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"] * 3),
+            "user_id": [1, 1, 2],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 10.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "ts": pd.to_datetime(["2024-01-01 11:00:00"] * 2),
+            "user_id": [1, 3],
+            "event_type": ["a", "a"],
+            "value": [4.0, 7.5],
+            "props": ["{}"] * 2,
+        }
+    )
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    d1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = run_to_memory_sink(tws_user_totals(stream), "t_tws", mode="update")
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.table("t_tws").collect()
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    # state carried across micro-batches: user 1 = 3 events / 7.0
+    assert last == {1: (3, 7.0), 2: (1, 10.0), 3: (1, 7.5)}
+    assert sum(1 for r in rows if r["user_id"] == 1) == 2
+
+
+def test_tws_batch_analogue(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = tws_user_totals(ev)
+    want = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("t"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
