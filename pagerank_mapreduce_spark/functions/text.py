@@ -110,3 +110,97 @@ def fingerprint(col: Column | str) -> Column:
     operators.dedup as the near-dup path."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+# Explicit polynomial so the DuckDB oracle can recompute the identical
+# values (engine hash builtins differ across engines; arithmetic does
+# not). B/M small enough that the k-gram hash stays in 32-bit range.
+WINNOW_BASE = 31
+WINNOW_MOD = 1000003
+
+
+def winnow_fingerprints(
+    df, text_col: str = "text", k: int = 5, w: int = 8, out: str = "fps"
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): rolling k-gram character hashes over the normalized
+    text, then the minimum hash of every w-length window, distinct and
+    sorted — a position-robust fingerprint set whose overlap survives
+    insertions/deletions that break exact fingerprints.
+
+    Pure built-in expressions (transform/zip_with/least — JVM-side):
+    the k-gram hash is an unrolled polynomial
+    ``sum(ascii(char_j) * B^(k-1-j)) mod M``, NOT an engine hash
+    builtin, so the DuckDB oracle reproduces values exactly.
+
+    DataFrame-level (adds column ``out: ARRAY<INT>``, drops nothing)
+    rather than a single Column expression, deliberately: a lambda
+    body that references an enclosing *expression* re-evaluates it per
+    array element, so composing transform(grams)-inside-transform as
+    one expression costs O(len²) regexp+hash work per row. Staging
+    each step as a named column keeps every lambda referencing a bound
+    attribute (CollapseProject declines to inline multiply-referenced
+    non-trivial aliases), and the per-window minimum is computed as a
+    ``least``-fold over w shifted slices — O(len·w) total, with the
+    gram array built exactly once.
+
+    Typical use: explode ``out`` and group by fingerprint for
+    copy-detection, or compare fingerprint sets per candidate pair.
+    """
+    from pagerank_mapreduce_spark.operators.dedup import _spread
+
+    df = _spread(df)
+    t = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+    def gram(i: Column) -> Column:
+        h = F.lit(0)
+        for j in range(k):
+            h = h + F.ascii(F.col("__t").substr(i + F.lit(j), F.lit(1))) * F.lit(
+                WINNOW_BASE ** (k - 1 - j)
+            )
+        return F.pmod(h, F.lit(WINNOW_MOD))
+
+    m = F.greatest(F.length("__t") - k + 1, F.lit(1))
+    staged = (
+        df.withColumn("__t", t)
+        .withColumn("__grams", F.transform(F.sequence(F.lit(1), m), gram))
+        .withColumn("__L", F.greatest(F.size("__grams") - w + 1, F.lit(1)))
+    )
+    # windowed minima as an elementwise least-fold over shifted views;
+    # slices that run past the end come back short and zip_with null-
+    # pads them — least() ignores nulls, so edges stay correct
+    wmins = F.slice("__grams", F.lit(1), F.col("__L"))
+    for s in range(1, w):
+        shifted = F.slice(F.col("__grams"), F.lit(1 + s), F.col("__L"))
+        wmins = F.zip_with(wmins, shifted, lambda a, b: F.least(a, b))
+    return (
+        staged.withColumn(out, F.array_sort(F.array_distinct(wmins)))
+        .drop("__t", "__grams", "__L")
+    )
+
+
+def winnow_oracle_ctes(k: int = 5, w: int = 8) -> str:
+    """DuckDB CTE chain computing, per documents row, the same
+    fingerprint list as :func:`winnow_fingerprints` (value parity is
+    exact — same polynomial, same window minima). Yields a relation
+    ``fps(doc_id, fps LIST<BIGINT>)``; compose with a final SELECT."""
+    poly = " + ".join(
+        f"ascii(substr(t, i + {j}, 1)) * {WINNOW_BASE ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return f"""
+      s AS (SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+            FROM documents),
+      g AS (SELECT doc_id, t, greatest(length(t) - {k} + 1, 1) AS m FROM s),
+      h AS (SELECT doc_id, m,
+                   list_transform(range(1, m + 1),
+                                  i -> ({poly}) % {WINNOW_MOD}) AS hs
+            FROM g),
+      wnd AS (SELECT doc_id,
+                     list_transform(range(1, greatest(m - {w} + 1, 1) + 1),
+                                    j -> list_aggregate(hs[j:j+{w - 1}], 'min')) AS wl
+              FROM h),
+      fps AS (SELECT doc_id, list_sort(list_distinct(wl)) AS fps FROM wnd)"""

@@ -73,18 +73,44 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+# Kirsch-Mitzenmacher double hashing: the family h_i(s) = (b1(s) +
+# i*b2(s)) mod P needs only TWO string hashes per shingle instead of
+# num_hashes — the remaining hashes are integer multiply-adds inside
+# codegen. Same scheme (and prime) as Spark ML's MinHashLSH; the
+# prime < 2^31 keeps i*b2 far from BIGINT overflow under ANSI mode.
+_MH_PRIME = 2038074743
+
+
+def _mh_bases(s: Column) -> tuple[Column, Column]:
+    return (
+        F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+        F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_MH_PRIME)),
+    )
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
     """MinHash signature as a single column expression: per hash
-    function i, min over shingles of xxhash64(shingle, seed=i). Pure
-    built-ins — ARRAY<BIGINT> of length num_hashes, JVM-side.
+    function i, min over shingles of (b1 + i*b2) mod P (double
+    hashing, two xxhash64 per shingle). Pure built-ins —
+    ARRAY<BIGINT> of length num_hashes, JVM-side.
 
     Column-expression form for composition; the LSH pipeline uses the
     explode/aggregate formulation (:func:`minhash_signatures`) which
-    codegens ~2× faster than this num_hashes-deep lambda tree."""
-    sh = shingles(col, k)
+    codegens faster than this num_hashes-deep lambda tree."""
+    bases = F.transform(
+        shingles(col, k),
+        lambda s: F.struct(_mh_bases(s)[0].alias("b1"), _mh_bases(s)[1].alias("b2")),
+    )
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.transform(
+                    bases,
+                    lambda p, i=i: F.pmod(
+                        p["b1"] + F.lit(i) * p["b2"], F.lit(_MH_PRIME)
+                    ),
+                )
+            )
             for i in range(num_hashes)
         ]
     )
@@ -104,8 +130,15 @@ def minhash_signatures(
     (id, num_hashes longs) regardless of document length, and skewed
     document sizes never concentrate on one reducer."""
     ex = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
-    agg = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    b1, b2 = _mh_bases(F.col("s"))
+    hashed = ex.select(id_col, b1.alias("b1"), b2.alias("b2"))
+    agg = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.col("b1") + F.lit(i) * F.col("b2"), F.lit(_MH_PRIME))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return agg.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")

@@ -1804,3 +1804,137 @@ def q_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_mapreduce_spark.streaming.stateful import tws_user_totals
 
     return tws_user_totals(_t(spark, sf_dir, "events"))
+
+
+# ============================================ text track (cont.)
+# Winnowing fingerprints — the "document fingerprinting (rolling
+# hash)" operator; the k-gram hash is explicit polynomial arithmetic
+# so the oracle reproduces VALUES exactly, not just shapes.
+
+
+@_q(
+    "text_winnow_fingerprints",
+    f"""WITH {T.winnow_oracle_ctes(k=5, w=8)}
+       SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+              CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum,
+              CAST(fps[1] AS BIGINT) AS fp_min,
+              CAST(fps[-1] AS BIGINT) AS fp_max
+       FROM fps""",
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", k=5, w=8, out="fps"
+    )
+    fps = F.col("fps")
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.aggregate(
+            fps, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("fp_sum"),
+        F.element_at(fps, 1).cast("bigint").alias("fp_min"),
+        F.element_at(fps, -1).cast("bigint").alias("fp_max"),
+    )
+
+
+@_q(
+    "text_winnow_shared",
+    f"""WITH {T.winnow_oracle_ctes(k=5, w=8)}
+       SELECT CAST(fp AS BIGINT) AS fp, count(*) AS n_docs
+       FROM (SELECT doc_id, unnest(fps) AS fp FROM fps) t
+       GROUP BY 1 HAVING count(*) >= 2""",
+)
+def q_winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # copy-detection shape: explode fingerprints, keep those appearing
+    # in ≥2 documents — the bucket-key for pairing shared passages
+    d = T.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", k=5, w=8, out="fps"
+    )
+    return (
+        # explode_outer, deliberately: plain explode triggers
+        # InferFiltersFromGenerate, whose size(fps)>0 filter is pushed
+        # below the staged projections with the whole fingerprint
+        # expression inlined — re-running regexp_replace per array
+        # element (O(len^2) regexps/row, ~30x at sf0.01). fps is never
+        # empty by construction, so outer semantics are identical.
+        d.select(F.explode_outer("fps").alias("fp"))
+        .select(F.col("fp").cast("bigint").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ======================================== relational sampling track
+
+
+@_q(
+    "rel_hash_sample",
+    """SELECT count(*) AS n,
+              round(sum(l_extendedprice), 2) AS total
+       FROM lineitem
+       WHERE CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR),
+                    '-', CAST(l_linenumber AS VARCHAR))), 1, 4)) AS INTEGER)
+             % 10 = 0""",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic ~10% Bernoulli sample keyed on a row fingerprint:
+    # reproducible across engines, runs and partitionings (unlike
+    # df.sample, whose outcome depends on the split layout) — the
+    # sampling primitive a 100 TB pipeline can re-run idempotently
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    return li.filter(bucket == 0).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@_q("rel_approx_percentile", None)  # sketch-based — rows-only
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate percentile sketch (KLL-style) — the scale path for
+    # quantiles over 100 TB; rel_percentiles is the exact twin
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 6
+        ).alias("p50_approx"),
+    )
+
+
+# ============================================ MapReduce algebra (cont.)
+
+
+@_q(
+    "mr_open_multi_add",
+    """SELECT key, count(*) AS cnt FROM (
+         SELECT o_custkey AS key FROM orders
+         UNION ALL SELECT c_custkey AS key FROM customer
+         UNION ALL SELECT s_suppkey AS key FROM supplier) t
+       GROUP BY key""",
+)
+def q_mr_open_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # open()/close() (src/mapreduce.cpp:1543-1564): hold a KV open
+    # across several map(addflag=1) calls — incremental union of
+    # sources before one aggregation
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    c = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("key"))
+    return M.add(M.add(a, b), c).groupBy("key").agg(F.count("*").alias("cnt"))
