@@ -1,0 +1,416 @@
+"""Graph algorithms beyond PageRank — the reference's OINK commands.
+
+The reference distribution ships a scripting layer (OINK) whose stock
+commands are graph algorithms from Plimpton & Devine's MapReduce paper:
+connected components (``oink/cc_find.cpp``, stats ``oink/cc_stats.cpp``),
+triangle enumeration (``oink/tri_find.cpp``), Luby's maximal independent
+set (``oink/luby_find.cpp``) and single-source shortest paths
+(``oink/sssp.cpp``), each driven by the example scripts
+``examples/in.{cc,tri,luby,sssp}``. This module re-expresses them
+Spark-first:
+
+- iterative fixed points (CC, SSSP, Luby) follow the PageRank loop
+  pattern (graph/pagerank.py): driver ``while`` loop over DataFrame
+  ops, eager ``localCheckpoint`` per iteration to truncate lineage,
+  scalars-only to the driver, AQE off + shuffle partitions sized to
+  the graph for fixed-shape per-iteration plans.
+- per-round work is algebraic aggregation (``min``/``count``), never
+  ``collect_list`` — map-side partial aggregation keeps power-law
+  in/out-degree skew safe, the same reason the PageRank loop avoids
+  reverse-adjacency materialization.
+- triangle enumeration uses degree-ordering (each edge oriented from
+  its lower-(degree, id) endpoint), the standard trick that bounds the
+  wedge join's fan-out by O(sqrt(m)) per vertex instead of max-degree
+  — the difference between finishing and dying on a power-law graph.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _loop_confs(df: DataFrame, rows_per_partition: int = 250_000):
+    """AQE off + shuffle partitions sized to the relation, restored on
+    exit — the measured-better regime for fixed-shape iterative plans
+    (see graph/pagerank.py: AQE re-planning was ~30% of iteration
+    wall time at test scale)."""
+    spark = df.sparkSession
+    conf = spark.conf
+    saved = {
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    m = df.count()
+    loop_partitions = max(
+        4, min(int(saved["spark.sql.shuffle.partitions"]), m // rows_per_partition + 1)
+    )
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view of a directed edge list: both orientations,
+    self-loops dropped, duplicates removed. (cc_find/luby_find treat
+    the R-MAT input as undirected; edge_upper dedups first.)"""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionAll(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def edge_upper(edges: DataFrame) -> DataFrame:
+    """Canonical upper-triangle edge list: (a < b), deduped, self-loops
+    dropped — OINK's ``edge_upper`` command (oink/map_edge_upper.cpp),
+    run before cc/tri/luby in every example script."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------ connected components
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 200
+) -> DataFrame:
+    """Connected components by min-label propagation: every vertex
+    starts labeled with its own id; each round adopts the minimum label
+    among itself and its neighbors; fixed point when no label changes.
+    Returns (id, comp) with comp = min vertex id in the component —
+    the same component representative cc_find converges to
+    (oink/cc_find.cpp "zone" = lowest vertex in zone).
+
+    Scale stance: per-round cost is one shuffle join (labels ⋈ edges,
+    edges cached pre-partitioned on src) + one algebraic min — no
+    per-vertex adjacency lists, so power-law hubs stay safe. Rounds =
+    component diameter; for 100 TB graphs with giant diameters the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14) drops that to O(log^2 n) rounds at the cost of mutating
+    the edge set each round; label propagation keeps the edge relation
+    immutable and cache-resident, which wins on the typical short-
+    diameter web/social graphs PageRank targets.
+    """
+    sym = symmetrize(edges)
+    with _loop_confs(sym):
+        adj = sym.repartition("src").persist()
+        labels = (
+            adj.select(F.col("src").alias("id"))
+            .unionAll(adj.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iterations):
+            # candidate labels flowing along edges: neighbor's comp
+            flowed = (
+                labels.alias("l")
+                .join(adj.alias("e"), F.col("l.id") == F.col("e.src"))
+                .groupBy(F.col("e.dst").alias("id"))
+                .agg(F.min(F.col("l.comp")).alias("nbr_comp"))
+            )
+            merged = (
+                labels.alias("o")
+                .join(flowed.alias("f"), F.col("o.id") == F.col("f.id"), "left")
+                .select(
+                    F.col("o.id").alias("id"),
+                    F.least(
+                        F.col("o.comp"), F.coalesce("f.nbr_comp", F.col("o.comp"))
+                    ).alias("comp"),
+                    (
+                        F.coalesce("f.nbr_comp", F.col("o.comp")) < F.col("o.comp")
+                    ).alias("changed"),
+                )
+                .localCheckpoint()  # the round's one real job
+            )
+            changed = merged.agg(F.sum(F.col("changed").cast("int"))).first()[0]
+            labels = merged.select("id", "comp")
+            if not changed:
+                break
+        adj.unpersist()
+    return labels
+
+
+def cc_sizes(components: DataFrame) -> DataFrame:
+    """Component size distribution — OINK's ``cc_stats`` command
+    (oink/cc_stats.cpp): per component size, how many components have
+    it. Returns (size, n_comps)."""
+    return (
+        components.groupBy("comp")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_comps"))
+    )
+
+
+# ------------------------------------------------ triangle enumeration
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate all triangles; returns (v1, v2, v3) with
+    v1 < v2 < v3 — OINK's ``tri_find`` (oink/tri_find.cpp, the
+    Cohen MapReduce triangle algorithm).
+
+    Degree-ordered enumeration: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges from
+    each vertex's ordered out-edges, then close them against the
+    oriented edge set. Each triangle is found exactly once, and the
+    wedge count is bounded by sum(min(deg)^2) ≈ O(m^1.5) instead of
+    sum(deg^2) — on power-law graphs the hub no longer dominates the
+    join. The closing join shuffles on the full (lo, hi) edge key,
+    co-partitioned with the wedge relation.
+    """
+    und = edge_upper(edges)  # (a < b), deduped
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient a->b iff (deg(a), a) < (deg(b), b)
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        und.join(da, und["a"] == F.col("da.v"))
+        .join(db, und["b"] == F.col("db.v"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(w2, F.col("w1.lo") == F.col("w2.lo")).filter(
+        F.col("w1.hi") < F.col("w2.hi")
+    )
+    # closing edge between the wedge tips: the wedge filter guarantees
+    # w1.hi < w2.hi by id, so the canonical (a < b) edge list matches
+    # with a pure EQUI-join — an OR-of-orientations predicate here
+    # would force a nested-loop join, unusable at scale
+    closed = wedges.join(
+        und.alias("c"),
+        (F.col("c.a") == F.col("w1.hi")) & (F.col("c.b") == F.col("w2.hi")),
+    )
+    tri = closed.select(
+        F.array_sort(
+            F.array(F.col("w1.lo"), F.col("w1.hi"), F.col("w2.hi"))
+        ).alias("t")
+    )
+    return tri.select(
+        F.col("t")[0].alias("v1"), F.col("t")[1].alias("v2"), F.col("t")[2].alias("v3")
+    )
+
+
+def triangles_sql(edges_sql: str) -> str:
+    """DuckDB oracle: classic three-way self-join over the canonical
+    upper edge list (i<j, j<k, i<k). Enumerates the same triangle set
+    as :func:`triangles` (degree ordering changes the join order, not
+    the result)."""
+    return f"""
+      WITH ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst)
+      SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM up e1 JOIN up e2 ON e2.a = e1.b
+                 JOIN up e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+# ------------------------------------------------ Luby maximal independent set
+
+
+def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> DataFrame:
+    """Luby's maximal independent set (oink/luby_find.cpp, seed from
+    examples/in.luby): every round, each active vertex draws a random
+    priority; local minima among active neighbors join the set; winners
+    and their neighbors deactivate. Expected O(log n) rounds.
+
+    Priorities are ``xxhash64(id, seed + round)`` — deterministic, so
+    the result is reproducible across runs and partitionings (the
+    reference uses ``drand48`` seeded per proc, reproducible only for
+    a fixed proc count). Ties broken by id: priority is the pair
+    (hash, id), totally ordered, so two neighbors can never both win.
+    Isolated vertices join the set in round one. Returns (id BIGINT)
+    — the members of the MIS.
+    """
+    und = edge_upper(edges)
+    with _loop_confs(und):
+        sym = (
+            und.select("a", "b")
+            .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .repartition("a")
+            .persist()
+        )
+        active = (
+            sym.select(F.col("a").alias("id")).distinct().localCheckpoint()
+        )
+        # vertices with no neighbor at all never appear in sym; the
+        # caller's vertex universe is the edge endpoints, so isolated
+        # vertices only exist for graphs with self-loops — edge_upper
+        # dropped those, re-add their endpoints as trivially-in-MIS.
+        loops = (
+            edges.filter(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("id"))
+            .distinct()
+            .join(active, "id", "left_anti")
+        )
+        mis_parts = [loops]
+        for rnd in range(max_iterations):
+            if active.rdd.isEmpty():
+                break
+            pri = active.select(
+                "id", F.xxhash64("id", F.lit(seed + rnd)).alias("p")
+            )
+            # min neighbor priority among ACTIVE neighbors only
+            edges_live = (
+                sym.join(active.withColumnRenamed("id", "a"), "a")
+                .join(active.select(F.col("id").alias("b")), "b")
+            )
+            nbr_min = (
+                pri.alias("q")
+                .join(edges_live.alias("e"), F.col("q.id") == F.col("e.a"))
+                .groupBy(F.col("e.b").alias("id"))
+                .agg(
+                    F.min(F.struct(F.col("q.p"), F.col("q.id").alias("i"))).alias(
+                        "nb"
+                    )
+                )
+            )
+            winners = (
+                pri.alias("m")
+                .join(nbr_min.alias("n"), F.col("m.id") == F.col("n.id"), "left")
+                .filter(
+                    F.col("n.nb").isNull()  # no active neighbor -> in MIS
+                    | (
+                        F.struct(F.col("m.p"), F.col("m.id").alias("i"))
+                        < F.col("n.nb")
+                    )
+                )
+                .select(F.col("m.id").alias("id"))
+                .localCheckpoint()
+            )
+            mis_parts.append(winners)
+            # deactivate winners and their neighbors
+            killed = winners.unionAll(
+                winners.withColumnRenamed("id", "a")
+                .join(sym, "a")
+                .select(F.col("b").alias("id"))
+            ).distinct()
+            active = active.join(killed, "id", "left_anti").localCheckpoint()
+        sym.unpersist()
+    out = mis_parts[0]
+    for part in mis_parts[1:]:
+        out = out.unionAll(part)
+    return out.distinct()
+
+
+# ------------------------------------------------ single-source shortest paths
+
+
+def edge_weight_expr(src: Column | str = "src", dst: Column | str = "dst") -> Column:
+    """Deterministic pseudo-random edge weight in 1..9, mirrored
+    verbatim by :func:`sssp_oracle_sql` — the analogue of OINK's
+    ``add_weight`` map (oink/map_add_weight.cpp assigns RNG weights;
+    deterministic arithmetic here so two engines agree)."""
+    s = F.col(src) if isinstance(src, str) else src
+    d = F.col(dst) if isinstance(dst, str) else dst
+    return F.pmod(s * 7 + d * 13, F.lit(9)) + 1
+
+
+def sssp(
+    edges: DataFrame,
+    source: int = 0,
+    max_distance: int | None = None,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Single-source shortest paths (oink/sssp.cpp) by distributed
+    Bellman-Ford: per round, relax every edge out of the current
+    distance frontier and keep the algebraic min per vertex; fixed
+    point when no distance improves. Directed, weighted via
+    :func:`edge_weight_expr`. Returns (id, dist) for reachable
+    vertices; ``max_distance`` filters the result (and bounds the
+    oracle's recursion), it does not change computed distances.
+
+    Per-round cost: one join (dists ⋈ edges, edges cached
+    pre-partitioned on src) + min-agg + merge — same shape, same
+    skew-safety argument as the PageRank iteration. Rounds ≤ the
+    shortest-path hop diameter.
+    """
+    w_edges = edges.select(
+        "src", "dst", edge_weight_expr("src", "dst").alias("w")
+    )
+    with _loop_confs(w_edges):
+        adj = w_edges.repartition("src").persist()
+        dists = (
+            adj.sparkSession.range(1)
+            .select(
+                F.lit(source).cast("bigint").alias("id"),
+                F.lit(0).cast("bigint").alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        for _ in range(max_iterations):
+            relaxed = (
+                dists.alias("d")
+                .join(adj.alias("e"), F.col("d.id") == F.col("e.src"))
+                .groupBy(F.col("e.dst").alias("id"))
+                .agg(F.min(F.col("d.dist") + F.col("e.w")).alias("cand"))
+            )
+            merged = (
+                dists.alias("o")
+                .join(relaxed.alias("r"), F.col("o.id") == F.col("r.id"), "full")
+                .select(
+                    F.coalesce(F.col("o.id"), F.col("r.id")).alias("id"),
+                    # least() skips nulls: min over whichever side exists
+                    F.least(F.col("o.dist"), F.col("r.cand")).alias("dist"),
+                    (
+                        F.col("o.dist").isNull()
+                        | (F.coalesce(F.col("r.cand"), F.col("o.dist")) < F.col("o.dist"))
+                    ).alias("changed"),
+                )
+                .localCheckpoint()
+            )
+            changed = merged.agg(F.sum(F.col("changed").cast("int"))).first()[0]
+            dists = merged.select("id", "dist")
+            if not changed:
+                break
+        adj.unpersist()
+    if max_distance is not None:
+        dists = dists.filter(F.col("dist") <= max_distance)
+    return dists
+
+
+def sssp_oracle_sql(edges_sql: str, source: int = 0, max_distance: int = 24) -> str:
+    """DuckDB oracle: bounded-distance walk enumeration via a
+    recursive CTE; distinct (vertex, distance) states keep the
+    recursion finite (weights >= 1). For every vertex whose true
+    shortest distance is <= max_distance the walk set contains that
+    shortest walk (each prefix is shorter), so min(d) is exact —
+    identical to :func:`sssp` filtered to ``dist <= max_distance``."""
+    return f"""
+      WITH RECURSIVE ed AS ({edges_sql}),
+      we AS (SELECT src, dst, (src * 7 + dst * 13) % 9 + 1 AS w
+             FROM ed),
+      walk(id, d) AS (
+        SELECT CAST({source} AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        UNION
+        SELECT we.dst AS id, walk.d + we.w AS d
+        FROM walk JOIN we ON we.src = walk.id
+        WHERE walk.d + we.w <= {max_distance}
+      )
+      SELECT id, min(d) AS dist FROM walk GROUP BY id"""

@@ -1938,3 +1938,64 @@ def q_mr_open_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
     c = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("key"))
     return M.add(M.add(a, b), c).groupBy("key").agg(F.count("*").alias("cnt"))
+
+
+# ============================================ graph algorithms (OINK)
+# The reference's OINK command suite beyond PageRank: connected
+# components, component stats, triangles, Luby MIS, SSSP
+# (oink/{cc_find,cc_stats,tri_find,luby_find,sssp}.cpp, driven by
+# examples/in.{cc,tri,luby,sssp}), on the fixture-derived graph.
+
+from pagerank_mapreduce_spark.graph import algorithms as GA  # noqa: E402
+
+_CC_ORACLE_CTES = f"""
+  ed AS ({_EDGES_SQL}),
+  sym AS (SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM ed
+            UNION ALL SELECT dst AS a, src AS b FROM ed) t
+          WHERE a <> b),
+  reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+  comps AS (SELECT a AS id, least(a, min(b)) AS comp
+            FROM reach GROUP BY a)"""
+
+
+@_q(
+    "graph_connected_components",
+    f"WITH RECURSIVE {_CC_ORACLE_CTES} SELECT id, comp FROM comps",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return GA.connected_components(edges)
+
+
+@_q(
+    "graph_cc_sizes",
+    f"""WITH RECURSIVE {_CC_ORACLE_CTES}
+       SELECT size, count(*) AS n_comps FROM (
+         SELECT comp, count(*) AS size FROM comps GROUP BY comp) t
+       GROUP BY size""",
+)
+def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return GA.cc_sizes(GA.connected_components(edges))
+
+
+@_q("graph_triangles", GA.triangles_sql(_EDGES_SQL))
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GA.triangles(derive_edges(spark, sf_dir, N_GRAPH))
+
+
+@_q("graph_luby_mis", None)  # iterative + hash priorities — rows-only
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # invariants (independence, maximality) are pytest-checked in
+    # tests/test_graph_algorithms.py; the driver sees a stable row set
+    return GA.luby_mis(derive_edges(spark, sf_dir, N_GRAPH), seed=12345)
+
+
+@_q("graph_sssp", GA.sssp_oracle_sql(_EDGES_SQL, source=0, max_distance=24))
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return GA.sssp(edges, source=0, max_distance=24)

@@ -1,0 +1,127 @@
+"""Graph algorithm suite (OINK commands): known-graph answers plus
+structural invariants that hold on any input. DuckDB value parity for
+cc/tri/sssp lives in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_mapreduce_spark.graph import algorithms as GA
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+
+
+# two triangles sharing vertex 4, a pendant, an isolated 2-path, a
+# self-loop, and a duplicate edge
+PAIRS = [
+    (0, 1), (1, 2), (2, 0),          # triangle {0,1,2}
+    (2, 4), (4, 5), (5, 2),          # triangle {2,4,5}
+    (5, 6),                          # pendant
+    (7, 8), (8, 9),                  # separate path component
+    (3, 3),                          # self-loop only vertex
+    (0, 1),                          # duplicate edge
+]
+
+
+def test_connected_components_known(spark):
+    comps = {
+        r["id"]: r["comp"]
+        for r in GA.connected_components(_edges(spark, PAIRS)).collect()
+    }
+    # {0,1,2,4,5,6} -> 0; {7,8,9} -> 7; vertex 3 only has a self-loop
+    # and is dropped with it (reference edge_upper semantics)
+    assert comps == {0: 0, 1: 0, 2: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 7, 9: 7}
+
+
+def test_cc_sizes_known(spark):
+    sizes = {
+        r["size"]: r["n_comps"]
+        for r in GA.cc_sizes(
+            GA.connected_components(_edges(spark, PAIRS))
+        ).collect()
+    }
+    assert sizes == {6: 1, 3: 1}
+
+
+def test_triangles_known(spark):
+    tri = sorted(
+        tuple(r) for r in GA.triangles(_edges(spark, PAIRS)).collect()
+    )
+    assert tri == [(0, 1, 2), (2, 4, 5)]
+
+
+def test_triangles_direction_and_dup_insensitive(spark):
+    # reversing/duplicating edges must not change the triangle set
+    rev = [(b, a) for a, b in PAIRS] + PAIRS
+    tri = sorted(tuple(r) for r in GA.triangles(_edges(spark, rev)).collect())
+    assert tri == [(0, 1, 2), (2, 4, 5)]
+
+
+def test_luby_mis_invariants(spark):
+    edges = _edges(spark, PAIRS)
+    mis = {r["id"] for r in GA.luby_mis(edges, seed=99).collect()}
+    und = {
+        (r["a"], r["b"]) for r in GA.edge_upper(edges).collect()
+    }
+    # independence: no selected pair is adjacent
+    for a, b in und:
+        assert not (a in mis and b in mis), f"edge ({a},{b}) inside MIS"
+    # maximality: every unselected vertex has a selected neighbor
+    vertices = {v for e in und for v in e}
+    nbrs = {v: set() for v in vertices}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for v in vertices - mis:
+        assert nbrs[v] & mis, f"vertex {v} has no MIS neighbor"
+    # the self-loop-only vertex is trivially independent -> included
+    assert 3 in mis
+
+
+def test_luby_mis_deterministic(spark):
+    edges = _edges(spark, PAIRS)
+    a = {r["id"] for r in GA.luby_mis(edges, seed=7).collect()}
+    b = {r["id"] for r in GA.luby_mis(edges, seed=7).collect()}
+    assert a == b
+
+
+def test_sssp_known(spark):
+    # weights are edge_weight_expr = (7*src + 13*dst) % 9 + 1
+    def w(s, d):
+        return (7 * s + 13 * d) % 9 + 1
+
+    dists = {
+        r["id"]: r["dist"]
+        for r in GA.sssp(_edges(spark, PAIRS), source=0).collect()
+    }
+    # hand-computed shortest distances on the directed graph
+    d01 = w(0, 1)
+    d12 = d01 + w(1, 2)
+    assert dists[0] == 0
+    assert dists[1] == d01
+    assert dists[2] == d12
+    assert dists[4] == d12 + w(2, 4)
+    # unreachable (7,8,9 component, vertex 3) absent
+    assert 7 not in dists and 3 not in dists
+
+
+def test_sssp_max_distance_filters_not_truncates(spark):
+    full = {
+        r["id"]: r["dist"]
+        for r in GA.sssp(_edges(spark, PAIRS), source=0).collect()
+    }
+    capped = {
+        r["id"]: r["dist"]
+        for r in GA.sssp(_edges(spark, PAIRS), source=0, max_distance=5).collect()
+    }
+    assert capped == {k: v for k, v in full.items() if v <= 5}
+
+
+def test_symmetrize_and_edge_upper(spark):
+    edges = _edges(spark, [(1, 2), (2, 1), (3, 3), (2, 5)])
+    sym = sorted(tuple(r) for r in GA.symmetrize(edges).collect())
+    assert sym == [(1, 2), (2, 1), (2, 5), (5, 2)]
+    up = sorted(tuple(r) for r in GA.edge_upper(edges).collect())
+    assert up == [(1, 2), (2, 5)]
