@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "sim_cosine_topk",
     "stream_session",
+    "graph_connected_components",
+    "graph_triangles",
+    "text_winnow_fingerprints",
 ]
 
 
