@@ -1999,3 +1999,332 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = derive_edges(spark, sf_dir, N_GRAPH)
     return GA.sssp(edges, source=0, max_distance=24)
+
+
+# ============================================ relational track (cont.)
+# Remaining canonical TPC-H shapes expressible on the reduced fixture
+# schema (no shipmode/receiptdate/phone/comment columns — Q12/Q22 are
+# adapted to the columns that exist; shapes and plan stressors kept).
+
+
+@_q(
+    "rel_q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6: pure scan-filter-agg — the predicate-pushdown showcase
+    # (all four predicates reach the parquet reader as PushedFilters)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "rel_q10_returned_items",
+    """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              round(c_acctbal, 2) AS acctbal, n_name
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10: fact-fact join + two broadcast dims + top-k; ordered
+    # on the ROUNDED revenue so the limit boundary is engine-stable
+    cu, od, li, na = (
+        _t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            od.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "rel_q12_ship_priority",
+    """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                   WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+                   ELSE 'slow' END AS ship_bucket,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders, lineitem WHERE o_orderkey = l_orderkey
+       GROUP BY 1""",
+)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (no shipmode column): bucket by ship delay,
+    # CASE-count order priorities per bucket
+    od, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(delay <= 30, "fast")
+            .when(delay <= 90, "medium")
+            .otherwise("slow")
+            .alias("ship_bucket"),
+            F.when(high, 1).otherwise(0).alias("h"),
+            F.when(~high, 1).otherwise(0).alias("l"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("h").alias("high_line_count"),
+            F.sum("l").alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "rel_q13_order_distribution",
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey) t
+       GROUP BY c_count""",
+)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13: left join preserving order-less customers, then a
+    # second aggregation over the counts (a histogram of a histogram)
+    cu, od = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "rel_q14_promo_revenue",
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1996-04-01'""",
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14: conditional agg ratio over a broadcast dim join
+    li, pa = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "rel_q17_small_qty_revenue",
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND p_brand = (
+               SELECT min(p_brand) FROM part)
+         AND l_quantity < (
+               SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = p_partkey)""",
+)
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17: correlated scalar subquery (per-part avg) -> expressed
+    # as an aggregate-then-rejoin, the plan Spark's decorrelation
+    # produces anyway. Quantities are integer-valued doubles, so the
+    # per-part avg is bit-identical across engines and the boundary
+    # predicate is deterministic.
+    li, pa = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    brand = pa.agg(F.min("p_brand").alias("b")).first()["b"]
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(pa.filter(F.col("p_brand") == brand)),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg.withColumnRenamed("l_partkey", "pk"),
+              F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "rel_q18_large_volume",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+              round(o_totalprice, 2) AS totalprice,
+              CAST(sum(l_quantity) AS BIGINT) AS total_qty
+       FROM customer, orders, lineitem
+       WHERE o_orderkey IN (
+               SELECT l_orderkey FROM lineitem
+               GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""",
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18: HAVING-filtered IN subquery (semi-join on an
+    # aggregated key set); integer-valued quantities make the HAVING
+    # boundary exact in both engines
+    cu, od, li = (
+        _t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"), "total_qty",
+        )
+    )
+
+
+@_q(
+    "rel_q22_dormant_balance",
+    """SELECT c_nationkey, count(*) AS numcust,
+              round(sum(c_acctbal), 2) AS totacctbal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c_nationkey""",
+)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape (nationkey standing in for the phone prefix;
+    # dormant = no orders since 2000): uncorrelated scalar subquery +
+    # anti-join on the recently-active key set
+    cu, od = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    cutoff = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = (
+        od.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cu.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ============================================ text track: tf-idf
+
+
+@_q(
+    "text_tfidf_top_terms",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY doc_id, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+                round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+         FROM tf, df, n WHERE tf.term = df.term),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+         FROM scored)
+       SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf-idf per (doc, term) with per-doc top-3 by score: tokenize ->
+    # two aggregations (term frequency, document frequency) -> scalar
+    # doc count -> window rank. idf = ln(N/df), scores rounded before
+    # ranking so the rank-3 boundary is engine-stable.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
