@@ -118,6 +118,66 @@ def convert(df: DataFrame, key: str, value: str) -> DataFrame:
     return df.mapInPandas(run, f"{key} {ktype}, values array<{vtype}>")
 
 
+def mr_reduce(
+    df: DataFrame,
+    key: str,
+    func: Callable[[object, pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """MR-MPI reduce(func) (src/mapreduce.cpp:1688-1777): call a user
+    callback per (key, all values) group, emitting 0..n new rows — a
+    per-group UDTF. ``func(key_value, group_pdf) -> pd.DataFrame``.
+
+    Spark-first caveat: the whole group is materialized in one pandas
+    frame (``applyInPandas`` semantics), so a skewed key can OOM one
+    executor. Prefer algebraic ``groupBy().agg`` when the callback is
+    expressible, or :func:`mr_reduce_blocks` — the analogue of the
+    reference's block API for larger-than-memory groups."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return func(pdf[key].iloc[0], pdf)
+
+    return df.groupBy(key).applyInPandas(run, schema)
+
+
+def mr_reduce_blocks(
+    df: DataFrame,
+    key: str,
+    func: Callable[[object, Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    schema: str,
+) -> DataFrame:
+    """MR-MPI multivalue_blocks iteration (src/mapreduce.cpp:1784-1830,
+    ``doc/reduce.txt`` "nvalues=0 sentinel"): when a group exceeds one
+    page, the reference streams it to the reduce callback block by
+    block. Spark analogue: shuffle rows to their key's partition, sort
+    within the partition, then stream Arrow batches — the callback
+    receives ``(key_value, iterator of pd.DataFrame blocks)`` and
+    yields result frames. At no point is a whole group materialized:
+    memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    regardless of group size, which is what makes a power-law hot key
+    survivable where :func:`mr_reduce` would OOM."""
+    import itertools
+
+    part = df.repartition(key).sortWithinPartitions(key)
+
+    def pieces(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key]
+            # boundaries where the (sorted) key changes inside a batch
+            change = keys.ne(keys.shift()).to_numpy().nonzero()[0]
+            bounds = list(change) + [len(pdf)]
+            for s, e in zip(bounds, bounds[1:]):
+                yield keys.iloc[s], pdf.iloc[s:e]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for k, grp in itertools.groupby(pieces(batches), lambda t: t[0]):
+            yield from func(k, (block for _, block in grp))
+
+    return part.mapInPandas(run, schema)
+
+
 def collate(df: DataFrame, key: str | Column, value: str | Column, sort: bool = False) -> DataFrame:
     """MR-MPI collate() = aggregate + convert (src/mapreduce.cpp:683-706):
     full shuffled group-by producing (key, values ARRAY)."""

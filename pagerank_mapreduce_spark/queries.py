@@ -2328,3 +2328,65 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+# ============================================ MR UDF surface (cont.)
+# The reduce-callback shapes of SURVEY.md §2.4: whole-group UDTF
+# (mr_reduce / applyInPandas) and block-streamed groups
+# (mr_reduce_blocks / sorted mapInPandas, the multivalue_blocks path).
+
+
+@_q(
+    "mr_reduce_median",
+    """SELECT l_linestatus, round(median(l_quantity), 1) AS med_qty,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_linestatus""",
+)
+def q_mr_reduce_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a genuinely non-algebraic per-group computation (median) via the
+    # user reduce callback; integer-valued quantities make the
+    # interpolated median exact in both engines
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem").select("l_linestatus", "l_quantity")
+
+    def med(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_linestatus": [key],
+                "med_qty": [round(float(pdf["l_quantity"].median()), 1)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return M.mr_reduce(
+        li, "l_linestatus", med, "l_linestatus string, med_qty double, n bigint"
+    )
+
+
+@_q(
+    "mr_reduce_blocks_sum",
+    """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_mr_reduce_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block-streamed reduce: the callback sees the group as an
+    # iterator of bounded pandas blocks and folds a running
+    # (sum, count) — the larger-than-memory-group path
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def fold(key, blocks):
+        total, n = 0.0, 0
+        for b in blocks:
+            total += float(b["l_extendedprice"].sum())
+            n += len(b)
+        yield pd.DataFrame(
+            {"l_returnflag": [key], "total": [round(total, 2)], "n": [n]}
+        )
+
+    return M.mr_reduce_blocks(
+        li, "l_returnflag", fold, "l_returnflag string, total double, n bigint"
+    )

@@ -138,3 +138,62 @@ def test_word_frequency_and_topk(spark):
     # TakeOrderedAndProject (heap-based top-k), not a global sort
     plan = M.top_k(M.word_frequency(docs), 2, F.col("cnt").desc())._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mr_reduce_emits_multiple_rows(spark):
+    import pandas as pd
+    from pagerank_mapreduce_spark.operators.mapreduce import mr_reduce
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    )
+
+    def expand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # emit one row per value plus a summary row — UDTF shape
+        rows = [(key, int(v)) for v in pdf["v"]] + [(key, int(pdf["v"].sum()))]
+        return pd.DataFrame(rows, columns=["k", "out"])
+
+    got = sorted(
+        tuple(r) for r in mr_reduce(df, "k", expand, "k string, out int").collect()
+    )
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 3), ("b", 3)]
+
+
+def test_mr_reduce_blocks_spans_batches(spark):
+    import pandas as pd
+    from pagerank_mapreduce_spark.operators.mapreduce import mr_reduce_blocks
+
+    # force tiny Arrow batches so a single group spans many blocks
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = (
+            spark.range(1000)
+            .selectExpr("CAST(id % 3 AS STRING) AS k", "id AS v")
+        )
+
+        seen_blocks = []
+
+        def fold(key, blocks):
+            total, n, nblocks = 0, 0, 0
+            for b in blocks:
+                total += int(b["v"].sum())
+                n += len(b)
+                nblocks += 1
+            seen_blocks.append(nblocks)
+            yield pd.DataFrame({"k": [key], "total": [total], "n": [n]})
+
+        got = {
+            r["k"]: (r["total"], r["n"])
+            for r in mr_reduce_blocks(
+                df, "k", fold, "k string, total long, n long"
+            ).collect()
+        }
+        expect = {}
+        for i in range(1000):
+            k = str(i % 3)
+            t, n = expect.get(k, (0, 0))
+            expect[k] = (t + i, n + 1)
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
