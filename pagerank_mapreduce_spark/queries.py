@@ -2390,3 +2390,297 @@ def q_mr_reduce_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.mr_reduce_blocks(
         li, "l_returnflag", fold, "l_returnflag string, total double, n bigint"
     )
+
+
+# ==================================== TPC-H completion: Q3/Q8/Q9/Q11/Q15/Q21
+# The remaining six TPC-H shapes, adapted to the fixture schema where a
+# column is absent (no partsupp table, no l_commitdate/l_receiptdate —
+# see TESTDATA.md). Each exercises a distinct plan shape the first 16
+# queries don't: Q3 top-k over a 3-way join, Q8 two-role dimension
+# join, Q9 multi-fact star with expression profit, Q11 HAVING against
+# a global scalar, Q15 argmax-over-aggregate view, Q21 exists/not-
+# exists double correlation.
+
+
+@_q(
+    "rel_q3_shipping_priority",
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1997-06-30'
+         AND l_shipdate > TIMESTAMP '1997-06-30'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3: the unshipped-orders top-k. Customer is a broadcast
+    # dim after the segment filter; orders/lineitem meet in one
+    # shuffle join; limit-10 on the rounded revenue is tie-stable
+    # because l_orderkey breaks ties.
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "rel_q8_market_share",
+    """SELECT yr,
+              round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                    / sum(volume), 6) AS mkt_share
+       FROM (SELECT extract(year FROM o_orderdate) AS yr,
+                    l_extendedprice * (1 - l_discount) AS volume,
+                    n2.n_name AS nation
+             FROM part, supplier, lineitem, orders, customer,
+                  nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+               AND s_nationkey = n2.n_nationkey
+               AND p_type = 'ECONOMY') all_nations
+       GROUP BY yr""",
+)
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8: national market share. nation plays two roles
+    # (customer side restricted to a region, supplier side providing
+    # the share nation) — two broadcast copies with disjoint aliases.
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    su = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey")
+        )
+        .join(F.broadcast(re), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "nation",
+        )
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "rel_q9_product_profit",
+    """SELECT nation, yr,
+              CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    extract(year FROM o_orderdate) AS yr,
+                    l_extendedprice * (1 - l_discount)
+                      - 0.1 * p_retailprice * l_quantity AS amount
+             FROM part, supplier, lineitem, orders, nation
+             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey
+               AND s_nationkey = n_nationkey
+               AND p_name LIKE '%widget%') profit
+       GROUP BY nation, yr""",
+)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape (no partsupp fixture → supply cost proxied as
+    # 10% of p_retailprice per unit): multi-fact star, profit as a
+    # compound expression, grouped by supplier nation × order year.
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "yr")
+        .agg(
+            # exact decimal sum (per-row 4-dp quantization), rounded
+            # while still a decimal: a half-cent tie like xx.665 is
+            # exact in the decimal domain, so HALF_UP agrees across
+            # engines — rounding after a double cast would not
+            F.round(F.sum(F.col("amount").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@_q(
+    "rel_q11_important_stock",
+    """SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+       FROM lineitem
+       GROUP BY l_partkey
+       HAVING sum(l_extendedprice) >
+              (SELECT sum(l_extendedprice) * 0.001 FROM lineitem)""",
+)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (lineitem value standing in for partsupp stock
+    # value): per-key aggregate filtered by an uncorrelated scalar
+    # subquery — the scalar is broadcast, so the HAVING adds no
+    # second shuffle over the grouped data.
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    threshold = li.agg(
+        (F.sum("l_extendedprice") * 0.001).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+@_q(
+    "rel_q15_top_supplier",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15: argmax over an aggregated view. Revenue is rounded
+    # BEFORE the max comparison on both sides so the argmax winner is
+    # identical regardless of float summation order.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("top_rev"))
+    su = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("top_rev"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "rel_q21_waiting_supplier",
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (lateness = shipped >90 days after the order
+    # date, since the fixture has no commit/receipt dates): the
+    # exists → left-semi, not-exists → left-anti double correlation
+    # on a self-joined fact.
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    l1 = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).filter(late)
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
