@@ -2684,3 +2684,154 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ========================== MR operator surface completion
+# Catalog entries for the remaining MR-MPI ops that had engine
+# functions but no driver-checkable query: collapse, gather,
+# sort_values, sort_multivalues, scan, and the aggregate co-location
+# invariant. (copy() needs no query — DataFrames are immutable, so
+# MR-MPI's deep copy is the identity here, SURVEY.md §2.2.)
+
+
+@_q(
+    "mr_collapse_global",
+    """SELECT 0 AS part, CAST(count(*) AS BIGINT) AS n,
+              string_agg(CAST(n_nationkey AS VARCHAR) || ':' || n_name,
+                         ',' ORDER BY CAST(n_nationkey AS VARCHAR) || ':' || n_name)
+                AS packed
+       FROM nation""",
+)
+def q_mr_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gather(1) + collapse = the whole KV set as ONE
+    # (partition, [k1,v1,k2,v2,...]) row — MR-MPI collapse()
+    # (src/mapreduce.cpp:654-675) preceded by gather so the packing is
+    # global and deterministic (single partition → part id 0); the
+    # row list is re-serialized sorted for the oracle compare.
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    packed = M.collapse(M.gather(na, 1))
+    return packed.select(
+        F.col("part").cast("int").alias("part"),
+        F.size("rows").cast("bigint").alias("n"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    "rows",
+                    lambda r: F.concat_ws(
+                        ":", r["n_nationkey"].cast("string"), r["n_name"]
+                    ),
+                )
+            ),
+            ",",
+        ).alias("packed"),
+    )
+
+
+@_q(
+    "mr_gather_one",
+    "SELECT s_suppkey, s_name, 0 AS part FROM supplier",
+)
+def q_mr_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI gather(1) (src/mapreduce.cpp:858-1001): concentrate all
+    # pairs onto one processor. coalesce(1) is communication-shaped
+    # like the reference (point-to-point, no all-to-all); every row
+    # reporting spark_partition_id() = 0 proves the concentration.
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return M.gather(su, 1).select(
+        "s_suppkey", "s_name", F.spark_partition_id().cast("int").alias("part")
+    )
+
+
+@_q(
+    "mr_sort_values_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+)
+def q_mr_sort_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI sort_values (src/mapreduce.cpp:2061-2108) as the global
+    # sort users actually want; the limit-15 cut makes the ordering
+    # itself observable through the order-insensitive value compare.
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return M.sort_values(
+        od, "o_totalprice", "o_orderkey", ascending=False
+    ).limit(15)
+
+
+@_q(
+    "mr_sort_multivalues",
+    """SELECT l_orderkey,
+              string_agg(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ','
+                         ORDER BY CAST(l_quantity AS BIGINT)) AS qtys
+       FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey""",
+)
+def q_mr_sort_multivalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI sort_multivalues (src/mapreduce.cpp:2115-2265): sort each
+    # group's value array in place. collect_list order is
+    # nondeterministic; the in-group sort restores determinism —
+    # which is exactly the operator's purpose.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", F.col("l_quantity").cast("bigint").alias("q"))
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_list("q").alias("values")
+    )
+    return M.sort_multivalues(grouped).select(
+        "l_orderkey",
+        F.array_join(
+            F.transform("values", lambda x: x.cast("string")), ","
+        ).alias("qtys"),
+    )
+
+
+@_q(
+    "mr_scan_totals",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(length(s_name)) AS BIGINT) AS total_len
+       FROM supplier""",
+)
+def q_mr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI scan() (src/mapreduce.cpp:1838-1970): read-only visit of
+    # every pair with no emission. The visitor accumulates into Spark
+    # accumulators (the only side-channel a distributed read-only
+    # visit can legitimately write); the query returns the totals as
+    # a 1-row DataFrame so the oracle can check the visit was
+    # complete and exactly-once.
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sc = spark.sparkContext
+    n_acc = sc.accumulator(0)
+    len_acc = sc.accumulator(0)
+
+    def visit(row):
+        n_acc.add(1)
+        len_acc.add(len(row.s_name))
+
+    M.scan(su, visit)
+    return spark.createDataFrame(
+        [(n_acc.value, len_acc.value)], "n bigint, total_len bigint"
+    )
+
+
+@_q(
+    "mr_aggregate_colocate",
+    """SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS keys_total,
+              CAST(1 AS BIGINT) AS max_parts_per_key
+       FROM lineitem""",
+)
+def q_mr_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI aggregate(hash) (src/mapreduce.cpp:382-536): after the
+    # exchange, ALL copies of a key live in one partition. The query
+    # verifies the co-location invariant engine-side: the max over
+    # keys of distinct-partitions-per-key must be exactly 1.
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    routed = M.aggregate(li, "l_suppkey").select(
+        "l_suppkey", F.spark_partition_id().alias("part")
+    )
+    per_key = routed.groupBy("l_suppkey").agg(
+        F.countDistinct("part").alias("nparts")
+    )
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("keys_total"),
+        F.max("nparts").cast("bigint").alias("max_parts_per_key"),
+    )
