@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "pagerank",
     "graph_rev_adjacency",
     "rel_q1_pricing",
+    "rel_q9_product_profit",
+    "rel_q21_waiting_supplier",
     "rel_top_revenue_orders",
     "rel_sortmerge_join",
     "rel_window_moving",

@@ -29,7 +29,11 @@ EDGE_LINE_REGEX = r"^(0|[1-9][0-9]*)[ \t](0|[1-9][0-9]*)$"
 
 
 def read_edge_list(
-    spark: SparkSession, path: str, validate: bool = True, line_sep: str | None = None
+    spark: SparkSession,
+    path: str | list[str],
+    validate: bool = True,
+    line_sep: str | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """Read a ``"<src> <dst>"`` text edge list into edges(src,dst).
 
@@ -42,11 +46,21 @@ def read_edge_list(
     src/mapreduce.cpp:1157-1379): Spark's text source performs the
     same separator-aligned splitting via the ``lineSep`` option, with
     ``spark.sql.files.maxPartitionBytes`` as the chunk-size knob.
+
+    ``path`` may be a single file, a directory, a glob, or a list of
+    any of these; ``recursive=True`` descends into subdirectories —
+    together these are MR-MPI's map() variant 2 (file/dir name
+    expansion with optional recursion, src/mapreduce.cpp:1022-1051
+    ``findfiles``). The reference's file-of-filenames mode is the
+    list form after reading the listing client-side.
     """
     reader = spark.read
     if line_sep is not None:
         reader = reader.option("lineSep", line_sep)
-    lines = reader.text(path)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    paths = path if isinstance(path, list) else [path]
+    lines = reader.text(paths)
     if validate:
         # Cheap distributed validation pass; the reference aborts on the
         # first malformed line with its line number. Line numbers are not

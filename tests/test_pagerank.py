@@ -104,6 +104,21 @@ def test_edge_list_reader_and_validation(spark, tmp_path):
         (1, 2),
         (2, 0),
     ]
+    # MR-MPI map v2: dir expansion with recursion + multi-path lists
+    # (src/mapreduce.cpp:1022-1051 findfiles/addfiles)
+    nested = tmp_path / "graphs" / "sub"
+    nested.mkdir(parents=True)
+    (tmp_path / "graphs" / "a.txt").write_text("0 1\n")
+    (nested / "b.txt").write_text("1 2\n")
+    df3 = read_edge_list(spark, str(tmp_path / "graphs"), recursive=True)
+    assert sorted((r["src"], r["dst"]) for r in df3.collect()) == [
+        (0, 1),
+        (1, 2),
+    ]
+    df4 = read_edge_list(
+        spark, [str(tmp_path / "graphs" / "a.txt"), str(nested / "b.txt")]
+    )
+    assert df4.count() == 2
 
 
 def test_formatted_sink_and_checker(spark, tmp_path):
