@@ -2835,3 +2835,35 @@ def q_mr_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("keys_total"),
         F.max("nparts").cast("bigint").alias("max_parts_per_key"),
     )
+
+
+@_q(
+    "mr_map_iterate",
+    """SELECT o_orderkey AS key, 'status' AS tag, o_orderstatus AS val
+       FROM orders WHERE o_orderkey <= 500
+       UNION ALL
+       SELECT o_orderkey AS key, 'priority' AS tag, o_orderpriority AS val
+       FROM orders WHERE o_orderkey <= 500""",
+)
+def q_mr_map_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI map() variant 5 (src/mapreduce.cpp:1455-1541): iterate an
+    # existing KV set with a user callback emitting 0..n rows per pair
+    # — here a fan-out of each order into two tagged KVs, the classic
+    # re-keying map.
+    import pandas as pd
+
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+    def fan_out(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "key": list(pdf["o_orderkey"]) * 2,
+            "tag": ["status"] * len(pdf) + ["priority"] * len(pdf),
+            "val": list(pdf["o_orderstatus"]) + list(pdf["o_orderpriority"]),
+        }
+        return pd.DataFrame(out)
+
+    return M.mr_map(od, fan_out, "key bigint, tag string, val string")
