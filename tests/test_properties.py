@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) — beyond the reference's own
+test strategy (golden outputs only, SURVEY.md §5.1): randomized
+inputs exercise dangling vertices, self-loops, duplicate edges,
+disconnected graphs, empty groups, and unicode keys that fixed
+fixtures miss.
+
+Each example executes real Spark jobs, so example counts are kept
+small and deadlines disabled; shrinking still produces minimal
+counterexamples on failure.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pagerank_mapreduce_spark.operators import dedup as D
+from pagerank_mapreduce_spark.operators import mapreduce as M
+
+from tests.oracle_pagerank import pagerank_oracle
+
+TOL = 1e-4  # correctness_checker.cpp:48
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# random edge lists over a small id space: dense enough for real
+# structure, small enough that the NumPy oracle is instant
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@SPARK_SETTINGS
+@given(edges=edge_lists)
+def test_pagerank_matches_numpy_oracle(spark, edges):
+    from pagerank_mapreduce_spark.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r["id"]: r["rank"] for r in pagerank(df).ranks.collect()
+    }
+    expected, _ = pagerank_oracle(edges)
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i] == pytest.approx(exp, abs=TOL), f"vertex {i}"
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+@SPARK_SETTINGS
+@given(rows=kv_rows)
+def test_compress_partials_refold_to_global_sum(spark, rows):
+    # compress is the partition-local combiner (MR-MPI compress(),
+    # src/mapreduce.cpp:717-819): a key may legitimately appear once
+    # per partition. The combiner invariant is that re-folding the
+    # partials reproduces the global aggregate.
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k INT, v BIGINT")
+    got: dict[int, int] = {}
+    for r in M.compress(df, "k", "v", how="sum").collect():
+        got[r["k"]] = got.get(r["k"], 0) + r["v"]
+    want: dict[int, int] = {}
+    for k, v in rows:
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(rows=kv_rows)
+def test_collate_preserves_value_multiset(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k INT, v BIGINT")
+    out = M.collate(df, "k", "v").collect()
+    got = {r["k"]: sorted(r["values"]) for r in out}
+    want: dict[int, list[int]] = {}
+    for k, v in rows:
+        want.setdefault(k, []).append(v)
+    assert got == {k: sorted(vs) for k, vs in want.items()}
+
+
+@SPARK_SETTINGS
+@given(rows=kv_rows)
+def test_sort_multivalues_sorts_in_place(spark, rows):
+    if not rows:
+        return
+    df = M.collate(
+        spark.createDataFrame(rows, "k INT, v BIGINT"), "k", "v"
+    )
+    out = M.sort_multivalues(df).collect()
+    for r in out:
+        assert list(r["values"]) == sorted(r["values"])
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SPARK_SETTINGS
+@given(docs=texts)
+def test_exact_dedup_keeps_min_id_and_is_idempotent(spark, docs):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    kept = D.exact_dedup(df).collect()
+    # one representative per fingerprint, and it is the minimum id
+    by_fp: dict[str, list[int]] = {}
+    for r in kept:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    for fp, ids in by_fp.items():
+        assert len(ids) == 1
+    # idempotent: dedup of the representatives keeps them all
+    kept_ids = {r["doc_id"] for r in kept}
+    again = D.exact_dedup(
+        df.filter(df.doc_id.isin(list(kept_ids)))
+    ).collect()
+    assert {r["doc_id"] for r in again} == kept_ids
+
+
+@SPARK_SETTINGS
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("abc defg "), min_size=1, max_size=60
+    )
+)
+def test_minhash_signature_deterministic_and_self_similar(spark, text):
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id BIGINT, text STRING"
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+    if sigs:  # whitespace-only text yields no shingle rows
+        assert sigs.get(0) == sigs.get(1)
