@@ -2867,3 +2867,31 @@ def q_mr_map_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(out)
 
     return M.mr_map(od, fan_out, "key bigint, tag string, val string")
+
+
+# ============================================ SQL-text surface
+# The engine's second query language: the identical ANSI text the
+# DuckDB oracle runs also executes through spark.sql() over the
+# registered fixture views — the OINK-named-script analogue where the
+# script IS the SQL (SURVEY.md §2.2 "Interface_oink").
+
+_SQL_Q4_TEXT = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+@_q("sql_text_q4", _SQL_Q4_TEXT)
+def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one source text, two engines: Catalyst plans the same string the
+    # oracle executes — the purest statement of SQL-surface parity
+    from pagerank_mapreduce_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_Q4_TEXT)
