@@ -2895,3 +2895,32 @@ def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_Q4_TEXT)
+
+
+@_q(
+    "rel_window_ntile_first",
+    """SELECT o_orderkey,
+              ntile(4) OVER w AS quartile,
+              first_value(o_orderkey) OVER w AS top_order
+       FROM orders
+       WHERE o_custkey <= 50
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # remaining window shapes: ntile bucketing + first_value over an
+    # ordered per-customer frame (ties broken by key for stability)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("o_orderkey").over(w).alias("top_order"),
+        )
+    )
