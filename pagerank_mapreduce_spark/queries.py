@@ -2924,3 +2924,47 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_orderkey").over(w).alias("top_order"),
         )
     )
+
+
+@_q(
+    "rel_array_higher_order",
+    """SELECT l_orderkey,
+              CAST(round(coalesce(list_aggregate(
+                     list_filter(
+                       list_transform(list_sort(list(l_quantity)),
+                                      x -> x * 2.0),
+                       x -> x > 10.0),
+                     'sum'), 0.0), 2) AS DOUBLE) AS doubled_big_sum,
+              CAST(len(list_filter(
+                     list_transform(list_sort(list(l_quantity)),
+                                    x -> x * 2.0),
+                     x -> x > 10.0)) AS BIGINT) AS n_big
+       FROM lineitem
+       WHERE l_orderkey <= 100
+       GROUP BY l_orderkey""",
+)
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # higher-order array functions: transform → filter → aggregate
+    # (fold) over a per-order quantity array, all JVM-side lambda
+    # expressions (no UDF). Grouping and the lambda pipeline are
+    # separate plan steps: lambda expressions nested directly over
+    # collect_list inside agg() mis-evaluate (empty results), so the
+    # array is materialized by the aggregate first.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_quantity")
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qs")
+    )
+    arr = F.filter(
+        F.transform(F.col("qs"), lambda x: x * 2.0), lambda x: x > 10.0
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("doubled_big_sum"),
+        F.size(arr).cast("bigint").alias("n_big"),
+    )
