@@ -1,0 +1,140 @@
+"""As-of and range joins — time-series operators Spark lacks.
+
+Neither exists in the reference (strictly batch KV MapReduce) nor as
+a Spark built-in; both are staples of event/market data pipelines,
+so the engine provides them as compositions of built-in operators —
+no UDF, no cross product, scale-clean shuffles.
+
+**as-of join** (``asof_join``): for each left row, the single right
+row with the largest ``on`` ≤ left's ``on`` (direction="backward";
+"forward" = smallest ≥) within the same ``by`` key. Implemented as
+union → one hash shuffle on the key → per-key sort → running
+``last(payload, ignorenulls)`` window. Cost: ONE exchange + sort
+over |L|+|R| rows — never the |L|×|R| pair space; a merge of
+pre-sorted inputs, exactly how kdb/pandas do it serially.
+
+**range join** (``range_join``): all (a, b) pairs within the same
+``by`` key whose ``on`` values differ by at most ``width``.
+Implemented by time-bucketing both sides at ``width`` granularity
+and equi-joining on (key, bucket) with the left side exploded to its
+3 adjacent buckets, then exact-filtering. |candidates| ≈ 3·|pairs
+per bucket| instead of |L|×|R| per key.
+
+Skew: both shuffle on the ``by`` key; a pathologically hot key
+(half the stream from one user) concentrates its sort/join on one
+task — pre-split such keys with operators.skew salting, or widen
+``by`` with a coarse time component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    direction: str = "backward",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join; right payload columns come back ``prefix``ed
+    (NULL where no right row qualifies).
+
+    Ties inside ``right`` on (by, on) are resolved deterministically
+    by pre-reducing right to one row per (by, on) via max over the
+    payload struct — same rule DuckDB's ASOF applies after its
+    greatest-ts selection.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload_cols = [c for c in right.columns if c not in (by, on)]
+    rp = F.struct(*[F.col(c) for c in payload_cols])
+    right_u = (
+        right.groupBy(by, on).agg(F.max(rp).alias("_rp"))
+    )
+    rp_type = right_u.schema["_rp"].dataType
+
+    lp = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        lp.alias("_lp"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+    )
+    lp_type = l2.schema["_lp"].dataType
+    r2 = right_u.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lp_type).alias("_lp"),
+        F.col("_rp"),
+    )
+    # backward: ascending time, right (side 0) sorts before left at
+    # equal timestamps so an exactly-simultaneous right row is
+    # visible. forward: descending time, same tie rule.
+    order = (
+        [F.col("_t").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_side").asc()]
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        l2.unionByName(r2)
+        .withColumn("_carried", F.last("_rp", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_carried.{c}").alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return joined.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    width_seconds: float,
+    on: str = "ts",
+    by: str = "user_id",
+    l_prefix: str = "a_",
+    r_prefix: str = "b_",
+) -> DataFrame:
+    """All (left, right) pairs with the same ``by`` key and
+    ``|left.on - right.on| <= width_seconds``. Equi-join on
+    (key, time-bucket) with a 3-bucket explosion of the left side,
+    then the exact predicate — never a per-key cross product."""
+    lsec = F.col(on).cast("double")
+    bucket = F.floor(lsec / F.lit(float(width_seconds)))
+    l2 = left.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_lt"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lp"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("_b"),
+    )
+    r2 = right.select(
+        F.col(by).alias("_k2"),
+        F.col(on).alias("_rt"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("_rp2"),
+        F.floor(F.col(on).cast("double") / F.lit(float(width_seconds))).alias(
+            "_b2"
+        ),
+    )
+    pairs = l2.join(
+        r2, (F.col("_k") == F.col("_k2")) & (F.col("_b") == F.col("_b2"))
+    ).filter(
+        F.abs(F.col("_lt").cast("double") - F.col("_rt").cast("double"))
+        <= F.lit(float(width_seconds))
+    )
+    out = [F.col(f"_lp.{c}").alias(f"{l_prefix}{c}") for c in left.columns] + [
+        F.col(f"_rp2.{c}").alias(f"{r_prefix}{c}") for c in right.columns
+    ]
+    return pairs.select(*out)

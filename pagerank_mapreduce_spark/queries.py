@@ -2968,3 +2968,59 @@ def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_big_sum"),
         F.size(arr).cast("bigint").alias("n_big"),
     )
+
+
+# ============================================ time-series joins
+# as-of and range joins (operators/asof.py) — absent from both the
+# reference and Spark's built-ins; DuckDB's native ASOF JOIN and a
+# plain inequality join are the oracles.
+
+
+@_q(
+    "ts_asof_last_purchase",
+    """SELECT e.event_id, e.user_id, p.value AS r_value
+       FROM events e
+       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts) p
+         ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # for every event: the user's most recent purchase at-or-before
+    # it. Values pass through unaggregated, so parity is exact.
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on="ts", by="user_id").select(
+        "event_id", "user_id", "r_value"
+    )
+
+
+@_q(
+    "ts_range_click_purchase",
+    """SELECT a.event_id AS a_event_id, b.event_id AS b_event_id
+       FROM events a, events b
+       WHERE a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND abs(date_diff('microsecond', b.ts, a.ts)) <= 3600000000""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # click/purchase pairs by the same user within one hour — the
+    # bucketed interval join (3-bucket explosion, never a per-user
+    # cross product)
+    from pagerank_mapreduce_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join(
+        clicks, purchases, 3600.0, on="ts", by="user_id"
+    ).select("a_event_id", "b_event_id")

@@ -1,0 +1,79 @@
+"""As-of and range join unit semantics (the DuckDB parity test covers
+the fixture-scale backward case; these pin the edge semantics)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pagerank_mapreduce_spark.operators.asof import asof_join, range_join
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(5), "c")],
+        "user_id BIGINT, ts TIMESTAMP, name STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(15), 150.0), (3, _ts(1), 999.0)],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    return left, right
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    got = {
+        r["name"]: r["r_value"]
+        for r in asof_join(left, right).collect()
+    }
+    # "a" at :10 sees the simultaneous :10 row (<= semantics);
+    # "b" at :20 sees :15; user 2 has no right rows -> NULL
+    assert got == {"a": 100.0, "b": 150.0, "c": None}
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left, right = _frames(spark)
+    got = {
+        r["name"]: r["r_value"]
+        for r in asof_join(left, right, direction="forward").collect()
+    }
+    assert got == {"a": 100.0, "b": None, "c": None}
+
+
+def test_asof_right_ties_resolve_to_max_payload(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "x")], "user_id BIGINT, ts TIMESTAMP, name STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1.0), (1, _ts(5), 2.0)],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    (row,) = asof_join(left, right).collect()
+    assert row["r_value"] == 2.0
+
+
+def test_range_join_window_and_key_bounds(spark):
+    a = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(40), 101), (2, _ts(10), 102)],
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT",
+    )
+    b = spark.createDataFrame(
+        [(1, _ts(12), 200), (1, _ts(25), 201), (2, _ts(50), 202)],
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT",
+    )
+    pairs = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in range_join(a, b, 600.0).collect()  # 10 minutes
+    }
+    # 100@:10 matches 200@:12 (2 min); 101@:40 matches 201@:25 is 15
+    # min -> out; 102 user 2 vs 202@:50 is 40 min -> out
+    assert pairs == {(100, 200)}
+    wide = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in range_join(a, b, 1800.0).collect()  # 30 minutes
+    }
+    assert wide == {(100, 200), (100, 201), (101, 200), (101, 201)}
