@@ -204,3 +204,29 @@ def winnow_oracle_ctes(k: int = 5, w: int = 8) -> str:
                                     j -> list_aggregate(hs[j:j+{w - 1}], 'min')) AS wl
               FROM h),
       fps AS (SELECT doc_id, list_sort(list_distinct(wl)) AS fps FROM wnd)"""
+
+
+def chunk_tokens(
+    col: Column | str, size: int = 50, overlap: int = 10
+) -> Column:
+    """Split a document into token-bounded chunks with overlap — the
+    standard pre-embedding chunking step of an LLM data pipeline.
+
+    Returns ARRAY<STRING>: chunk i spans tokens [i*step, i*step+size)
+    with step = size-overlap; the final chunk may be short; an
+    empty/whitespace-only document yields one empty chunk. Pure
+    JVM-side array expressions — the per-document work is O(tokens),
+    and chunking composes with explode for a (doc, chunk) relation
+    that downstream embedding UDFs consume batch-wise."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    toks = tokens(col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * step + 1, size), " ")
+    )

@@ -1,0 +1,74 @@
+"""Batch sessionization + deterministic sampling — event-pipeline
+staples with exact cross-engine semantics.
+
+``sessionize`` is the batch twin of the streaming session window
+(streaming/windows.py session_counts): it assigns explicit session
+numbers with plain window functions, so downstream joins/aggs can
+key on (user, session_no). One hash shuffle on the key + per-key
+sort — the same cost envelope as any windowed query; state never
+accumulates (unlike streaming, where the state store holds open
+sessions).
+
+``stratified_sample`` extends the md5-bucket Bernoulli sampling of
+rel_hash_sample with per-stratum rates. Hash-keyed sampling is
+reproducible across engines, runs, partitionings and retries —
+df.sample() is none of those — which is what makes a 100 TB sampling
+step idempotently re-runnable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    on: str = "ts",
+    by: str = "user_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Append ``session_no`` (0-based per ``by`` key): a new session
+    starts when the gap to the previous event exceeds
+    ``gap_seconds``. Gap arithmetic is integer microseconds so engines
+    cannot disagree at the boundary; ``tiebreak`` makes the ordering
+    total when timestamps collide."""
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    us = F.unix_micros(F.col(on))
+    brk = (
+        F.when(F.lag(us).over(w).isNull(), 1)
+        .when(us - F.lag(us).over(w) > gap_seconds * 1_000_000, 1)
+        .otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_no", (F.sum(brk).over(wsum) - 1).cast("bigint")
+    )
+
+
+def hash_bucket(*cols: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 16 bits of the md5
+    of the '-'-joined key columns. md5 exists identically in every
+    engine (unlike xxhash64/murmur), so oracles can reproduce it."""
+    key = F.concat_ws(
+        "-", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    )
+    return (F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % buckets)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+    *key_cols: str,
+) -> DataFrame:
+    """Keep ~``rates[stratum]``% of each stratum (integers 0-100),
+    ``default_rate``% elsewhere, selected by :func:`hash_bucket` over
+    ``key_cols`` — per-row deterministic, join-stable, re-runnable."""
+    rate = F.lit(default_rate)
+    for value, pct in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(*key_cols) < rate)

@@ -3024,3 +3024,84 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         clicks, purchases, 3600.0, on="ts", by="user_id"
     ).select("a_event_id", "b_event_id")
+
+
+# ============================================ sessions / chunking / sampling
+
+
+@_q(
+    "ts_sessionize",
+    """WITH x AS (
+         SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts)
+                          > 3600000000
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id,
+              CAST(sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                AS session_no
+       FROM x""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch sessionization, 1-hour inactivity gap; integer-microsecond
+    # gap arithmetic so the boundary decision is engine-exact
+    from pagerank_mapreduce_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, 3600, on="ts", by="user_id", tiebreak="event_id").select(
+        "event_id", "session_no"
+    )
+
+
+@_q(
+    "text_chunks",
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS toks
+         FROM documents WHERE doc_id < 300),
+       c AS (SELECT doc_id, toks,
+                    greatest(1, CAST(ceil((len(toks) - 10) / 40.0) AS INT))
+                      AS nch
+             FROM t)
+       SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+              array_to_string(toks[(u.i * 40 + 1):(u.i * 40 + 50)], ' ')
+                AS chunk
+       FROM c, unnest(range(nch)) AS u(i)""",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-bounded chunking (size 50, overlap 10) for embedding
+    # pipelines; posexplode yields the (doc, chunk) relation
+    chunks = T.chunk_tokens("text", size=50, overlap=10)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    )
+
+
+@_q(
+    "rel_stratified_sample",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM events
+       WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 100
+             < CASE event_type WHEN 'purchase' THEN 100
+                               WHEN 'click' THEN 20
+                               ELSE 5 END
+       GROUP BY event_type""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-stratum rates: keep all purchases, 20% of clicks, 5% of the
+    # rest — md5-bucket selection, reproducible in any engine
+    from pagerank_mapreduce_spark.operators.sessions import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    kept = stratified_sample(
+        ev, "event_type", {"purchase": 100, "click": 20}, 5, "event_id"
+    )
+    return kept.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
