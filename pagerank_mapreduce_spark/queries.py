@@ -3105,3 +3105,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", {"purchase": 100, "click": 20}, 5, "event_id"
     )
     return kept.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+
+
+@_q(
+    "dedup_exact_corpus",
+    """WITH reps AS (
+         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                min(doc_id) AS doc_id
+         FROM documents GROUP BY fp)
+       SELECT d.doc_id, d.text
+       FROM documents d JOIN reps r ON d.doc_id = r.doc_id""",
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the materializing form of exact dedup: join the (id, fp)
+    # representative relation back to recover full payloads — the
+    # narrow-shuffle-then-join-back pattern that keeps the dedup
+    # exchange payload at ~48 bytes/row regardless of document size
+    docs = _t(spark, sf_dir, "documents")
+    reps = D.exact_dedup(docs).select("doc_id")
+    return docs.join(reps, "doc_id", "left_semi").select("doc_id", "text")
