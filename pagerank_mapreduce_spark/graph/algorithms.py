@@ -172,7 +172,12 @@ def triangles(edges: DataFrame) -> DataFrame:
     join. The closing join shuffles on the full (lo, hi) edge key,
     co-partitioned with the wedge relation.
     """
-    und = edge_upper(edges)  # (a < b), deduped
+    # Both relations are consumed by multiple joins below (und: wedge
+    # source via oriented AND the closing join; oriented: both wedge
+    # sides) — without persist each consumer recomputes the dedup and
+    # the two degree joins. Edge-set sized, MEMORY_AND_DISK by
+    # default, so this holds at scale.
+    und = edge_upper(edges).persist()  # (a < b), deduped
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -194,6 +199,7 @@ def triangles(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.lo", "e.hi")
+        .persist()
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(w2, F.col("w1.lo") == F.col("w2.lo")).filter(
