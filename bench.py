@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "graph_connected_components",
     "graph_triangles",
     "text_winnow_fingerprints",
+    "ts_asof_last_purchase",
 ]
 
 
@@ -70,6 +71,9 @@ def main() -> None:
             "rel_top_revenue_orders",
             "dedup_minhash_pairs",
             "stream_session",
+            "graph_triangles",
+            "graph_connected_components",
+            "ts_asof_last_purchase",
         ):
             try:
                 materialize(CATALOG[wq].fn(spark, warm_dir))
