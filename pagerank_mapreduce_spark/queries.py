@@ -3124,3 +3124,23 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     reps = D.exact_dedup(docs).select("doc_id")
     return docs.join(reps, "doc_id", "left_semi").select("doc_id", "text")
+
+
+@_q(
+    "stream_enrich_dim",
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static broadcast enrich, batch form (the streaming form
+    # is exercised in tests/test_streaming_joins.py); no state — the
+    # dim is re-broadcast per micro-batch
+    from pagerank_mapreduce_spark.streaming.joins import enrich_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return enrich_stream(ev, cu).select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
