@@ -3144,3 +3144,32 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_stream(ev, cu).select(
         "event_id", "user_id", "c_name", "c_mktsegment"
     )
+
+
+@_q(
+    "ts_time_rollup",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total
+       FROM events
+       GROUP BY ROLLUP (day, hr)
+       ORDER BY day NULLS FIRST, hr NULLS FIRST""",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable-style continuous-aggregate shape: one pass produces
+    # hourly, daily, and grand-total rollups of the event stream
+    # (grouping-set expansion is map-side, one shuffle)
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy(F.asc_nulls_first("day"), F.asc_nulls_first("hr"))
+    )
