@@ -230,3 +230,24 @@ def chunk_tokens(
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i * step + 1, size), " ")
     )
+
+
+# PII patterns kept lookaround-free so Java regex (Spark) and RE2-style
+# engines (DuckDB, Go) agree byte-for-byte on every match.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email/phone/IPv4/SSN-shaped spans with typed tags —
+    the pre-training scrub pass. Chained regexp_replace, all
+    JVM-side; order matters (emails first, so their digit runs are
+    gone before the phone/IP patterns look)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

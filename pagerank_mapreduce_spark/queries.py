@@ -3173,3 +3173,58 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("day"), F.asc_nulls_first("hr"))
     )
+
+
+@_q(
+    "text_redact_pii",
+    """SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                concat(text, ' contact: u', CAST(doc_id AS VARCHAR),
+                       '@example.com or 555-867-5309 at 10.0.0.',
+                       CAST(doc_id % 256 AS VARCHAR)),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS clean
+       FROM documents WHERE doc_id < 200""",
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub over text with planted email/phone/IP spans (the
+    # fixture text itself carries none, so the plant makes the
+    # assertion meaningful); lookaround-free patterns keep Java regex
+    # and RE2-style engines byte-identical
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-5309 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select("doc_id", T.redact_pii(planted).alias("clean"))
+
+
+@_q(
+    "rel_train_test_split",
+    """SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) % 100 < 90
+                   THEN 'train' ELSE 'test' END AS split,
+              CAST(count(*) AS BIGINT) AS n
+       FROM documents GROUP BY split""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 90/10 split on the md5 bucket of the id: stable
+    # across engines, runs, partitionings and re-runs — the property
+    # that makes a split reproducible at 100 TB
+    from pagerank_mapreduce_spark.operators.sessions import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.when(hash_bucket("doc_id") < 90, "train")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
