@@ -33,6 +33,24 @@ def get_spark(
       columnar, never row-at-a-time.
     - shuffle partitions sized from the available cores locally; a
       real cluster overrides via spark.sql.shuffle.partitions or AQE.
+
+    MR-MPI settings (src/mapreduce.h:28-41, doc/settings.txt) → Spark
+    conf mapping, for operators porting tuned jobs:
+
+    ==================  =================================================
+    MR-MPI setting      Spark equivalent
+    ==================  =================================================
+    mapstyle 0/1/2      task scheduler (built-in; 2≈dynamic allocation)
+    all2all             shuffle implementation (sort-based; not a knob)
+    memsize             spark.memory.fraction / executor memory sizing
+    minpage/maxpage     spark.sql.files.maxPartitionBytes (input side),
+                        spark.sql.shuffle.partitions (shuffle side)
+    outofcore           automatic (UnsafeExternalSorter spills)
+    zeropage            n/a (JVM zeroes allocations)
+    keyalign/valuealign n/a (Tungsten rows are 8-byte aligned already)
+    fpath               spark.local.dir
+    verbosity/timer     Spark UI / event log / SparkListener
+    ==================  =================================================
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
