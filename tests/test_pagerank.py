@@ -159,6 +159,9 @@ GOLDEN_GRAPHS = [
     "dodecahedral",
     "erdos-10000",
     "barabasi-20000",
+    # the headline datasets of BASELINE.md (the largest in test/)
+    "erdos-100000",
+    "barabasi-100000",
 ]
 
 
