@@ -3228,3 +3228,55 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@_q(
+    "rel_latest_by_key",
+    """WITH ranked AS (
+         SELECT user_id, event_id, value, ts,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+         FROM events)
+       SELECT user_id, event_id, value FROM ranked WHERE rk = 1""",
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot-merge primitive: latest record per key by event time
+    # (id-tiebroken) — the batch form of upsert compaction. One
+    # shuffle on the key; at scale prefer this window form over
+    # groupBy+max_by chains when several payload columns ride along.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", "ts")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@_q(
+    "rel_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 13
+                         ELSE floor(o_totalprice / 50000) + 1 END
+               AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY bucket""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-bin numeric histogram via width_bucket — one algebraic
+    # group-by, the building block of distribution profiling at scale
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.width_bucket(
+                "o_totalprice", F.lit(0), F.lit(600000), F.lit(12)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
