@@ -545,7 +545,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
               round(sqrt(l_extendedprice), 6) AS price_sqrt,
               round(ln(l_extendedprice + 1), 6) AS price_ln,
               abs(round(l_extendedprice - l_quantity * 1000, 2)) AS price_delta,
-              ceil(l_quantity) AS qty_ceil, floor(l_quantity) AS qty_floor,
+              CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+              CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
               CAST(l_quantity AS BIGINT) % 7 AS qty_mod
        FROM lineitem""",
 )
@@ -704,10 +705,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_t(spark, sf_dir, "documents")).select("fp", "doc_id")
 
 
-@_q("dedup_minhash_pairs", None)  # engine-hash-specific → rows-only
+@_q(
+    "dedup_minhash_pairs",
+    # Exact all-pairs Jaccard >= 0.5. The operator's output is "LSH
+    # candidates ∩ exact-Jaccard-verified" — a subset of this oracle in
+    # general; on the fixture corpus banded LSH (32 hashes × 8 bands)
+    # recalls every true pair (verified empirically at sf0.001/0.01,
+    # deterministic xxhash64 → stable across runs), so the oracle is an
+    # exact gate at the driver's scale AND a recall regression alarm:
+    # a recall loss shows up as a row-count mismatch, not silence.
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(len(t) - 2),
+                              i -> array_to_string(t[i+1:i+3], ' '))
+                  END) AS s
+         FROM toks)
+       SELECT x.doc_id AS a, y.doc_id AS b,
+              round(len(list_intersect(x.s, y.s))
+                    / CAST(len(list_distinct(list_concat(x.s, y.s)))
+                           AS DOUBLE), 6) AS jaccard
+       FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       WHERE len(list_intersect(x.s, y.s))
+             / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+             >= 0.5""",
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_dedup(d, threshold=0.5).orderBy("a", "b")
+    return (
+        D.minhash_dedup(d, threshold=0.5)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
 
 
 @_q("dedup_simhash_pairs", None)  # engine-hash-specific → rows-only
@@ -736,12 +770,44 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
-@_q("sim_lsh_topk", None)  # approximate probe — rows-only
+def _lsh_probe_oracle(
+    dim: int = 64, n_planes: int = 8, seed: int = 7,
+    k: int = 10, probe_hamming: int = 1,
+) -> str:
+    """DuckDB mirror of the LSH probe itself (not of brute force): the
+    hyperplanes are deterministic seeded literals, so the sign-bit
+    bucketing, the Hamming-ball probe, and the candidate scoring are
+    all replayable in SQL. This checks the *approximate* semantics
+    exactly — an honest oracle for an ANN operator."""
+    planes = S._hyperplanes(dim, n_planes, seed)
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(round(list_cosine_similarity(b.v, q.qv), 8), 6) AS cos
+    FROM b, q
+    WHERE bit_count(xor(b.bucket, q.qb)) <= {probe_hamming}
+    ORDER BY round(list_cosine_similarity(b.v, q.qv), 8) DESC, b.vec_id
+    LIMIT {k}"""
+
+
+@_q("sim_lsh_topk", _lsh_probe_oracle())
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     bucketed = S.lsh_bucketize(emb, dim=len(query))
-    return S.lsh_topk(bucketed, query, k=10)
+    return S.lsh_topk(bucketed, query, k=10).select(
+        "vec_id", F.round("cos", 6).alias("cos")
+    )
 
 
 @_q("sim_ivf_topk", None)  # approximate probe — rows-only
@@ -755,7 +821,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(assigned, centroids, query, k=10, nprobe=2)
 
 
-@_q("sim_embedding_near_dups", None)  # LSH recall — rows-only
+@_q(
+    "sim_embedding_near_dups",
+    # Exact all-pairs cosine >= 0.9. The operator scores only same-
+    # bucket pairs, so its output is a subset of this oracle; a
+    # mismatch means either a false positive (always a bug) or an LSH
+    # recall miss. The fixture embeddings carry no near-dup pairs
+    # (max pairwise cosine ≈ 0.51), so both sides agree exactly — and
+    # any false positive the operator ever emits fails the gate.
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+              round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                           CAST(y.embedding AS DOUBLE[])), 8)
+                AS cos
+       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+       WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])), 8)
+             >= 0.9""",
+)
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=8

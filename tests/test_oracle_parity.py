@@ -59,7 +59,13 @@ def assert_frames_match(name, spark_rows, duck_rows, spark_cols, duck_cols):
     )
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         for c, (x, y) in enumerate(zip(a, b)):
-            if isinstance(x, float) and isinstance(y, float):
+            # Type-strict: the driver hashes values by their rendered
+            # form, so int 26 vs float 26.0 is a MISMATCH there even
+            # though 26 == 26.0 in Python (round-2 lesson: DuckDB's
+            # ceil() returns DOUBLE where Spark's returns BIGINT).
+            if x is not None and y is not None and type(x) is not type(y):
+                ok = False
+            elif isinstance(x, float) and isinstance(y, float):
                 ok = (
                     math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
                     or (math.isnan(x) and math.isnan(y))
