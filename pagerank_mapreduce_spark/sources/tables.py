@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = (
     "region",
@@ -30,12 +31,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read the raw int64 nanos and truncate to micros
-        # (DuckDB's TIMESTAMP_NS→TIMESTAMP scan truncates identically).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's reader surfaces as int64 under nanosAsLong) and plain
+        # TIMESTAMP(MICROS). Branch on the dtype actually read: only
+        # apply the nanos→micros truncation when ts arrives as int64
+        # (DuckDB's TIMESTAMP_NS→TIMESTAMP scan truncates identically);
+        # a real timestamp column passes through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            # timestamp[us] arrives as TIMESTAMP_NTZ; normalize to
+            # session-tz TIMESTAMP (session tz is UTC — session.py:67)
+            # so downstream epoch arithmetic and watermarks behave
+            # identically to the nanos path.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -27,20 +27,24 @@ def read_events_stream(
     micro-batch slice). Schema comes from the batch reader; the ts
     column carries the same nanos→micros conversion."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pagerank_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql.types import LongType
 
-    schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    # Derive the on-disk schema from a batch footer read so the stream
+    # tracks fixture drift (ts has shipped as both int64 nanos and
+    # timestamp[us]); convert only when it actually arrives as int64.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource needs a directory or glob, not a bare file path
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(f"{sf_dir}/events*.parquet")
-    _ = schema  # documentational: batch and stream schemas align
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # timestamp[us] arrives as TIMESTAMP_NTZ; normalize to
+        # session-tz TIMESTAMP (UTC) to match the batch loader.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(
