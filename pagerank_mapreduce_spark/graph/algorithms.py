@@ -277,7 +277,10 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
         )
         mis_parts = [loops]
         for rnd in range(max_iterations):
-            if active.rdd.isEmpty():
+            # emptiness probe on the checkpointed frame: limit(1) scans
+            # at most one row per partition — no DataFrame→RDD
+            # conversion job per round (rdd.isEmpty() plans one).
+            if active.limit(1).count() == 0:
                 break
             pri = active.select(
                 "id", F.xxhash64("id", F.lit(seed + rnd)).alias("p")

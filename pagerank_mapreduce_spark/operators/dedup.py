@@ -215,6 +215,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k: int = 3,
     sets: DataFrame | None = None,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -222,6 +223,14 @@ def minhash_lsh_candidates(
     iff a whole band of their signatures matches. Self-join is an
     equi-join on (band, band_hash) — broadcast-free, shuffle-clean.
     Output: (a, b) id pairs with a < b, distinct.
+
+    ``max_bucket_size`` guards the quadratic in-bucket pair explosion
+    against pathological buckets (boilerplate-heavy corpora hash
+    megadoc cliques into one bucket; at 100 TB that one bucket is an
+    OOM). Buckets above the cap are dropped whole — their members
+    still pair up through their other, more selective bands — and the
+    drop count is published as an ``observe()`` metric (see
+    :func:`_bucket_pairs`). ``None`` disables the cap.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -250,18 +259,45 @@ def minhash_lsh_candidates(
     # computes the expensive signature pipeline exactly once — a
     # self-join would recompute it for both sides — and the only data
     # shuffled is (id, band, bucket). Hot buckets (boilerplate text)
-    # are the skew risk; members is bounded by bucket size, which LSH
-    # keeps small for any usable band width.
-    return _bucket_pairs(banded, id_col)
+    # are the skew risk; the cap below bounds the quadratic blowup.
+    return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
-def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+_obs_counter = 0
+
+
+def _hot_bucket_guard(members: DataFrame, cap: int | None) -> DataFrame:
+    """Drop buckets larger than ``cap`` members before pair explosion,
+    publishing the drop count as a named ``observe()`` metric (a
+    CollectMetrics node — zero extra jobs; read it from a
+    QueryExecutionListener / StreamingQueryListener). A hot bucket of
+    size m would emit m·(m-1)/2 pairs; at 100 TB one boilerplate
+    clique is an executor OOM, and its members still reach each other
+    through their other, more selective bands."""
+    if cap is None:
+        return members
+    global _obs_counter
+    _obs_counter += 1
+    size_col = F.size(members.columns[-1])
+    return members.observe(
+        f"lsh_hot_buckets_{_obs_counter}",
+        F.sum(F.when(size_col > cap, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(size_col > cap, size_col).otherwise(0)).alias(
+            "dropped_members"
+        ),
+    ).filter(size_col <= cap)
+
+
+def _bucket_pairs(
+    banded: DataFrame, id_col: str, max_bucket_size: int | None = 512
+) -> DataFrame:
     """(id, band, bucket) → distinct (a, b) pairs co-bucketed in ≥1 band."""
     members = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    members = _hot_bucket_guard(members, max_bucket_size)
     pairs = members.select(
         F.explode(
             F.flatten(
@@ -383,10 +419,12 @@ def simhash_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     k: int = 2,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on at least one of ``bands``
     16-bit slices of their simhash (covers Hamming distance < bands).
-    Same bucketed-equi-join shape as MinHash-LSH."""
+    Same bucketed-equi-join shape as MinHash-LSH, including the
+    hot-bucket cap (see :func:`_hot_bucket_guard`)."""
     width = 64 // bands
     sim = simhash64(df, text_col, id_col, k)
     banded = sim.select(
@@ -418,6 +456,7 @@ def simhash_candidates(
         )
         .filter(F.size("ms") > 1)
     )
+    members = _hot_bucket_guard(members, max_bucket_size)
     pairs = members.select(
         F.explode(
             F.flatten(

@@ -161,11 +161,16 @@ def embedding_near_dups(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: only
     same-bucket pairs are scored (plus nothing else — recall traded
-    for the absence of a cross join). Output (a, b, cos)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    for the absence of a cross join). Output (a, b, cos).
+
+    Pass ``dim`` (the embedding width) to keep the operator fully
+    lazy; when omitted, one ``first()`` driver action sniffs it."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     b = lsh_bucketize(embeddings, dim, n_planes, seed, vec_col)
     l, r = b.alias("l"), b.alias("r")
     return (

@@ -840,7 +840,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=8
+        # dim pinned to the fixture's embedding width (guarded by
+        # tests/test_fixture_schemas.py) — keeps the plan fully lazy.
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=8, dim=64
     ).orderBy("a", "b")
 
 

@@ -76,3 +76,8 @@ def test_fixture_table_dtypes(spark, sf_dir, name):
     # events must also survive an epoch cast (the exact op that died in r3)
     if name == "events":
         df.selectExpr("cast(ts as double) as epoch_s").limit(1).collect()
+    # embedding width is pinned at call sites (queries.py passes dim=64
+    # to embedding_near_dups to keep the plan lazy) — trip on drift
+    if name == "embeddings":
+        (width,) = df.selectExpr("size(embedding) as d").limit(1).collect()[0]
+        assert width == 64, f"embeddings dim drifted to {width}, call sites pin 64"

@@ -151,3 +151,43 @@ def test_frame_sampling_shape(docs):
     frames = MM.sample_frames(media, every_n=1)
     assert frames.count() >= docs.count()  # ≥1 frame per media
     assert frames.columns == ["media_id", "frame_no", "feature"]
+
+
+def test_hot_bucket_cap_bounds_pair_explosion(spark):
+    # 12 identical docs land in the SAME bucket in every band — the
+    # pathological boilerplate clique. With the cap below the clique
+    # size, every bucket is dropped whole and no pairs are emitted;
+    # with the cap disabled, all 66 pairs appear.
+    clique = "repeated boilerplate header text appearing in every single document"
+    rows = [(i, clique) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = D.minhash_lsh_candidates(df, max_bucket_size=None)
+    assert uncapped.count() == 12 * 11 // 2
+
+    capped = D.minhash_lsh_candidates(df, max_bucket_size=4)
+    assert capped.count() == 0
+
+    # default cap (512) leaves small buckets untouched
+    assert D.minhash_lsh_candidates(df).count() == 12 * 11 // 2
+
+    # simhash twin honors the same guard
+    assert D.simhash_candidates(df, max_bucket_size=4).count() == 0
+    assert D.simhash_candidates(df, max_bucket_size=None).count() == 12 * 11 // 2
+
+
+def test_hot_bucket_cap_keeps_pairs_from_selective_bands(spark):
+    # Two docs share all bands (true near-dups) while a hot clique
+    # floods one synthetic bucket: capping must drop the clique's
+    # pairs but keep the selective pair.
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [(0, base), (1, base + " today")]
+    clique = "repeated boilerplate header text appearing in every single document"
+    rows += [(100 + i, clique) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_candidates(df, max_bucket_size=4).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(a < 100 and b < 100 for a, b in pairs)
