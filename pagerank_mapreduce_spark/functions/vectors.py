@@ -27,3 +27,13 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance — monotonic with L2, so argmin
+    ordering matches ``list_distance`` without the sqrt."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pagerank_mapreduce_spark.functions.vectors import cosine, dot
+from pagerank_mapreduce_spark.functions.vectors import cosine, dot, sqdist
 
 
 def cosine_topk(
@@ -124,6 +124,48 @@ def ivf_build(
     ).fit(feat)
     assigned = model.transform(feat).drop("_v")
     centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_sampled_build(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF build with a *sampled* codebook: the centroids are the
+    vectors with the ``n_lists`` smallest ids (FAISS-style sampling
+    init, no Lloyd refinement). Worse balance than KMeans, but fully
+    deterministic AND replayable in plain SQL — the DuckDB oracle
+    re-derives the same codebook, assignment, and probe, so the
+    approximate result is checked exactly (queries.py
+    ``_ivf_probe_oracle``). ``ivf_build`` (KMeans) stays the quality
+    path; this is the auditable path sharing the same probe.
+
+    Assignment is a pure expression: squared L2 to each literal
+    centroid, argmin via array_position on the first minimum (ties →
+    lowest list id, matching the oracle's ORDER BY dist, cid). The
+    tiny ``collect`` fetches only the ``n_lists`` codebook rows —
+    codebook builds are inherently driver-side (KMeans does the
+    same for its cluster centers)."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_lists)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    dists = F.array(
+        *[
+            sqdist(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(x) for x in c]),
+            )
+            for c in centroids
+        ]
+    )
+    list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assigned = embeddings.withColumn("list_id", list_id)
     return assigned, centroids
 
 

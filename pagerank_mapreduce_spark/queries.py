@@ -810,10 +810,50 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("sim_ivf_topk", None)  # approximate probe — rows-only
+def _ivf_probe_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 10) -> str:
+    """DuckDB mirror of the sampled-codebook IVF probe itself (not of
+    brute force): the codebook is the first ``n_lists`` vectors, so
+    the assignment (nearest centroid, ties → lowest id), the nprobe
+    list choice, and the candidate scoring are all replayable in SQL.
+    Like ``_lsh_probe_oracle``, this checks the *approximate*
+    semantics exactly — an honest oracle for an ANN operator."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_lists}),
+    a AS (SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, c.cv), c.cid)
+                   AS rn
+          FROM e CROSS JOIN c),
+    asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM c, q ORDER BY list_distance(cv, qv), cid
+              LIMIT {nprobe})
+    SELECT asg.vec_id,
+           round(round(list_cosine_similarity(asg.v, q.qv), 8), 6) AS cos
+    FROM asg, q
+    WHERE asg.cid IN (SELECT cid FROM probe)
+    ORDER BY round(list_cosine_similarity(asg.v, q.qv), 8) DESC, asg.vec_id
+    LIMIT {k}"""
+
+
+@_q("sim_ivf_topk", _ivf_probe_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN: KMeans codebook + probe-pruned search; with
-    # nprobe == n_lists it reproduces sim_cosine_topk exactly
+    # IVF ANN with the SQL-replayable sampled codebook (centroids =
+    # first 8 vectors); the oracle re-derives codebook + assignment +
+    # probe, so this approximate result is hash-checked exactly.
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.ivf_sampled_build(emb, n_lists=8)
+    return S.ivf_topk(assigned, centroids, query, k=10, nprobe=2).select(
+        "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+@_q("sim_ivf_kmeans_topk", None)  # learned codebook — rows-only
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN quality path: KMeans codebook + probe-pruned search;
+    # with nprobe == n_lists it reproduces sim_cosine_topk exactly
     # (tests/test_text_dedup.py asserts that invariant)
     emb = _t(spark, sf_dir, "embeddings")
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
@@ -3395,6 +3435,9 @@ _DRIVER_WINDOW_DEMOTE = [
     "rel_set_except",
     "mr_topk_words",
     "dedup_simhash_pairs",
+    # rows-only KMeans twin of the hash-checked sim_ivf_topk — keep
+    # the window slot for queries with a hard oracle signal
+    "sim_ivf_kmeans_topk",
 ]
 
 

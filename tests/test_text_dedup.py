@@ -121,6 +121,28 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert 0 in narrow
 
 
+def test_ivf_sampled_full_probe_equals_bruteforce(spark, sf_dir):
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.ivf_sampled_build(emb, n_lists=8)
+    # the sampled codebook shares the probe machinery, so the same
+    # recall invariant must hold: full probe == brute force
+    full = [
+        (r["vec_id"], r["cos"])
+        for r in S.ivf_topk(assigned, centroids, query, k=10, nprobe=8).collect()
+    ]
+    exact = [(r["vec_id"], r["cos"]) for r in S.cosine_topk(emb, query, k=10).collect()]
+    assert full == exact
+    # every vector lands in exactly one list, lists cover the codebook
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
+    # a centroid vector is assigned to its own list (distance 0)
+    own = assigned.filter(F.col("vec_id") == 3).first()["list_id"]
+    assert own == 3
+
+
 def test_multimodal_feature_extraction(docs):
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media)
