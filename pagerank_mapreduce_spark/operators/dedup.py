@@ -386,18 +386,34 @@ def minhash_dedup(
 # -------------------------------------------------------- simhash
 
 
+def portable_hash60(s: Column) -> Column:
+    """60-bit hash both Spark and DuckDB can compute identically:
+    the first 15 hex chars of md5, parsed as an integer
+    (``('0x' || substr(md5(s), 1, 15))::BIGINT`` on the DuckDB side).
+    Slower than xxhash64 (crypto rounds vs one multiply chain) —
+    used only where cross-engine replay matters more than speed."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              k: int = 2) -> DataFrame:
+              k: int = 2, hash_fn=F.xxhash64) -> DataFrame:
     """63-bit SimHash over word k-shingles (sign bit skipped to stay in
     positive BIGINT space). Returns (id_col, sh BIGINT).
 
-    Shape: explode shingles → xxhash64 → ONE groupBy(id) with 63
+    Shape: explode shingles → hash → ONE groupBy(id) with 63
     algebraic sign-sum aggregates → assemble bits. One shuffle keyed
     on the doc id; every aggregate gets map-side partial aggregation,
-    so skewed document lengths stay safe at scale."""
+    so skewed document lengths stay safe at scale.
+
+    ``hash_fn`` picks the per-shingle hash: xxhash64 (default, fast)
+    or :func:`portable_hash60` whose 60 bits replay exactly in DuckDB
+    — the checked ``dedup_simhash_pairs`` query uses the portable one
+    so the whole pipeline is oracle-verifiable. With a 60-bit hash,
+    bits 60-62 are never set, so those sign-sums are all-negative and
+    the fingerprint bits land at 0 in both engines — consistent."""
     hashed = _spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("s")
-    ).select(id_col, F.xxhash64("s").alias("h"))
+    ).select(id_col, hash_fn(F.col("s")).alias("h"))
     sign_sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
@@ -420,13 +436,14 @@ def simhash_candidates(
     bands: int = 4,
     k: int = 2,
     max_bucket_size: int | None = 512,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on at least one of ``bands``
     16-bit slices of their simhash (covers Hamming distance < bands).
     Same bucketed-equi-join shape as MinHash-LSH, including the
     hot-bucket cap (see :func:`_hot_bucket_guard`)."""
     width = 64 // bands
-    sim = simhash64(df, text_col, id_col, k)
+    sim = simhash64(df, text_col, id_col, k, hash_fn)
     banded = sim.select(
         id_col,
         "sh",

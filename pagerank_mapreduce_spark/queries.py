@@ -744,11 +744,60 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_simhash_pairs", None)  # engine-hash-specific → rows-only
+def _simhash_oracle(bands: int = 4, k: int = 2, hamming: int = 8) -> str:
+    """DuckDB replay of the ENTIRE simhash pipeline — tokenize,
+    k-shingle, per-shingle portable 60-bit md5 hash, 63 sign-sums,
+    fingerprint assembly, band bucketing, in-bucket pair generation,
+    Hamming filter. Possible because the checked query uses
+    ``portable_hash60`` (md5-derived), which both engines compute
+    identically; see dedup.simhash64. Bits 60-62 of the 60-bit hash
+    are never set, so those fingerprint bits are 0 on both sides."""
+    width = 64 // bands
+    sums = ", ".join(
+        f"sum(CASE WHEN (hv & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(63)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    bandvals = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+    sg AS (SELECT doc_id,
+                  CASE WHEN len(w) < {k}
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - {k} + 2),
+                                           i -> array_to_string(w[i:i+{k - 1}], ' '))
+                  END AS ss
+           FROM t),
+    h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv
+          FROM (SELECT doc_id, unnest(ss) AS s FROM sg)),
+    agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS sh FROM agg),
+    banded AS (SELECT doc_id, sh, band,
+                      (sh >> (band * {width})) & {(1 << width) - 1} AS bucket
+               FROM fp, (VALUES {bandvals}) AS bb(band)),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+              FROM banded x JOIN banded y
+                ON x.band = y.band AND x.bucket = y.bucket
+               AND x.doc_id < y.doc_id)
+    SELECT a, b, hamming FROM pairs WHERE hamming <= {hamming}
+    ORDER BY a, b"""
+
+
+@_q("dedup_simhash_pairs", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable md5-derived hash (not the xxhash64 default) so the
+    # whole pipeline replays exactly in the DuckDB oracle; the
+    # xxhash64 path shares every other expression and is covered by
+    # the property tests in tests/test_text_dedup.py
     d = _t(spark, sf_dir, "documents")
     return (
-        D.simhash_candidates(d, bands=4, k=2)
+        D.simhash_candidates(d, bands=4, k=2, hash_fn=D.portable_hash60)
         .filter(F.col("hamming") <= 8)
         .orderBy("a", "b")
     )
@@ -3434,7 +3483,10 @@ _DRIVER_WINDOW_DEMOTE = [
     "rel_cube",
     "rel_set_except",
     "mr_topk_words",
-    "dedup_simhash_pairs",
+    # rows-only by nature (approx sketch) — the local parity test
+    # still row-checks it; its window slot goes to the now
+    # hash-checked dedup_simhash_pairs
+    "rel_approx_count_distinct",
     # rows-only KMeans twin of the hash-checked sim_ivf_topk — keep
     # the window slot for queries with a hard oracle signal
     "sim_ivf_kmeans_topk",
