@@ -21,11 +21,43 @@ Spark-first equivalents:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Anchored form of the reference's validation regex (mr-pr-cpp.cpp:93).
 EDGE_LINE_REGEX = r"^(0|[1-9][0-9]*)[ \t](0|[1-9][0-9]*)$"
+_EDGE_RE = re.compile(r"(0|[1-9][0-9]*)[ \t](0|[1-9][0-9]*)")
+
+
+def _invalid_line_error(spark: SparkSession, file_path: str, sample: str) -> str:
+    """Reproduce the reference's abort message
+    ``"invalid input at line number : N"`` (1-based,
+    mr-pr-cpp.cpp:96-98). Line numbers are not stable across a
+    distributed scan, so they are recovered by re-scanning the single
+    offending file sequentially: ``sc.textFile`` splits arrive in
+    byte-offset order, making ``zipWithIndex`` exact. This extra job
+    touches one file and runs only on the abort path — the happy path
+    stays a single distributed validation pass."""
+    rdd = spark.sparkContext.textFile(file_path).zipWithIndex()
+    hits = (
+        rdd.filter(
+            # mirror the distributed filter exactly: F.rtrim strips
+            # trailing spaces only, so rstrip(" ") here — not rstrip()
+            lambda t: t[0].rstrip(" ") != ""
+            and not _EDGE_RE.fullmatch(t[0].rstrip(" "))
+        )
+        .map(lambda t: t[1])
+    )
+    try:
+        first = hits.min()
+    except ValueError:  # empty RDD — fall back to content-only report
+        return f"invalid input line: {sample!r} in {file_path}"
+    return (
+        f"invalid input at line number : {first + 1}"
+        f" ({file_path}: {sample!r})"
+    )
 
 
 def read_edge_list(
@@ -62,17 +94,22 @@ def read_edge_list(
     paths = path if isinstance(path, list) else [path]
     lines = reader.text(paths)
     if validate:
-        # Cheap distributed validation pass; the reference aborts on the
-        # first malformed line with its line number. Line numbers are not
-        # stable across a distributed scan, so we report offending content.
+        # Cheap distributed validation pass; on failure, recover the
+        # reference's 1-based line number with a sequential re-scan of
+        # the one offending file (see _invalid_line_error).
         bad = (
             lines.filter(F.length(F.rtrim(F.col("value"))) > 0)
             .filter(~F.rtrim(F.col("value")).rlike(EDGE_LINE_REGEX))
+            .select("value", F.col("_metadata.file_path").alias("file_path"))
             .limit(1)
             .collect()
         )
         if bad:
-            raise ValueError(f"invalid input line: {bad[0]['value']!r}")
+            raise ValueError(
+                _invalid_line_error(
+                    spark, bad[0]["file_path"], bad[0]["value"]
+                )
+            )
     parts = F.split(F.rtrim(F.col("value")), r"[ \t]")
     return (
         lines.filter(F.length(F.rtrim(F.col("value"))) > 0)

@@ -92,8 +92,13 @@ def test_edge_list_reader_and_validation(spark, tmp_path):
     ]
     bad = tmp_path / "bad.txt"
     bad.write_text("0 1\n01 2\n")  # leading zero fails the reference regex
-    with pytest.raises(ValueError, match="invalid input"):
+    # abort names the 1-based line number, like mr-pr-cpp.cpp:96-98
+    with pytest.raises(ValueError, match=r"invalid input at line number : 2"):
         read_edge_list(spark, str(bad))
+    bad3 = tmp_path / "bad3.txt"
+    bad3.write_text("0 1\n1 2\n2 2\nx y\n")
+    with pytest.raises(ValueError, match=r"invalid input at line number : 4"):
+        read_edge_list(spark, str(bad3))
     # MR-MPI map v3/v4: separator-aligned chunked reads with a custom
     # record separator (src/mapreduce.cpp:1157-1379 → lineSep option)
     sep = tmp_path / "sep.txt"
