@@ -27,6 +27,7 @@ sort_keys             orderBy / sortWithinPartitions
 sort_values           orderBy(value)
 sort_multivalues      array_sort inside the group
 scan(func)            foreachPartition (read-only)
+print(kflag,vflag)    typed format_string dump (print_kv)
 kv_stats              count + per-partition histogram
 ====================  ========================================
 
@@ -308,6 +309,82 @@ def kv_stats(df: DataFrame) -> DataFrame:
             F.max("pairs").alias("max_pairs"),
         )
     )
+
+
+# --------------------------------------------------- typed KV print
+
+
+def _kv_size(flag: int, col: Column) -> Column:
+    """Byte width MR-MPI would report for a pair element under the
+    given format flag (keyvalue.cpp:771-772): fixed-width for numeric
+    flags, strlen+1 (C string incl. NUL) for strings."""
+    widths = {0: 0, 1: 4, 2: 8, 3: 4, 4: 8, 6: 8, 7: 16}
+    if flag == 5:
+        return (F.length(col) + 1).cast("int")
+    return F.lit(widths[flag])
+
+
+def _kv_fmt(flag: int, col: Column) -> Column:
+    """Formatted element per MR-MPI flag (keyvalue.cpp:790-815):
+    0=NULL, 1=int %d, 2=uint64 %lu, 3=float %g, 4=double %g,
+    5=string %s, 6=int pair, 7=uint64 pair. Flags 6/7 expect a
+    2-element array column. Java's %g keeps trailing zeros where C's
+    strips them — a cosmetic deviation, same as format_ranks notes."""
+    if flag == 0:
+        return F.lit("NULL")
+    if flag in (6, 7):
+        return F.format_string("%d %d", col.getItem(0), col.getItem(1))
+    if flag in (3, 4):
+        return F.format_string("%g", col)
+    if flag == 5:
+        return col.cast("string")
+    return F.format_string("%d", col)
+
+
+def print_kv(
+    df: DataFrame,
+    kflag: int = 1,
+    vflag: int = 1,
+    nstride: int = 1,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """MR-MPI typed ``print()`` dump (src/mapreduce.cpp:1566-1686 +
+    keyvalue.cpp:758-818): one ``"KV pair: proc P, sizes K V, key X,
+    value Y"`` line per (every ``nstride``-th, partition-local, like
+    the reference's per-proc istride counter) pair, with key/value
+    rendered per the 0-7 format flags.
+
+    Returns the lines as a DataFrame; ``df.write.text(path)`` gives
+    MR-MPI's fflag=1 per-proc-files mode (one file per task),
+    ``coalesce(1)`` the fflag=0 single-file mode. ``proc`` is the
+    Spark partition id. The stride uses the per-partition sequence
+    embedded in monotonically_increasing_id (low 33 bits), so no
+    shuffle or window is needed."""
+    if not (0 <= kflag <= 7 and 0 <= vflag <= 7):
+        raise ValueError("Invalid print args")  # mapreduce.cpp:1572-1573
+    kv = df.select(
+        F.spark_partition_id().alias("_proc"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias("_seq"),
+        F.col(key_col).alias("_k"),
+        F.col(value_col).alias("_v"),
+    )
+    if nstride > 1:
+        kv = kv.filter(((F.col("_seq") + 1) % nstride) == 0)
+    line = F.concat(
+        F.format_string(
+            "KV pair: proc %d, sizes %d %d, key ",
+            F.col("_proc"),
+            _kv_size(kflag, F.col("_k")),
+            _kv_size(vflag, F.col("_v")),
+        ),
+        _kv_fmt(kflag, F.col("_k")),
+        F.lit(", value "),
+        _kv_fmt(vflag, F.col("_v")),
+    )
+    return kv.select(line.alias("line"))
 
 
 # ------------------------------------------------- canonical example

@@ -1109,6 +1109,29 @@ def q_mr_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.kv_stats(_t(spark, sf_dir, "lineitem"))
 
 
+@_q(
+    "mr_print_kv",
+    """WITH o AS (SELECT n_name AS k, n_nationkey AS v,
+                         row_number() OVER (ORDER BY n_name) AS rn
+                  FROM nation)
+       SELECT printf('KV pair: proc 0, sizes %d %d, key %s, value %d',
+                     CAST(length(k) + 1 AS INT), 8, k, v) AS line
+       FROM o WHERE rn % 2 = 0""",
+)
+def q_mr_print_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MR-MPI typed print() dump (src/mapreduce.cpp:1566-1686): string
+    # key (kflag=5), uint64 value (vflag=2), every 2nd pair. Single
+    # sorted partition = the reference's one-proc print, which makes
+    # proc and the stride deterministic for the oracle.
+    kv = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_name").alias("key"), F.col("n_nationkey").alias("value"))
+        .repartition(1)
+        .sortWithinPartitions("key")
+    )
+    return M.print_kv(kv, kflag=5, vflag=2, nstride=2)
+
+
 # ======================================== text / dedup track (cont.)
 
 

@@ -197,3 +197,34 @@ def test_mr_reduce_blocks_spans_batches(spark):
         assert got == expect
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_print_kv_typed_formats(spark):
+    # MR-MPI print() format flags (keyvalue.cpp:790-815)
+    df = (
+        spark.createDataFrame(
+            [(1, 2.5), (7, -0.125)], "key int, value double"
+        )
+        .repartition(1)
+        .sortWithinPartitions("key")
+    )
+    lines = [r["line"] for r in M.print_kv(df, kflag=1, vflag=4).collect()]
+    assert lines[0].startswith("KV pair: proc 0, sizes 4 8, key 1, value ")
+    assert "2.5" in lines[0] and "-0.125" in lines[1]
+    # NULL flag and string sizes (strlen+1, C string incl. NUL)
+    sdf = spark.createDataFrame([("abc", "xy")], "key string, value string")
+    (line,) = [r["line"] for r in M.print_kv(sdf, kflag=5, vflag=0).collect()]
+    assert ", sizes 4 0, key abc, value NULL" in line
+    # pair flags take a 2-element array column
+    pdf = spark.createDataFrame([([1, 2], [3, 4])], "key array<int>, value array<int>")
+    (pline,) = [r["line"] for r in M.print_kv(pdf, kflag=6, vflag=6).collect()]
+    assert "sizes 8 8, key 1 2, value 3 4" in pline
+    # partition-local nstride keeps every nstride-th pair
+    big = spark.range(100).select(
+        F.col("id").cast("int").alias("key"), F.col("id").alias("value")
+    ).repartition(1).sortWithinPartitions("key")
+    kept = M.print_kv(big, kflag=1, vflag=2, nstride=10).count()
+    assert kept == 10
+    # invalid flags abort like mapreduce.cpp:1572-1573
+    with pytest.raises(ValueError, match="Invalid print args"):
+        M.print_kv(df, kflag=8)
