@@ -1162,6 +1162,59 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_repetition",
+    """WITH base AS (SELECT doc_id, length(text) AS chars FROM documents),
+    lr AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, chr(10)),
+                                     l -> length(l) > 0)) AS line
+           FROM documents),
+    ls1 AS (SELECT doc_id, line, count(*) AS cnt
+            FROM lr GROUP BY doc_id, line),
+    ls AS (SELECT doc_id, sum(cnt) AS total_lines,
+                  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
+                  sum(cnt * length(line)) AS line_chars,
+                  sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+                    AS dup_line_chars
+           FROM ls1 GROUP BY doc_id),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+    sg AS (SELECT doc_id,
+                  CASE WHEN len(w) < 2
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w)),
+                                           i -> array_to_string(w[i:i+1], ' '))
+                  END AS ss
+           FROM t),
+    g1 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+           FROM (SELECT doc_id, unnest(ss) AS gram FROM sg)
+           GROUP BY doc_id, gram, length(gram)),
+    g2 AS (SELECT doc_id, max(cnt) AS mc FROM g1 GROUP BY doc_id),
+    g3 AS (SELECT g1.doc_id, g2.mc * max(g1.glen) AS top_gram_chars
+           FROM g1 JOIN g2 ON g1.doc_id = g2.doc_id AND g1.cnt = g2.mc
+           GROUP BY g1.doc_id, g2.mc)
+    SELECT b.doc_id,
+           round(coalesce(ls.dup_lines / greatest(ls.total_lines, 1), 0.0), 6)
+             AS dup_line_frac,
+           round(coalesce(ls.dup_line_chars / greatest(ls.line_chars, 1), 0.0),
+                 6) AS dup_line_char_frac,
+           round(coalesce(g3.top_gram_chars / greatest(b.chars, 1), 0.0), 6)
+             AS top_ngram_char_frac
+    FROM base b
+    LEFT JOIN ls ON b.doc_id = ls.doc_id
+    LEFT JOIN g3 ON b.doc_id = g3.doc_id""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filters (duplicate lines, top-2-gram
+    # coverage) — the corpus-quality rules an LLM data pipeline runs
+    # before training; see operators/quality.py for the scale shape
+    from pagerank_mapreduce_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_fingerprint",
     """SELECT doc_id,
               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp

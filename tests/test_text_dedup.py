@@ -213,3 +213,28 @@ def test_hot_bucket_cap_keeps_pairs_from_selective_bands(spark):
     }
     assert (0, 1) in pairs
     assert all(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_repetition_stats_multiline(spark):
+    from pagerank_mapreduce_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "spam ham" twice: dup_line_frac=0.5;
+            # dup chars = 2*8 of 8+8+4+3=23 line chars
+            (1, "spam ham\nspam ham\nxy z\n\nabc"),
+            # no duplicate lines, top 2-gram "a b" appears twice
+            (2, "a b a b a"),
+            (3, ""),  # empty doc: all zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == round(16 / 23, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    # "a b" occurs twice (overlapping windows), covers 2*3 of 9 chars
+    assert got[2]["top_ngram_char_frac"] == round(6 / 9, 6)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_char_frac"] == 0.0
+    assert got[3]["top_ngram_char_frac"] == 0.0
