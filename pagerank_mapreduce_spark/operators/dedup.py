@@ -383,6 +383,33 @@ def minhash_dedup(
     )
 
 
+def canonicalize(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster canonicalization — the step a corpus pipeline
+    runs after near-dup pair generation: connected components over the
+    pair graph, then every document maps to its cluster's minimum id
+    (itself when unpaired). Keep-one dedup is then
+    ``filter(doc_id == canonical)``.
+
+    Pair graphs are tiny relative to the corpus (LSH keeps them so),
+    and the CC loop runs on pairs only; the corpus is touched once by
+    the final left join, which at scale broadcasts the component map
+    when it fits. Returns (id_col, canonical)."""
+    from pagerank_mapreduce_spark.graph.algorithms import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("canonical"),
+        )
+    )
+
+
 # -------------------------------------------------------- simhash
 
 

@@ -744,6 +744,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_canonical_docs",
+    # Exact mirror: the pair graph is the all-pairs-Jaccard >= 0.5 set
+    # (same CTEs as dedup_minhash_pairs, whose oracle proves the
+    # operator emits exactly these pairs on the fixture), closed
+    # transitively with a recursive CTE; canonical = min doc id
+    # reachable in the symmetrized closure, unpaired docs map to
+    # themselves.
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(len(t) - 2),
+                              i -> array_to_string(t[i+1:i+3], ' '))
+                  END) AS s
+         FROM toks),
+       p AS (
+         SELECT x.doc_id AS a, y.doc_id AS b
+         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         WHERE len(list_intersect(x.s, y.s))
+               / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+               >= 0.5),
+       e AS (SELECT a AS src, b AS dst FROM p
+             UNION SELECT b, a FROM p),
+       reach AS (
+         SELECT src AS id, src AS lab FROM e
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON r.id = e.src),
+       comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs → connected components → keep-one mapping: the
+    # full corpus-dedup composition (LSH + graph) in one query
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(d, threshold=0.5)
+    return D.canonicalize(d, pairs)
+
+
 def _simhash_oracle(bands: int = 4, k: int = 2, hamming: int = 8) -> str:
     """DuckDB replay of the ENTIRE simhash pipeline — tokenize,
     k-shingle, per-shingle portable 60-bit md5 hash, 63 sign-sums,

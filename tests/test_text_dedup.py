@@ -238,3 +238,18 @@ def test_repetition_stats_multiline(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["dup_line_char_frac"] == 0.0
     assert got[3]["top_ngram_char_frac"] == 0.0
+
+
+def test_canonicalize_transitive_chain(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    # chain 1-2, 2-3 plus isolated pair 4-5: canonical follows the
+    # transitive closure, not just direct pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["canonical"] for r in D.canonicalize(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    kept = sorted(k for k, v in got.items() if k == v)
+    assert kept == [0, 1, 4]
