@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 ALPHA = 0.85  # mr-pr-cpp.cpp:11
@@ -203,22 +203,25 @@ def _pagerank_loop(
                     + one_Iv
                 ).alias("new_rank"),
             )
-            # Eager checkpoint = the iteration's ONE real job: it
-            # materializes the new vector and truncates lineage so plan
-            # analysis stays O(1) over thousands of iterations. The
-            # stats aggregate below then scans n checkpointed rows —
-            # negligible. (A persist-based single-job variant was tried
-            # and rejected: the self-join lineage defeats cache reuse
-            # and each iteration silently recomputes the whole chain.)
-            .localCheckpoint()
         )
-        row = merged.agg(
+        # Observation metrics piggyback on the checkpoint job, so each
+        # iteration runs exactly ONE job: the eager localCheckpoint
+        # materializes the new vector (truncating lineage so plan
+        # analysis stays O(1) over thousands of iterations) while the
+        # convergence scalars are collected in-flight — no second scan
+        # of the vector. (A persist-based variant was tried and
+        # rejected: the self-join lineage defeats cache reuse and each
+        # iteration silently recomputes the whole chain.)
+        obs = Observation(f"pr_iter_{iterations}")
+        merged = merged.observe(
+            obs,
             F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("diff"),
             F.sum("new_rank").alias("s"),
             F.sum(F.when(F.col("deg") == 0, F.col("new_rank")).otherwise(0.0)).alias(
                 "d"
             ),
-        ).first()
+        ).localCheckpoint()
+        row = obs.get
         diff, sum_pr, dangling_pr = float(row["diff"]), float(row["s"]), float(row["d"])
         diffs.append(diff)
         pr = merged.select("id", "deg", F.col("new_rank").alias("rank"))
