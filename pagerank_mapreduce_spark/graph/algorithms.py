@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -113,7 +113,7 @@ def connected_components(
             .select("id", F.col("id").alias("comp"))
             .localCheckpoint()
         )
-        for _ in range(max_iterations):
+        for rnd in range(max_iterations):
             # candidate labels flowing along edges: neighbor's comp
             flowed = (
                 labels.alias("l")
@@ -133,9 +133,13 @@ def connected_components(
                         F.coalesce("f.nbr_comp", F.col("o.comp")) < F.col("o.comp")
                     ).alias("changed"),
                 )
-                .localCheckpoint()  # the round's one real job
             )
-            changed = merged.agg(F.sum(F.col("changed").cast("int"))).first()[0]
+            # change count observed in-flight on the round's ONE job
+            obs = Observation(f"cc_round_{rnd}")
+            merged = merged.observe(
+                obs, F.sum(F.col("changed").cast("int")).alias("n")
+            ).localCheckpoint()
+            changed = obs.get["n"]
             labels = merged.select("id", "comp")
             if not changed:
                 break
@@ -262,9 +266,14 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
             .repartition("a")
             .persist()
         )
+        init_obs = Observation("luby_init")
         active = (
-            sym.select(F.col("a").alias("id")).distinct().localCheckpoint()
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .observe(init_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
+        active_n = init_obs.get["n"]
         # vertices with no neighbor at all never appear in sym; the
         # caller's vertex universe is the edge endpoints, so isolated
         # vertices only exist for graphs with self-loops — edge_upper
@@ -277,10 +286,10 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
         )
         mis_parts = [loops]
         for rnd in range(max_iterations):
-            # emptiness probe on the checkpointed frame: limit(1) scans
-            # at most one row per partition — no DataFrame→RDD
-            # conversion job per round (rdd.isEmpty() plans one).
-            if active.limit(1).count() == 0:
+            # survivor count observed in-flight on the previous round's
+            # deactivation checkpoint — the emptiness probe costs no
+            # extra job at all (limit(1).count() planned one per round)
+            if active_n == 0:
                 break
             pri = active.select(
                 "id", F.xxhash64("id", F.lit(seed + rnd)).alias("p")
@@ -320,7 +329,13 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
                 .join(sym, "a")
                 .select(F.col("b").alias("id"))
             ).distinct()
-            active = active.join(killed, "id", "left_anti").localCheckpoint()
+            surv_obs = Observation(f"luby_round_{rnd}")
+            active = (
+                active.join(killed, "id", "left_anti")
+                .observe(surv_obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            active_n = surv_obs.get["n"]
         sym.unpersist()
     out = mis_parts[0]
     for part in mis_parts[1:]:
@@ -373,7 +388,7 @@ def sssp(
             )
             .localCheckpoint()
         )
-        for _ in range(max_iterations):
+        for rnd in range(max_iterations):
             relaxed = (
                 dists.alias("d")
                 .join(adj.alias("e"), F.col("d.id") == F.col("e.src"))
@@ -392,9 +407,13 @@ def sssp(
                         | (F.coalesce(F.col("r.cand"), F.col("o.dist")) < F.col("o.dist"))
                     ).alias("changed"),
                 )
-                .localCheckpoint()
             )
-            changed = merged.agg(F.sum(F.col("changed").cast("int"))).first()[0]
+            # change count observed in-flight on the round's ONE job
+            obs = Observation(f"sssp_round_{rnd}")
+            merged = merged.observe(
+                obs, F.sum(F.col("changed").cast("int")).alias("n")
+            ).localCheckpoint()
+            changed = obs.get["n"]
             dists = merged.select("id", "dist")
             if not changed:
                 break
