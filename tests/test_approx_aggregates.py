@@ -31,7 +31,7 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 
 def test_approx_percentile_brackets_exact(spark, sf_dir):
     approx = {
-        r["l_linestatus"]: r["p50_approx"]
+        r["l_linestatus"]: r["p50"]
         for r in CATALOG["rel_approx_percentile"].fn(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
