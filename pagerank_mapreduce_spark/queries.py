@@ -1259,6 +1259,88 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_corpus_curation",
+    # The full curation pass a training-data pipeline runs, composed
+    # from individually-verified pieces: near-dup canonicalization
+    # (keep cluster minimum), language gate, quality gate, then
+    # per-document token counts for the kept set. Each CTE mirrors
+    # the oracle of its standalone query (dedup_canonical_docs,
+    # text_lang_counts, text_quality, text_stats).
+    f"""WITH RECURSIVE toks AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS t,
+                CAST(length(text) AS DOUBLE) AS len
+         FROM documents),
+       sh3 AS (
+         SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(len(t) - 2),
+                              i -> array_to_string(t[i+1:i+3], ' '))
+                  END) AS s
+         FROM toks),
+       p AS (
+         SELECT x.doc_id AS a, y.doc_id AS b
+         FROM sh3 x JOIN sh3 y ON x.doc_id < y.doc_id
+         WHERE len(list_intersect(x.s, y.s))
+               / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+               >= 0.5),
+       e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       reach AS (
+         SELECT src AS id, src AS lab FROM e
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON r.id = e.src),
+       comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+       lang AS (
+         SELECT doc_id,
+           len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+           len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+           len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+           len(list_filter(t, x -> list_contains(['el','la','que','de','es'], x))) AS s_es
+         FROM toks),
+       qual AS (
+         SELECT doc_id,
+                round(0.5 * least(len / 500.0, 1.0)
+                      + 0.5 * least(len(list_filter(t, x -> list_contains(
+                              {T.STOPWORDS_EN!r}, x)))
+                              / greatest(len(t), 1) * 4.0, 1.0)
+                      - 0.3 * least((len - length(regexp_replace(text,
+                              '[^a-zA-Z0-9_\\s]', '', 'g')))
+                              / greatest(len, 1.0) * 5.0, 1.0), 6) AS quality
+         FROM toks)
+    SELECT d.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens, q.quality
+    FROM documents d
+    JOIN toks tk ON d.doc_id = tk.doc_id
+    JOIN qual q ON d.doc_id = q.doc_id
+    JOIN lang l ON d.doc_id = l.doc_id
+    LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE coalesce(c.comp, d.doc_id) = d.doc_id
+      AND q.quality >= 0.4
+      AND NOT (l.s_en = 0 AND l.s_de = 0 AND l.s_fr = 0 AND l.s_es = 0)
+      AND l.s_en >= l.s_de AND l.s_en >= l.s_fr AND l.s_en >= l.s_es""",
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-canonical → language gate → quality gate → token counts:
+    # every stage is the same operator the standalone queries check
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(d, threshold=0.5)
+    canon = D.canonicalize(d, pairs)
+    return (
+        d.join(canon, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .withColumn("lang", T.lang_id("text"))
+        .withColumn("quality", T.quality_score("text"))
+        .filter((F.col("quality") >= 0.4) & (F.col("lang") == "en"))
+        .select(
+            "doc_id",
+            T.token_count("text").cast("bigint").alias("n_tokens"),
+            "quality",
+        )
+    )
+
+
+@_q(
     "text_fingerprint",
     """SELECT doc_id,
               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
