@@ -2378,6 +2378,42 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GA.triangles(derive_edges(spark, sf_dir, N_GRAPH))
 
 
+@_q(
+    "graph_vertex_extract",
+    f"""SELECT DISTINCT v FROM (
+          SELECT src AS v FROM ({_EDGES_SQL})
+          UNION ALL SELECT dst AS v FROM ({_EDGES_SQL})) t""",
+)
+def q_vertex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oink/vertex_extract.cpp: the distinct vertices of an edge list —
+    # one union + hash-distinct shuffle on the vertex id
+    e = derive_edges(spark, sf_dir, N_GRAPH)
+    return (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+
+@_q(
+    "graph_degree_weight",
+    f"""WITH e AS ({_EDGES_SQL}),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+        SELECT e.src, e.dst, round(CAST(1.0 AS DOUBLE) / d.deg, 9) AS w
+        FROM e JOIN d ON e.src = d.src""",
+)
+def q_degree_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oink/degree_weight.cpp: re-emit each edge weighted by the
+    # inverse degree of its source — PageRank's contribution
+    # normalization materialized as an edge attribute. Multi-edges
+    # keep their multiplicity, exactly like the reference's collate.
+    e = derive_edges(spark, sf_dir, N_GRAPH)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    return e.join(deg, "src").select(
+        "src", "dst", F.round(F.lit(1.0) / F.col("deg"), 9).alias("w")
+    )
+
+
 @_q("graph_luby_mis", None)  # iterative + hash priorities — rows-only
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invariants (independence, maximality) are pytest-checked in
