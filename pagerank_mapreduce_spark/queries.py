@@ -2379,6 +2379,30 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_vertex_triangles",
+    f"""WITH t AS ({GA.triangles_sql(_EDGES_SQL)})
+        SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (SELECT v1 AS v FROM t
+              UNION ALL SELECT v2 FROM t
+              UNION ALL SELECT v3 FROM t) x
+        GROUP BY v""",
+)
+def q_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oink/neigh_tri.cpp's per-vertex triangle membership (its
+    # neighbor-list augmentation keyed by the triangles each vertex
+    # sits in) reduced to the useful scalar: the local triangle count,
+    # the numerator of the clustering coefficient
+    t = GA.triangles(derive_edges(spark, sf_dir, N_GRAPH))
+    return (
+        t.select(F.col("v1").alias("v"))
+        .unionAll(t.select(F.col("v2").alias("v")))
+        .unionAll(t.select(F.col("v3").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+
+
+@_q(
     "graph_vertex_extract",
     f"""SELECT DISTINCT v FROM (
           SELECT src AS v FROM ({_EDGES_SQL})
