@@ -91,3 +91,30 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     sdf = CATALOG[name].fn(spark, sf_dir)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_driver_window_composition():
+    # The driver's correctness gate checks only the FIRST 50 catalog
+    # entries. Keep that window maximally hash-checked: every entry
+    # carries a DuckDB oracle except pagerank (golden-parity tested
+    # against the reference outputs instead), and the flagship
+    # operators stay inside the window. A new registration that
+    # displaces one of these must go through _DRIVER_WINDOW_DEMOTE.
+    window = list(CATALOG)[:50]
+    rows_only = [n for n in window if CATALOG[n].oracle is None]
+    assert rows_only == ["pagerank"], rows_only
+    for flagship in (
+        "graph_connected_components",
+        "graph_triangles",
+        "ts_asof_last_purchase",
+        "rel_q9_product_profit",
+        "rel_q21_waiting_supplier",
+        "text_winnow_fingerprints",
+        "skew_salted_agg",
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "sim_ivf_topk",
+        "stream_session",
+        "stream_stateful_totals",
+    ):
+        assert flagship in window, flagship
