@@ -39,6 +39,7 @@ def asof_join(
     by: str = "user_id",
     direction: str = "backward",
     prefix: str = "r_",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join; right payload columns come back ``prefix``ed
     (NULL where no right row qualifies).
@@ -47,6 +48,14 @@ def asof_join(
     by pre-reducing right to one row per (by, on) via max over the
     payload struct — same rule DuckDB's ASOF applies after its
     greatest-ts selection.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): the matched
+    right row must additionally lie within ``tolerance`` of the left
+    timestamp — in seconds when ``on`` is a timestamp, in ``on``'s
+    own units when numeric. A nearest-in-direction row beyond the
+    gap yields NULL (it does not fall back to an older row). Free at
+    scale: the right timestamp rides the carried struct, so the gap
+    check is a post-window projection — no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -55,6 +64,15 @@ def asof_join(
     right_u = (
         right.groupBy(by, on).agg(F.max(rp).alias("_rp"))
     )
+    if tolerance is not None:
+        # carry the right timestamp with the payload for the gap check
+        right_u = right_u.select(
+            by,
+            on,
+            F.struct(
+                F.col(on).cast("double").alias("_rt"), F.col("_rp").alias("_pl")
+            ).alias("_rp"),
+        )
     rp_type = right_u.schema["_rp"].dataType
 
     lp = F.struct(*[F.col(c) for c in left.columns])
@@ -91,6 +109,12 @@ def asof_join(
         .withColumn("_carried", F.last("_rp", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        gap = F.abs(F.col("_t").cast("double") - F.col("_carried._rt"))
+        joined = joined.withColumn(
+            "_carried",
+            F.when(gap <= F.lit(float(tolerance)), F.col("_carried._pl")),
+        )
     out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
         F.col(f"_carried.{c}").alias(f"{prefix}{c}") for c in payload_cols
     ]

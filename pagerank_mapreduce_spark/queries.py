@@ -3451,6 +3451,36 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_asof_tolerant",
+    # DuckDB ASOF picks the greatest at-or-before row; the tolerance
+    # rule then NULLs matches older than one hour instead of falling
+    # back further — pandas merge_asof semantics, mirrored exactly.
+    """SELECT e.event_id, e.user_id,
+              CASE WHEN p.ts IS NOT NULL
+                    AND date_diff('microsecond', p.ts, e.ts) <= 3600000000
+                   THEN p.value END AS r_value
+       FROM events e
+       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts) p
+         ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)
+def q_asof_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # most recent purchase at-or-before each event, but only if it
+    # happened within the last hour (tolerance = 3600 s)
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        left, right, on="ts", by="user_id", tolerance=3600.0
+    ).select("event_id", "user_id", "r_value")
+
+
+@_q(
     "ts_range_click_purchase",
     """SELECT a.event_id AS a_event_id, b.event_id AS b_event_id
        FROM events a, events b

@@ -77,3 +77,33 @@ def test_range_join_window_and_key_bounds(spark):
         for r in range_join(a, b, 1800.0).collect()  # 30 minutes
     }
     assert wide == {(100, 200), (100, 201), (101, 200), (101, 201)}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 205.0), (3, 2, 50.0)],
+        "event_id long, user_id long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(1, 95.0, 7.0), (1, 200.0, 9.0)], "user_id long, ts double, value double"
+    )
+    got = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance=10.0
+        ).collect()
+    }
+    # event 1: nearest preceding at 95 (gap 5 ≤ 10) → matched
+    # event 2: nearest preceding at 200 (gap 5) → matched, no fallback
+    # event 3: user 2 has no purchases → NULL
+    assert got == {1: 7.0, 2: 9.0, 3: None}
+    # tightening the tolerance nulls instead of falling back to 95
+    tight = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance=3.0
+        ).collect()
+    }
+    assert tight == {1: None, 2: None, 3: None}
