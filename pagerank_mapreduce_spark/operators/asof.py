@@ -57,8 +57,10 @@ def asof_join(
     scale: the right timestamp rides the carried struct, so the gap
     check is a post-window projection — no extra shuffle.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, prefix, tolerance)
     if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     payload_cols = [c for c in right.columns if c not in (by, on)]
     rp = F.struct(*[F.col(c) for c in payload_cols])
     right_u = (
@@ -119,6 +121,89 @@ def asof_join(
         F.col(f"_carried.{c}").alias(f"{prefix}{c}") for c in payload_cols
     ]
     return joined.select(*out_cols)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    prefix: str,
+    tolerance: float | None,
+) -> DataFrame:
+    """direction="nearest": the right row minimizing |gap|, ties →
+    backward (pandas merge_asof rule). Both directional carries are
+    computed over the SAME union frame with two window passes (one
+    ascending, one descending — two sorts, still one shuffle on the
+    key, never a pair space); the winner is a per-row projection."""
+    payload_cols = [c for c in right.columns if c not in (by, on)]
+    rp = F.struct(*[F.col(c) for c in payload_cols])
+    right_u = (
+        right.groupBy(by, on)
+        .agg(F.max(rp).alias("_pl"))
+        .select(
+            by,
+            on,
+            F.struct(
+                F.col(on).cast("double").alias("_rt"), F.col("_pl")
+            ).alias("_rp"),
+        )
+    )
+    rp_type = right_u.schema["_rp"].dataType
+    lp = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        lp.alias("_lp"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+    )
+    lp_type = l2.schema["_lp"].dataType
+    r2 = right_u.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lp_type).alias("_lp"),
+        F.col("_rp"),
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = (
+        l2.unionByName(r2)
+        .withColumn("_cb", F.last("_rp", ignorenulls=True).over(wb))
+        .withColumn("_cf", F.last("_rp", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    t = F.col("_t").cast("double")
+    gb = F.abs(t - F.col("_cb._rt"))
+    gf = F.abs(t - F.col("_cf._rt"))
+    chosen = (
+        F.when(F.col("_cb").isNull(), F.col("_cf"))
+        .when(F.col("_cf").isNull(), F.col("_cb"))
+        .when(gf < gb, F.col("_cf"))
+        .otherwise(F.col("_cb"))
+    )
+    j = j.withColumn("_c", chosen)
+    if tolerance is not None:
+        j = j.withColumn(
+            "_c",
+            F.when(
+                F.abs(t - F.col("_c._rt")) <= F.lit(float(tolerance)),
+                F.col("_c"),
+            ),
+        )
+    out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_c._pl.{c}").alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return j.select(*out_cols)
 
 
 def range_join(

@@ -3481,6 +3481,44 @@ def q_asof_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_asof_nearest",
+    # nearest = min |gap| across DuckDB's backward and forward ASOF
+    # picks, ties to backward (pandas merge_asof rule)
+    """WITH p AS (SELECT user_id, ts, max(value) AS value
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts),
+       b AS (SELECT e.event_id, e.user_id, e.ts, p.ts AS bts,
+                    p.value AS bval
+             FROM events e
+             ASOF LEFT JOIN p
+               ON e.user_id = p.user_id AND e.ts >= p.ts),
+       f AS (SELECT e.event_id, p.ts AS fts, p.value AS fval
+             FROM events e
+             ASOF LEFT JOIN p
+               ON e.user_id = p.user_id AND e.ts <= p.ts)
+    SELECT b.event_id, b.user_id,
+           CASE WHEN bts IS NULL THEN fval
+                WHEN fts IS NULL THEN bval
+                WHEN abs(date_diff('microsecond', fts, b.ts))
+                     < abs(date_diff('microsecond', bts, b.ts)) THEN fval
+                ELSE bval END AS r_value
+    FROM b JOIN f ON b.event_id = f.event_id""",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the closest purchase in either direction per event
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on="ts", by="user_id", direction="nearest").select(
+        "event_id", "user_id", "r_value"
+    )
+
+
+@_q(
     "ts_range_click_purchase",
     """SELECT a.event_id AS a_event_id, b.event_id AS b_event_id
        FROM events a, events b

@@ -107,3 +107,33 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert tight == {1: None, 2: None, 3: None}
+
+
+def test_asof_nearest_picks_min_gap_ties_backward(spark):
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 104.0), (3, 1, 150.0)],
+        "event_id long, user_id long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(1, 95.0, 7.0), (1, 105.0, 9.0)], "user_id long, ts double, value double"
+    )
+    got = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="nearest"
+        ).collect()
+    }
+    # 100: gaps 5/5 — tie goes backward (95 → 7.0)
+    # 104: forward 105 (gap 1) beats backward 95 (gap 9)
+    # 150: only backward candidates remain → 105 → 9.0
+    assert got == {1: 7.0, 2: 9.0, 3: 9.0}
+    # tolerance composes with nearest
+    tight = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="nearest", tolerance=2.0
+        ).collect()
+    }
+    assert tight == {1: None, 2: 9.0, 3: None}
