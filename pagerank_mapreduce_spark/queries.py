@@ -3800,60 +3800,55 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ============================================= driver-window ordering
+# ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
-# queries() (catalog order). Registration order above groups by theme,
-# which left flagship operators (graph algorithms, TPC-H Q9/Q21, asof
-# join, winnowing, skew salting) outside the checked window. Pull the
-# design-critical queries into the window explicitly; everything else
-# keeps registration order. Swapped out to make room: three of the
-# five stream_* batch-analogues (tumbling/sliding/dedup — session +
-# stateful_totals stay), rel_cube (rollup + grouping_sets cover the
-# family), rel_set_except (set-op family covered by intersect),
-# mr_topk_words (covered by mr_compress_wordcount + sort_values_topk)
-# and dedup_simhash_pairs (rows-only by nature — no hash signal lost).
-_DRIVER_WINDOW_PROMOTE = [
-    "graph_connected_components",
-    "graph_triangles",
+# queries(). To give EVERY catalog entry an external signal over the
+# build's rounds, the catalog is rotated so entries that have not yet
+# appeared in any CORRECTNESS_r*.json come first, in registration
+# order, with NO exclusions: rows-only entries rotate through on the
+# same terms as oracle-backed ones (the driver records the weaker
+# rows-only check for them, and the judge sees which). Entries that
+# already have a driver verdict follow, again in registration order,
+# so once the backlog drains the window naturally re-covers them.
+#
+# _DRIVER_CHECKED_THROUGH_R04 is the frozen union of names present in
+# the committed CORRECTNESS_r02..r04 files — a historical record, not
+# a policy knob. Extend it with each new round's checked names; never
+# remove names to steer a query back out of (or into) the window.
+_DRIVER_CHECKED_THROUGH_R04 = frozenset({
+    "dedup_canonical_docs", "dedup_exact", "dedup_minhash_pairs",
+    "dedup_simhash_pairs", "graph_connected_components", "graph_dangling",
+    "graph_out_degrees", "graph_rev_adjacency", "graph_triangles",
+    "graph_websize", "mr_add_union", "mr_clone",
+    "mr_collate", "mr_compress_sum", "mr_compress_wordcount",
+    "mr_convert_grouped", "mr_kv_stats", "mr_map_tasks",
+    "mr_scrunch", "mr_sort_keys", "mr_topk_words",
+    "pagerank", "rel_anti_join", "rel_approx_count_distinct",
+    "rel_broadcast_join", "rel_case_when", "rel_cube",
+    "rel_date_funcs", "rel_distinct_agg", "rel_grouping_sets",
+    "rel_json_funcs", "rel_math_funcs", "rel_q1_pricing",
+    "rel_q21_waiting_supplier", "rel_q9_product_profit", "rel_rollup",
+    "rel_semi_join", "rel_set_except", "rel_set_intersect",
+    "rel_sortmerge_join", "rel_string_funcs", "rel_top_revenue_orders",
+    "rel_window_moving", "rel_window_rank", "sim_cosine_topk",
+    "sim_embedding_near_dups", "sim_ivf_topk", "sim_lsh_topk",
+    "skew_salted_agg", "stream_dedup", "stream_session",
+    "stream_sliding", "stream_stateful_totals", "stream_tumbling",
+    "text_lang_counts", "text_stats", "text_winnow_fingerprints",
     "ts_asof_last_purchase",
-    "rel_q9_product_profit",
-    "rel_q21_waiting_supplier",
-    "text_winnow_fingerprints",
-    "skew_salted_agg",
-]
-_DRIVER_WINDOW_DEMOTE = [
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_dedup",
-    "rel_cube",
-    "rel_set_except",
-    "mr_topk_words",
-    # rows-only by nature (approx sketch) — the local parity test
-    # still row-checks it; its window slot goes to the now
-    # hash-checked dedup_simhash_pairs
-    "rel_approx_count_distinct",
-    # rows-only KMeans twin of the hash-checked sim_ivf_topk — keep
-    # the window slot for queries with a hard oracle signal
-    "sim_ivf_kmeans_topk",
-]
+})
 
 
-def _reorder_catalog() -> None:
-    assert not set(_DRIVER_WINDOW_PROMOTE) & set(_DRIVER_WINDOW_DEMOTE)
-    missing = (set(_DRIVER_WINDOW_PROMOTE) | set(_DRIVER_WINDOW_DEMOTE)) - set(
-        CATALOG
-    )
-    assert not missing, f"driver-window reorder names unknown queries: {missing}"
-    order = [n for n in CATALOG if n not in _DRIVER_WINDOW_DEMOTE]
-    head = [n for n in order[:50] if n not in _DRIVER_WINDOW_PROMOTE]
-    window = head[: 50 - len(_DRIVER_WINDOW_PROMOTE)] + _DRIVER_WINDOW_PROMOTE
-    spill = head[50 - len(_DRIVER_WINDOW_PROMOTE) :]
-    rest = [n for n in order[50:] if n not in _DRIVER_WINDOW_PROMOTE]
-    final = window + spill + _DRIVER_WINDOW_DEMOTE + rest
+def _rotate_catalog_for_coverage() -> None:
+    unknown = _DRIVER_CHECKED_THROUGH_R04 - set(CATALOG)
+    assert not unknown, f"checked-record names unknown queries: {unknown}"
+    unchecked = [n for n in CATALOG if n not in _DRIVER_CHECKED_THROUGH_R04]
+    checked = [n for n in CATALOG if n in _DRIVER_CHECKED_THROUGH_R04]
+    final = unchecked + checked
     assert sorted(final) == sorted(CATALOG)
     reordered = {n: CATALOG[n] for n in final}
     CATALOG.clear()
     CATALOG.update(reordered)
 
 
-_reorder_catalog()
+_rotate_catalog_for_coverage()
