@@ -28,8 +28,29 @@ task — pre-split such keys with operators.skew salting, or widen
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, TimestampNTZType, TimestampType
+
+
+def _exact_on(col: Column, dtype: DataType) -> Column:
+    """Gap-arithmetic basis for an ``on`` column: integer
+    microseconds for timestamps — double epoch-seconds carry ~0.25 µs
+    of ulp at 2026 epochs, enough to flip a ``gap <= tolerance``
+    comparison exactly at the boundary — and the column's own value
+    for numeric types."""
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp"))
+    return col
+
+
+def _tolerance_lit(tolerance: float, dtype: DataType) -> Column:
+    """``tolerance`` scaled to the same units as :func:`_exact_on`:
+    seconds → integer microseconds for timestamps, pass-through for
+    numeric ``on`` columns."""
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.lit(int(round(float(tolerance) * 1_000_000)))
+    return F.lit(float(tolerance))
 
 
 def asof_join(
@@ -66,13 +87,16 @@ def asof_join(
     right_u = (
         right.groupBy(by, on).agg(F.max(rp).alias("_rp"))
     )
+    on_type = right.schema[on].dataType
     if tolerance is not None:
-        # carry the right timestamp with the payload for the gap check
+        # carry the right timestamp (exact units) with the payload
+        # for the gap check
         right_u = right_u.select(
             by,
             on,
             F.struct(
-                F.col(on).cast("double").alias("_rt"), F.col("_rp").alias("_pl")
+                _exact_on(F.col(on), on_type).alias("_rt"),
+                F.col("_rp").alias("_pl"),
             ).alias("_rp"),
         )
     rp_type = right_u.schema["_rp"].dataType
@@ -112,10 +136,10 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
-        gap = F.abs(F.col("_t").cast("double") - F.col("_carried._rt"))
+        gap = F.abs(_exact_on(F.col("_t"), on_type) - F.col("_carried._rt"))
         joined = joined.withColumn(
             "_carried",
-            F.when(gap <= F.lit(float(tolerance)), F.col("_carried._pl")),
+            F.when(gap <= _tolerance_lit(tolerance, on_type), F.col("_carried._pl")),
         )
     out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
         F.col(f"_carried.{c}").alias(f"{prefix}{c}") for c in payload_cols
@@ -137,6 +161,7 @@ def _asof_nearest(
     ascending, one descending — two sorts, still one shuffle on the
     key, never a pair space); the winner is a per-row projection."""
     payload_cols = [c for c in right.columns if c not in (by, on)]
+    on_type = right.schema[on].dataType
     rp = F.struct(*[F.col(c) for c in payload_cols])
     right_u = (
         right.groupBy(by, on)
@@ -145,7 +170,7 @@ def _asof_nearest(
             by,
             on,
             F.struct(
-                F.col(on).cast("double").alias("_rt"), F.col("_pl")
+                _exact_on(F.col(on), on_type).alias("_rt"), F.col("_pl")
             ).alias("_rp"),
         )
     )
@@ -182,7 +207,7 @@ def _asof_nearest(
         .withColumn("_cf", F.last("_rp", ignorenulls=True).over(wf))
         .filter(F.col("_side") == 1)
     )
-    t = F.col("_t").cast("double")
+    t = _exact_on(F.col("_t"), on_type)
     gb = F.abs(t - F.col("_cb._rt"))
     gf = F.abs(t - F.col("_cf._rt"))
     chosen = (
@@ -196,7 +221,8 @@ def _asof_nearest(
         j = j.withColumn(
             "_c",
             F.when(
-                F.abs(t - F.col("_c._rt")) <= F.lit(float(tolerance)),
+                F.abs(t - F.col("_c._rt"))
+                <= _tolerance_lit(tolerance, on_type),
                 F.col("_c"),
             ),
         )
@@ -237,11 +263,18 @@ def range_join(
             "_b2"
         ),
     )
+    # candidate generation via double-precision buckets is robust to
+    # ulp error (the left side explodes to ±1 adjacent buckets); the
+    # FINAL predicate is exact — integer microseconds for timestamps
+    on_type = right.schema[on].dataType
     pairs = l2.join(
         r2, (F.col("_k") == F.col("_k2")) & (F.col("_b") == F.col("_b2"))
     ).filter(
-        F.abs(F.col("_lt").cast("double") - F.col("_rt").cast("double"))
-        <= F.lit(float(width_seconds))
+        F.abs(
+            _exact_on(F.col("_lt"), on_type)
+            - _exact_on(F.col("_rt"), on_type)
+        )
+        <= _tolerance_lit(width_seconds, on_type)
     )
     out = [F.col(f"_lp.{c}").alias(f"{l_prefix}{c}") for c in left.columns] + [
         F.col(f"_rp2.{c}").alias(f"{r_prefix}{c}") for c in right.columns

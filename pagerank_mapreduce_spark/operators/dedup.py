@@ -23,6 +23,8 @@ invariant tests, while exact dedup has a full DuckDB oracle.
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -263,29 +265,56 @@ def minhash_lsh_candidates(
     return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
-_obs_counter = 0
-
-
-def _hot_bucket_guard(members: DataFrame, cap: int | None) -> DataFrame:
-    """Drop buckets larger than ``cap`` members before pair explosion,
-    publishing the drop count as a named ``observe()`` metric (a
-    CollectMetrics node — zero extra jobs; read it from a
-    QueryExecutionListener / StreamingQueryListener). A hot bucket of
-    size m would emit m·(m-1)/2 pairs; at 100 TB one boilerplate
-    clique is an executor OOM, and its members still reach each other
-    through their other, more selective bands."""
+def _hot_bucket_guard(
+    members: DataFrame, cap: int | None, members_col: str
+) -> DataFrame:
+    """Drop buckets whose ``members_col`` array exceeds ``cap``
+    entries before pair explosion, publishing the drop count as a
+    named ``observe()`` metric (a CollectMetrics node — zero extra
+    jobs; read it from a QueryExecutionListener /
+    StreamingQueryListener). A hot bucket of size m would emit
+    m·(m-1)/2 pairs; at 100 TB one boilerplate clique is an executor
+    OOM, and its members still reach each other through their other,
+    more selective bands. The metric name embeds ``members_col`` plus
+    a per-call uuid so concurrent builds never collide on
+    observation names."""
     if cap is None:
         return members
-    global _obs_counter
-    _obs_counter += 1
-    size_col = F.size(members.columns[-1])
+    size_col = F.size(members_col)
+    name = f"hot_buckets_{members_col}_{uuid4().hex[:8]}"
     return members.observe(
-        f"lsh_hot_buckets_{_obs_counter}",
+        name,
         F.sum(F.when(size_col > cap, 1).otherwise(0)).alias("dropped_buckets"),
         F.sum(F.when(size_col > cap, size_col).otherwise(0)).alias(
             "dropped_members"
         ),
     ).filter(size_col <= cap)
+
+
+def _explode_member_pairs(members: DataFrame, members_col: str) -> DataFrame:
+    """Sorted member array → all (a, b) pairs with a < b, JVM-side
+    (array higher-order functions, no Python). One output row per
+    in-bucket pair; callers dedup across buckets if members can
+    co-occur in more than one."""
+    return members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    members_col,
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col(members_col),
+                            i + 2,
+                            F.greatest(
+                                F.size(members_col) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
 
 
 def _bucket_pairs(
@@ -297,23 +326,8 @@ def _bucket_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    members = _hot_bucket_guard(members, max_bucket_size)
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.a", "p.b").distinct()
+    members = _hot_bucket_guard(members, max_bucket_size, "ids")
+    return _explode_member_pairs(members, "ids").distinct()
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
@@ -500,7 +514,7 @@ def simhash_candidates(
         )
         .filter(F.size("ms") > 1)
     )
-    members = _hot_bucket_guard(members, max_bucket_size)
+    members = _hot_bucket_guard(members, max_bucket_size, "ms")
     pairs = members.select(
         F.explode(
             F.flatten(

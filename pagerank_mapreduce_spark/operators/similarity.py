@@ -149,11 +149,15 @@ def ivf_sampled_build(
     codebook builds are inherently driver-side (KMeans does the
     same for its cluster centers)."""
     rows = (
-        embeddings.filter(F.col(id_col) < n_lists)
-        .select(id_col, vec_col)
+        embeddings.select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(n_lists)
         .collect()
     )
+    if len(rows) < n_lists:
+        raise ValueError(
+            f"ivf_sampled_build: {len(rows)} vectors < n_lists={n_lists}"
+        )
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
     dists = F.array(
         *[
@@ -204,33 +208,59 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join: only
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     same-bucket pairs are scored (plus nothing else — recall traded
     for the absence of a cross join). Output (a, b, cos).
 
+    Pair generation goes through the same capped members/explode
+    shape as MinHash/SimHash (``_hot_bucket_guard``): a degenerate
+    corpus (many identical embeddings → one hot bucket) would turn a
+    raw bucket self-join quadratic; with the cap, oversize buckets
+    are dropped whole (with an ``observe`` drop metric) before any
+    pair exists. Vectors are then equi-joined back by id for scoring,
+    so only surviving candidates ever pay the cosine.
+
     Pass ``dim`` (the embedding width) to keep the operator fully
     lazy; when omitted, one ``first()`` driver action sniffs it."""
+    from pagerank_mapreduce_spark.operators.dedup import (
+        _explode_member_pairs,
+        _hot_bucket_guard,
+    )
+
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     b = lsh_bucketize(embeddings, dim, n_planes, seed, vec_col)
-    l, r = b.alias("l"), b.alias("r")
+    members = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    members = _hot_bucket_guard(members, max_bucket_size, "ids")
+    # single bucketization → each id is in exactly one bucket, so
+    # pairs are already distinct (unlike the multi-band LSH case)
+    pairs = _explode_member_pairs(members, "ids")
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("a"), F.col("_v").alias("_va")
+            ),
+            "a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("b"), F.col("_v").alias("_vb")
+            ),
+            "b",
         )
         .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.round(
-                cosine(
-                    F.col(f"l.{vec_col}").cast("array<double>"),
-                    F.col(f"r.{vec_col}").cast("array<double>"),
-                ),
-                8,
-            ).alias("cos"),
+            "a",
+            "b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 8).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

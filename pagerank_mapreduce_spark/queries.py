@@ -912,7 +912,8 @@ def _ivf_probe_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 10) -> str:
     semantics exactly — an honest oracle for an ANN operator."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_lists}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY vec_id LIMIT {n_lists}),
     a AS (SELECT e.vec_id, e.v, c.cid,
                  row_number() OVER (PARTITION BY e.vec_id
                                     ORDER BY list_distance(e.v, c.cv), c.cid)

@@ -109,6 +109,33 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert tight == {1: None, 2: None, 3: None}
 
 
+def test_asof_tolerance_exact_at_boundary_microseconds(spark):
+    # gap EXACTLY equal to the tolerance must match (<=), including
+    # with odd-microsecond timestamps where double epoch-seconds
+    # carry ~0.25 µs of ulp and could flip the comparison. Gap here:
+    # exactly 1 second, timestamps with a .000001 fractional part.
+    lt = datetime(2026, 1, 1, 12, 0, 1, 1)
+    rt = datetime(2026, 1, 1, 12, 0, 0, 1)
+    left = spark.createDataFrame(
+        [(1, lt, "x")], "user_id BIGINT, ts TIMESTAMP, name STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, rt, 7.0)], "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    for direction in ("backward", "nearest"):
+        rows = asof_join(
+            left, right, on="ts", by="user_id",
+            direction=direction, tolerance=1.0,
+        ).collect()
+        assert rows[0]["r_value"] == 7.0, direction
+        # one microsecond past the tolerance → NULL
+        rows = asof_join(
+            left, right, on="ts", by="user_id",
+            direction=direction, tolerance=0.999999,
+        ).collect()
+        assert rows[0]["r_value"] is None, direction
+
+
 def test_asof_nearest_picks_min_gap_ties_backward(spark):
     from pagerank_mapreduce_spark.operators.asof import asof_join
 

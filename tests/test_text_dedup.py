@@ -198,6 +198,40 @@ def test_hot_bucket_cap_bounds_pair_explosion(spark):
     assert D.simhash_candidates(df, max_bucket_size=None).count() == 12 * 11 // 2
 
 
+def test_embedding_near_dups_hot_bucket_cap(spark):
+    # 12 identical embeddings all land in one LSH bucket — the
+    # degenerate corpus that would turn a raw bucket self-join
+    # quadratic. With the cap below the clique size the bucket is
+    # dropped whole (0 pairs); uncapped, all 66 pairs score 1.0.
+    vec = [1.0] * 8
+    rows = [(i, vec) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    uncapped = S.embedding_near_dups(
+        emb, threshold=0.99, n_planes=4, dim=8, max_bucket_size=None
+    )
+    assert uncapped.count() == 12 * 11 // 2
+
+    capped = S.embedding_near_dups(
+        emb, threshold=0.99, n_planes=4, dim=8, max_bucket_size=4
+    )
+    assert capped.count() == 0
+
+    # a small bucket elsewhere survives the cap: two near-identical
+    # vectors pointing away from the clique still pair up
+    rows += [(100, [-1.0] * 8), (101, [-1.0] * 7 + [-0.9])]
+    emb2 = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in S.embedding_near_dups(
+            emb2, threshold=0.99, n_planes=4, dim=8, max_bucket_size=4
+        ).collect()
+    }
+    assert pairs == {(100, 101)}
+
+
 def test_hot_bucket_cap_keeps_pairs_from_selective_bands(spark):
     # Two docs share all bands (true near-dups) while a hot clique
     # floods one synthetic bucket: capping must drop the clique's
