@@ -22,8 +22,11 @@ per bucket| instead of |L|×|R| per key.
 
 Skew: both shuffle on the ``by`` key; a pathologically hot key
 (half the stream from one user) concentrates its sort/join on one
-task — pre-split such keys with operators.skew salting, or widen
-``by`` with a coarse time component.
+task. Window partitions are invisible to AQE's skew handling, so the
+engine ships the mitigation composed: :func:`asof_join_bucketed`
+salts the window key with a coarse time bucket and restores
+exactness with a cross-boundary carry — same results, hot key spread
+over |buckets| tasks.
 """
 
 from __future__ import annotations
@@ -145,6 +148,146 @@ def asof_join(
         F.col(f"_carried.{c}").alias(f"{prefix}{c}") for c in payload_cols
     ]
     return joined.select(*out_cols)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    direction: str = "backward",
+    prefix: str = "r_",
+    tolerance: float | None = None,
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Skew-safe as-of join: identical semantics to :func:`asof_join`
+    (directions "backward"/"forward"), but the window key is salted
+    with a coarse time bucket — ``(by, floor(on / bucket_seconds))``
+    — so a pathologically hot ``by`` key (half the stream from one
+    user) no longer serializes its sort/carry on a single task.
+    Window partitions are invisible to AQE skew handling, so this is
+    the one operator where that salt must be composed by hand.
+
+    Exactness across bucket boundaries is restored with a two-pass
+    carry:
+
+    1. within each (key, bucket): the plain running
+       ``last(ignorenulls)`` carry;
+    2. per (key, bucket), the boundary right row (latest for
+       backward, earliest for forward) is reduced to a one-row
+       summary; a second window over that *tiny* bucket relation
+       (rows = distinct buckets per key, ``rowsBetween(…, -1)`` so a
+       bucket never sees itself) computes the carry *entering* each
+       bucket, which is equi-joined back on (key, bucket) and
+       coalesced under the within-bucket carry.
+
+    Cost: the same single wide shuffle as the plain path but on the
+    salted key, plus one window+join over the bucket summary — a
+    relation ~|buckets| in size (a year of one hot key at 1-hour
+    buckets is 8 760 rows). Pick ``bucket_seconds`` so the hot key's
+    rows-per-bucket is around your target partition size.
+
+    direction="nearest" is not offered here: it needs both carries
+    and the salt would double the boundary machinery — use the plain
+    path, which is only skewed if one ``by`` key dominates *and*
+    needs nearest semantics."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            "asof_join_bucketed supports direction 'backward' or 'forward'"
+        )
+    backward = direction == "backward"
+    on_type = right.schema[on].dataType
+    payload_cols = [c for c in right.columns if c not in (by, on)]
+    rp = F.struct(*[F.col(c) for c in payload_cols])
+    right_u = (
+        right.groupBy(by, on)
+        .agg(F.max(rp).alias("_pl"))
+        .select(
+            by,
+            on,
+            F.struct(
+                _exact_on(F.col(on), on_type).alias("_rt"), F.col("_pl")
+            ).alias("_rp"),
+        )
+    )
+    rp_type = right_u.schema["_rp"].dataType
+
+    if isinstance(on_type, (TimestampType, TimestampNTZType)):
+        width = F.lit(int(round(float(bucket_seconds) * 1_000_000)))
+    else:
+        width = F.lit(float(bucket_seconds))
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(_exact_on(c, on_type) / width).cast("long")
+
+    lp = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        _bucket(F.col(on)).alias("_b"),
+        F.lit(1).alias("_side"),
+        lp.alias("_lp"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+    )
+    lp_type = l2.schema["_lp"].dataType
+    r2 = right_u.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        _bucket(F.col(on)).alias("_b"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lp_type).alias("_lp"),
+        F.col("_rp"),
+    )
+    u = l2.unionByName(r2)
+    order = (
+        [F.col("_t").asc(), F.col("_side").asc()]
+        if backward
+        else [F.col("_t").desc(), F.col("_side").asc()]
+    )
+    w_in = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_cin", F.last("_rp", ignorenulls=True).over(w_in))
+
+    # pass 2: boundary right row per (key, bucket) → carry entering
+    # each bucket. Struct max/min orders by the leading _rt field.
+    bx = F.struct(F.col("_rp._rt").alias("_o"), F.col("_rp").alias("_s"))
+    rsum = (
+        r2.groupBy("_k", "_b")
+        .agg((F.max(bx) if backward else F.min(bx)).alias("_bx"))
+        .select("_k", "_b", F.col("_bx._s").alias("_brp"))
+    )
+    buckets = u.select("_k", "_b").distinct()
+    w_x = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_b").asc() if backward else F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    entering = (
+        buckets.join(rsum, ["_k", "_b"], "left")
+        .withColumn("_cent", F.last("_brp", ignorenulls=True).over(w_x))
+        .select("_k", "_b", "_cent")
+    )
+
+    j = (
+        u.filter(F.col("_side") == 1)
+        .join(entering, ["_k", "_b"], "left")
+        .withColumn("_carried", F.coalesce(F.col("_cin"), F.col("_cent")))
+    )
+    if tolerance is not None:
+        gap = F.abs(_exact_on(F.col("_t"), on_type) - F.col("_carried._rt"))
+        j = j.withColumn(
+            "_carried",
+            F.when(
+                gap <= _tolerance_lit(tolerance, on_type), F.col("_carried")
+            ),
+        )
+    out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_carried._pl.{c}").alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return j.select(*out_cols)
 
 
 def _asof_nearest(

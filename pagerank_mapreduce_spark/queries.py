@@ -3801,6 +3801,33 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_asof_bucketed",
+    # same semantics as ts_asof_last_purchase — the skew-safe variant
+    # must be indistinguishable from the plain path on any input
+    """SELECT e.event_id, e.user_id, p.value AS r_value
+       FROM events e
+       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts) p
+         ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the hot-key-salted as-of join (window key widened with a coarse
+    # time bucket + cross-boundary carry) against the plain path's
+    # DuckDB ASOF oracle: exact-equivalence is the whole contract
+    from pagerank_mapreduce_spark.operators.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_bucketed(
+        left, right, on="ts", by="user_id", bucket_seconds=86400.0
+    ).select("event_id", "user_id", "r_value")
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

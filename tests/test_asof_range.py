@@ -3,9 +3,13 @@ the fixture-scale backward case; these pin the edge semantics)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
-from pagerank_mapreduce_spark.operators.asof import asof_join, range_join
+from pagerank_mapreduce_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+    range_join,
+)
 
 
 def _ts(m):
@@ -164,3 +168,84 @@ def test_asof_nearest_picks_min_gap_ties_backward(spark):
         ).collect()
     }
     assert tight == {1: None, 2: 9.0, 3: None}
+
+
+def _hot_key_frames(spark):
+    # one pathologically hot user (most of the stream) + a few cold
+    # ones; right rows sparse so most buckets have NO right row and
+    # the cross-boundary carry must reach back several buckets
+    base = datetime(2026, 1, 1)
+    lrows, rrows = [], []
+    eid = 0
+    for m in range(0, 600, 7):  # hot key 1: left every 7 min over 10 h
+        lrows.append((eid, 1, base + timedelta(minutes=m)))
+        eid += 1
+    for m in (3, 290):  # only two right rows, hours apart
+        rrows.append((1, base + timedelta(minutes=m), float(m)))
+    for u in (2, 3):  # cold keys
+        lrows.append((eid, u, base + timedelta(minutes=50 * u)))
+        eid += 1
+        rrows.append((u, base + timedelta(minutes=10 * u), float(u)))
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp, value double"
+    )
+    return left, right
+
+
+def test_asof_bucketed_matches_plain_on_hot_key(spark):
+    left, right = _hot_key_frames(spark)
+    for direction in ("backward", "forward"):
+        for tol in (None, 600.0):
+            plain = {
+                r["event_id"]: r["r_value"]
+                for r in asof_join(
+                    left, right, on="ts", by="user_id",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            bucketed = {
+                r["event_id"]: r["r_value"]
+                for r in asof_join_bucketed(
+                    left, right, on="ts", by="user_id",
+                    direction=direction, tolerance=tol,
+                    bucket_seconds=1800.0,  # 20 buckets over the 10 h
+                ).collect()
+            }
+            assert bucketed == plain, (direction, tol)
+    # sanity: some matches are non-NULL and some cross a bucket
+    # boundary (right row at minute 3, left rows hours later)
+    plain = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert plain[20] == 3.0  # left at minute 140, carried from minute 3
+
+
+def test_asof_bucketed_salts_the_hot_key(spark):
+    # the point of the variant: the hot key's window work spreads
+    # over many (key, bucket) groups instead of one
+    left, right = _hot_key_frames(spark)
+    from pyspark.sql import functions as F
+
+    n_groups = (
+        left.filter(F.col("user_id") == 1)
+        .select(
+            F.floor(
+                F.unix_micros("ts") / F.lit(int(1800.0 * 1e6))
+            ).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups >= 20
+
+
+def test_asof_bucketed_rejects_nearest(spark):
+    left, right = _hot_key_frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join_bucketed(left, right, direction="nearest")
