@@ -2363,6 +2363,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_cc_star",
+    f"WITH RECURSIVE {_CC_ORACLE_CTES} SELECT id, comp FROM comps",
+)
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the O(log² n)-round large-star/small-star alternation — same
+    # zones as cc_find / connected_components, diameter-independent
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return GA.connected_components_star(edges)
+
+
+@_q(
     "graph_cc_sizes",
     f"""WITH RECURSIVE {_CC_ORACLE_CTES}
        SELECT size, count(*) AS n_comps FROM (

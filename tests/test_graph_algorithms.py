@@ -35,6 +35,41 @@ def test_connected_components_known(spark):
     assert comps == {0: 0, 1: 0, 2: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 7, 9: 7}
 
 
+def test_cc_star_matches_label_propagation(spark):
+    comps = {
+        r["id"]: r["comp"]
+        for r in GA.connected_components_star(_edges(spark, PAIRS)).collect()
+    }
+    assert comps == {0: 0, 1: 0, 2: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 7, 9: 7}
+
+
+def test_cc_star_long_chain_converges_sublinearly(spark):
+    # a 400-vertex chain has diameter 399: min-label propagation
+    # needs 399 rounds; the star alternation must finish in O(log² n)
+    # — give it 12 rounds and require the exact answer
+    n = 400
+    chain = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    comps = {
+        r["id"]: r["comp"]
+        for r in GA.connected_components_star(
+            chain, max_iterations=12
+        ).collect()
+    }
+    assert comps == {i: 0 for i in range(n)}
+
+
+def test_cc_star_two_components_and_dups(spark):
+    # duplicate + reversed edges, two chains — representatives are
+    # the per-component min ids, same contract as cc_find zones
+    pairs = [(10, 11), (11, 10), (11, 12), (20, 21), (21, 22), (22, 23)]
+    comps = {
+        r["id"]: r["comp"]
+        for r in GA.connected_components_star(_edges(spark, pairs)).collect()
+    }
+    assert comps == {10: 10, 11: 10, 12: 10,
+                     20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_cc_sizes_known(spark):
     sizes = {
         r["size"]: r["n_comps"]
