@@ -154,16 +154,29 @@ def _pagerank_loop(
         .persist()
     )
 
-    # init e1: pr[0] = 1 (mr-pr-cpp.cpp:128)
-    pr = vdeg.select(
-        "id",
-        "deg",
-        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank"),
-    ).localCheckpoint()
+    # init e1: pr[0] = 1 (mr-pr-cpp.cpp:128). Vertex 0's out-degree —
+    # needed for the pre-loop dangling mass below — rides the
+    # checkpoint job as an Observation, like the in-loop stats: no
+    # separate driver action.
+    init_obs = Observation("pr_init")
+    pr = (
+        vdeg.select(
+            "id",
+            "deg",
+            F.when(F.col("id") == 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+        .observe(
+            init_obs,
+            F.sum(F.when(F.col("id") == 0, F.col("deg"))).alias("deg0"),
+        )
+        .localCheckpoint()
+    )
 
     # Pre-loop stats of the init vector: sum = 1; dangling mass is 1
     # iff vertex 0 has no outgoing links.
-    deg0 = vdeg.filter(F.col("id") == 0).first()["deg"]
+    deg0 = init_obs.get["deg0"]
     sum_pr = 1.0
     dangling_pr = 1.0 if deg0 == 0 else 0.0
 

@@ -55,10 +55,12 @@ def scan_is_pruned(df: DataFrame) -> bool:
     """True iff the (filtered) scan plan carries a non-empty
     PartitionFilters clause — the assertion that a partition-column
     predicate actually prunes instead of surviving as a row filter.
-    Plan-audit helper used by tests; cheap (string inspection, no
-    job)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    Plan-audit helper used by tests; cheap (string inspection of the
+    formatted explain — same stable surface as plans.audit, no
+    private JVM internals, no job)."""
     import re
 
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    from pagerank_mapreduce_spark.plans.audit import formatted_plan
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
     return bool(m and m.group(1).strip())
