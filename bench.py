@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "graph_triangles",
     "text_winnow_fingerprints",
     "ts_asof_last_purchase",
+    # round-5 additions (new keys; the 17 above stay comparable
+    # round-over-round)
+    "graph_cc_star",
+    "ts_asof_bucketed",
 ]
 
 
