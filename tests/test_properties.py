@@ -148,3 +148,69 @@ def test_minhash_signature_deterministic_and_self_similar(spark, text):
     sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
     if sigs:  # whitespace-only text yields no shingle rows
         assert sigs.get(0) == sigs.get(1)
+
+
+@SPARK_SETTINGS
+@given(edges=edge_lists)
+def test_cc_star_equals_label_propagation(spark, edges):
+    # the two CC round structures must produce identical labelings on
+    # any graph: self-loops, duplicates, disconnected pieces included
+    from pagerank_mapreduce_spark.graph import algorithms as GA
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    lp = {
+        r["id"]: r["comp"]
+        for r in GA.connected_components(df).collect()
+    }
+    star = {
+        r["id"]: r["comp"]
+        for r in GA.connected_components_star(df).collect()
+    }
+    assert star == lp
+
+
+asof_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (key, ts)
+    min_size=1,
+    max_size=40,
+)
+
+
+@SPARK_SETTINGS
+@given(lrows=asof_events, rrows=asof_events)
+def test_asof_bucketed_equals_plain(spark, lrows, rrows):
+    # the skew-safe variant must be indistinguishable from the plain
+    # path on any input, in both directions, with and without
+    # tolerance — numeric `on` column, bucket width chosen so events
+    # straddle many buckets
+    from pagerank_mapreduce_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(lrows)],
+        "event_id long, user_id long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(k, float(t), float(i)) for i, (k, t) in enumerate(rrows)],
+        "user_id long, ts double, value double",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, 50.0):
+            plain = {
+                r["event_id"]: r["r_value"]
+                for r in asof_join(
+                    left, right, on="ts", by="user_id",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            bucketed = {
+                r["event_id"]: r["r_value"]
+                for r in asof_join_bucketed(
+                    left, right, on="ts", by="user_id",
+                    direction=direction, tolerance=tol,
+                    bucket_seconds=64.0,
+                ).collect()
+            }
+            assert bucketed == plain, (direction, tol)
