@@ -102,3 +102,28 @@ def test_plan_audit_summary_shape(spark, sf_dir):
     }
     # pure scan-filter-agg: the single exchange is the 1-row final agg
     assert audit["exchanges"] == 1
+
+
+def test_asof_bucketed_plan_is_equi_join_only(spark, sf_dir):
+    # the skew-safe as-of join must stay in equi-join + window land:
+    # a BroadcastNestedLoopJoin or CartesianProduct would mean the
+    # bucket salt or boundary-carry join degenerated into pair space
+    df = _q(spark, sf_dir, "ts_asof_bucketed")
+    js = join_strategies(df)
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0, js
+    assert js.get("CartesianProduct", 0) == 0, js
+    # the window key is salted: partition spec includes the bucket
+    plan = formatted_plan(df)
+    assert "_b" in plan
+
+
+def test_embedding_near_dups_plan_is_equi_join_only(spark, sf_dir):
+    # post-guard pair generation: bucket groupBy + explode + two
+    # id equi-joins — never a theta self-join over vectors
+    df = _q(spark, sf_dir, "sim_embedding_near_dups")
+    js = join_strategies(df)
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0, js
+    assert js.get("CartesianProduct", 0) == 0, js
+    plan = formatted_plan(df)
+    # the hot-bucket drop metric is attached
+    assert "CollectMetrics" in plan or "hot_buckets" in plan
