@@ -3813,6 +3813,37 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_asof_enrich",
+    # batch form of the streaming as-of enrichment (horizon-bounded
+    # as-of = as-of with tolerance): same DuckDB ASOF oracle shape as
+    # ts_asof_tolerant, 1 h horizon
+    """SELECT e.event_id, e.user_id,
+              CASE WHEN p.ts IS NOT NULL
+                    AND date_diff('microsecond', p.ts, e.ts) <= 3600000000
+                   THEN p.value END AS r_value
+       FROM events e
+       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts) p
+         ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical expression runs under readStream (append mode, two
+    # chained stateful ops) — test_streaming_joins.py drives the real
+    # stream; the oracle checks the batch form, module convention
+    from pagerank_mapreduce_spark.streaming.joins import asof_enrich_stream
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_enrich_stream(
+        left, right, by="user_id", on="ts", horizon_seconds=3600
+    ).select("event_id", "user_id", "r_value")
+
+
+@_q(
     "ts_asof_bucketed",
     # same semantics as ts_asof_last_purchase — the skew-safe variant
     # must be indistinguishable from the plain path on any input

@@ -61,3 +61,61 @@ def interval_join_streams(
         )
     )
     return l.join(r, cond, "inner")
+
+
+def asof_enrich_stream(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    horizon_seconds: int = 3600,
+    watermark: str = "2 hours",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Streaming as-of enrichment: for each left event, the LATEST
+    right event at-or-before it within ``horizon_seconds`` — the
+    as-of join with tolerance=horizon (operators/asof.py semantics),
+    re-expressed for unbounded inputs. The bounded lookback is not a
+    compromise but the state contract: an unbounded streaming as-of
+    would require keeping every key's last right row forever, while
+    the horizon lets the interval join evict both sides' buffers once
+    the watermark passes.
+
+    Shape: interval-join candidates (r.on in [l.on - horizon, l.on]),
+    then a max-struct reduce per left row — two chained stateful
+    operators (join + aggregation) in append mode, which Structured
+    Streaming supports with watermark propagation; the left event
+    time stays in the grouping key so aggregation state also evicts
+    by watermark. Valid for batch inputs unchanged (the module
+    convention), where it must equal
+    ``asof_join(..., tolerance=horizon_seconds)`` exactly — the
+    batch-parity test asserts that."""
+    payload_cols = [c for c in right.columns if c not in (by, on)]
+    l = left.alias("l")
+    r = right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(on, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(on, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col(f"r.{on}") <= F.col(f"l.{on}"))
+        & (
+            F.unix_micros(F.col(f"r.{on}"))
+            >= F.unix_micros(F.col(f"l.{on}"))
+            - horizon_seconds * 1_000_000
+        )
+    )
+    j = l.join(r, cond, "left_outer")
+    grp = [F.col(f"l.{c}") for c in left.columns]
+    best = F.max(
+        F.struct(
+            F.col(f"r.{on}").alias("_rt"),
+            *[F.col(f"r.{c}").alias(c) for c in payload_cols],
+        )
+    ).alias("_best")
+    out = j.groupBy(*grp).agg(best)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_best.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )

@@ -59,3 +59,74 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         (r["event_id"], r["p_id"]) for r in spark.table("ssj_sink").collect()
     }
     assert got == want
+
+
+def _asof_sides(df):
+    lhs = df.select("event_id", "user_id", "ts")
+    rhs = df.filter(df.event_type == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return lhs, rhs
+
+
+def test_asof_enrich_batch_equals_asof_join_with_tolerance(spark, sf_dir):
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+    from pagerank_mapreduce_spark.streaming.joins import asof_enrich_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    lhs, rhs = _asof_sides(ev)
+    want = {
+        (r["event_id"], r["r_value"])
+        for r in asof_join(
+            lhs, rhs, on="ts", by="user_id", tolerance=3600.0
+        ).select("event_id", "r_value").collect()
+    }
+    got = {
+        (r["event_id"], r["r_value"])
+        for r in asof_enrich_stream(
+            lhs, rhs, by="user_id", on="ts", horizon_seconds=3600
+        ).select("event_id", "r_value").collect()
+    }
+    assert got == want
+
+
+def test_asof_enrich_stream_matches_batch(spark, sf_dir):
+    # append-mode parity is exact up to the final watermark: rows
+    # whose event time is within the watermark of the stream's max
+    # timestamp are legitimately still in state when availableNow
+    # drains — everything emitted must match the batch answer, and
+    # everything older than (max_ts - watermark) must be emitted
+    import datetime
+
+    from pagerank_mapreduce_spark.streaming.joins import asof_enrich_stream
+
+    ev_b = load_table(spark, sf_dir, "events")
+    lb, rb = _asof_sides(ev_b)
+    want = {
+        r["event_id"]: (r["ts"], r["r_value"])
+        for r in asof_enrich_stream(lb, rb)
+        .select("event_id", "ts", "r_value")
+        .collect()
+    }
+    ev_s = read_events_stream(spark, sf_dir)
+    ls, rs = _asof_sides(ev_s)
+    q = run_to_memory_sink(
+        asof_enrich_stream(ls, rs).select("event_id", "ts", "r_value"),
+        "asof_sink",
+        mode="append",
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["ts"], r["r_value"])
+        for r in spark.table("asof_sink").collect()
+    }
+    # every emitted row equals the batch row
+    for eid, row in got.items():
+        assert row == want[eid], eid
+    # completeness below the final watermark (2 h default)
+    max_ts = max(ts for ts, _ in want.values())
+    boundary = max_ts - datetime.timedelta(hours=2)
+    overdue = {eid for eid, (ts, _) in want.items() if ts <= boundary}
+    missing = overdue - set(got)
+    assert not missing, f"{len(missing)} pre-watermark rows not emitted"
+    assert len(got) > 0.9 * len(want)
