@@ -345,7 +345,12 @@ def triangles_sql(edges_sql: str) -> str:
 # ------------------------------------------------ Luby maximal independent set
 
 
-def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> DataFrame:
+def luby_mis(
+    edges: DataFrame,
+    seed: int = 12345,
+    max_iterations: int = 200,
+    priority: str = "xxhash64",
+) -> DataFrame:
     """Luby's maximal independent set (oink/luby_find.cpp, seed from
     examples/in.luby): every round, each active vertex draws a random
     priority; local minima among active neighbors join the set; winners
@@ -358,6 +363,12 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
     (hash, id), totally ordered, so two neighbors can never both win.
     Isolated vertices join the set in round one. Returns (id BIGINT)
     — the members of the MIS.
+
+    ``priority="portable"`` swaps the per-round hash for the md5-based
+    60-bit hash of ``"<id>:<seed+round>"`` (the same cross-engine trick
+    as ``dedup.portable_hash60``) so :func:`luby_oracle_sql` can replay
+    the entire fixed point in DuckDB — crypto-hash slower, used where
+    external verification matters more than speed.
     """
     und = edge_upper(edges)
     with _loop_confs(und):
@@ -392,9 +403,21 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
             # extra job at all (limit(1).count() planned one per round)
             if active_n == 0:
                 break
-            pri = active.select(
-                "id", F.xxhash64("id", F.lit(seed + rnd)).alias("p")
-            )
+            if priority == "portable":
+                from pagerank_mapreduce_spark.operators.dedup import (
+                    portable_hash60,
+                )
+
+                pri_expr = portable_hash60(
+                    F.concat_ws(
+                        ":",
+                        F.col("id").cast("string"),
+                        F.lit(str(seed + rnd)),
+                    )
+                )
+            else:
+                pri_expr = F.xxhash64("id", F.lit(seed + rnd))
+            pri = active.select("id", pri_expr.alias("p"))
             # min neighbor priority among ACTIVE neighbors only
             edges_live = (
                 sym.join(active.withColumnRenamed("id", "a"), "a")
@@ -442,6 +465,59 @@ def luby_mis(edges: DataFrame, seed: int = 12345, max_iterations: int = 200) -> 
     for part in mis_parts[1:]:
         out = out.unionAll(part)
     return out.distinct()
+
+
+def luby_oracle_sql(edges_sql: str, seed: int = 12345) -> str:
+    """DuckDB oracle for :func:`luby_mis` with ``priority="portable"``:
+    a recursive CTE replaying the identical fixed point round by round.
+
+    The working table carries ``(rnd, id, w)`` — one generation of
+    active vertices per iteration plus terminal winner rows (``w``).
+    Each recursive step recomputes the per-round portable priorities,
+    takes the min over active neighbors (struct-lexicographic, same
+    ``(p, id)`` tie-break as the Spark side), emits that round's
+    winners, and passes the surviving active set forward. Progress is
+    guaranteed (the global minimum-priority vertex always wins), so
+    the recursion terminates without an iteration cap."""
+    p = (
+        "('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' || "
+        f"CAST({seed} + {{r}} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      sym AS (SELECT a, b FROM up UNION ALL SELECT b, a FROM up),
+      verts AS (SELECT DISTINCT a AS id FROM sym),
+      loopv AS (SELECT DISTINCT src AS id FROM ed WHERE src = dst
+                AND src NOT IN (SELECT id FROM verts)),
+      t(rnd, id, w) AS (
+        SELECT 0, id, FALSE FROM verts
+        UNION ALL
+        SELECT 0, id, TRUE FROM loopv
+        UNION ALL
+        (WITH act AS (SELECT rnd, id FROM t WHERE NOT w),
+         pri AS (SELECT rnd, id, {p.format(v="id", r="rnd")} AS p FROM act),
+         nbrmin AS (
+           SELECT s.b AS id, min(ROW(q.p, q.id)) AS nb
+           FROM pri q JOIN sym s ON q.id = s.a
+           WHERE s.b IN (SELECT id FROM act)
+           GROUP BY s.b),
+         win AS (
+           SELECT m.rnd, m.id FROM pri m LEFT JOIN nbrmin n ON m.id = n.id
+           WHERE n.id IS NULL OR ROW(m.p, m.id) < n.nb),
+         killed AS (
+           SELECT id FROM win
+           UNION
+           SELECT s.b AS id FROM win JOIN sym s ON win.id = s.a),
+         nxt AS (SELECT a.rnd + 1 AS rnd, a.id
+                 FROM act a ANTI JOIN killed k ON a.id = k.id)
+         SELECT rnd, id, TRUE AS w FROM win
+         UNION ALL
+         SELECT rnd, id, FALSE AS w FROM nxt)
+      )
+      SELECT DISTINCT id FROM t WHERE w"""
 
 
 # ------------------------------------------------ single-source shortest paths

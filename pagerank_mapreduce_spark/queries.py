@@ -2450,11 +2450,16 @@ def q_degree_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("graph_luby_mis", None)  # iterative + hash priorities — rows-only
+@_q("graph_luby_mis", GA.luby_oracle_sql(_EDGES_SQL, seed=12345))
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # invariants (independence, maximality) are pytest-checked in
-    # tests/test_graph_algorithms.py; the driver sees a stable row set
-    return GA.luby_mis(derive_edges(spark, sf_dir, N_GRAPH), seed=12345)
+    # hash-green despite being iterative: the portable md5 priorities
+    # replay round-for-round in a DuckDB recursive CTE (the same
+    # cross-engine-hash trick that upgraded dedup_simhash_pairs).
+    # Invariants (independence, maximality) and the faster default
+    # xxhash64 path are pytest-checked in tests/test_graph_algorithms.py
+    return GA.luby_mis(
+        derive_edges(spark, sf_dir, N_GRAPH), seed=12345, priority="portable"
+    )
 
 
 @_q("graph_sssp", GA.sssp_oracle_sql(_EDGES_SQL, source=0, max_distance=24))

@@ -115,6 +115,36 @@ def test_luby_mis_invariants(spark):
     assert 3 in mis
 
 
+def test_luby_mis_portable_invariants_and_oracle(spark):
+    # the portable-md5 priority path must still produce a valid MIS
+    # (the set differs from xxhash64's — different coin flips), and
+    # its DuckDB recursive-CTE replay must reproduce it exactly
+    import duckdb
+
+    edges = _edges(spark, PAIRS)
+    mis = {
+        r["id"]
+        for r in GA.luby_mis(edges, seed=99, priority="portable").collect()
+    }
+    und = {(r["a"], r["b"]) for r in GA.edge_upper(edges).collect()}
+    for a, b in und:
+        assert not (a in mis and b in mis)
+    vertices = {v for e in und for v in e}
+    nbrs = {v: set() for v in vertices}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for v in vertices - mis:
+        assert nbrs[v] & mis
+    assert 3 in mis  # self-loop-only vertex
+    rows = ", ".join(f"({a}, {b})" for a, b in PAIRS)
+    oracle = GA.luby_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) AS v(src, dst)", seed=99
+    )
+    got = {r[0] for r in duckdb.connect().execute(oracle).fetchall()}
+    assert got == mis
+
+
 def test_luby_mis_deterministic(spark):
     edges = _edges(spark, PAIRS)
     a = {r["id"] for r in GA.luby_mis(edges, seed=7).collect()}
