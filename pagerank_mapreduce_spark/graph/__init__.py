@@ -1,6 +1,7 @@
 from pagerank_mapreduce_spark.graph.pagerank import (
     out_degrees,
     pagerank,
+    pagerank_oracle_sql,
     reverse_adjacency,
     websize,
 )
@@ -8,6 +9,7 @@ from pagerank_mapreduce_spark.graph.io import format_ranks, ranks_close
 
 __all__ = [
     "pagerank",
+    "pagerank_oracle_sql",
     "out_degrees",
     "websize",
     "reverse_adjacency",

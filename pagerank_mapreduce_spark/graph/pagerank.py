@@ -49,6 +49,75 @@ CONVERGENCE = 1e-5  # mr-pr-cpp.cpp:12
 MAX_ITERATIONS = 10000  # mr-pr-cpp.cpp:13
 
 
+def pagerank_oracle_sql(
+    edges_sql: str,
+    alpha: float = ALPHA,
+    convergence: float = CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    round_digits: int = 8,
+) -> str:
+    """DuckDB oracle replaying the full :func:`pagerank` fixed point as
+    a recursive CTE — iteration for iteration, scalar for scalar.
+
+    The loop state is entirely derivable from the carried rank vector:
+    ``sum_pr`` and ``dangling_pr`` (pre-normalization, like the
+    reference mr-pr-cpp.cpp:132-138) are aggregates over the previous
+    generation, and the L1 diff that gates the next round rides along
+    as a column on every emitted row. Generations stop exactly when
+    Spark's ``while diff > convergence and it < max_iterations`` does.
+
+    Why exact hash equality is safe for an iterative float algorithm:
+    the damped iteration is a contraction (factor ``alpha``), so the
+    engines' summation-order noise does not compound — measured
+    cross-engine divergence on the sf0.01 fixture is ~1e-18, while the
+    closest rank to a round-8 boundary is ~1e-12 away and the closest
+    L1 diff to the convergence threshold is 1.37x away. Every literal
+    in the arithmetic is written with the same association order as
+    the Spark expressions, and the base-case literals are cast to
+    DOUBLE explicitly (DuckDB types bare ``1.0`` as DECIMAL, which
+    would silently quantize the whole recursion).
+    """
+    a = repr(float(alpha))
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      ws AS (SELECT greatest(max(src), max(dst)) + 1 AS n FROM ed),
+      deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+              FROM ed GROUP BY src),
+      verts AS (SELECT u.id, coalesce(d.deg, 0.0) AS deg
+                FROM (SELECT unnest(generate_series(0, (SELECT n FROM ws) - 1))
+                             AS id) u
+                LEFT JOIN deg d ON u.id = d.id),
+      t(it, id, rank, diff) AS (
+        SELECT 0, id, CAST(CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE),
+               CAST(1e308 AS DOUBLE) FROM verts
+        UNION ALL
+        (WITH cur AS (SELECT it, id, rank FROM t
+                      WHERE diff > {convergence!r} AND it < {max_iterations}),
+         st AS (SELECT sum(c.rank) AS sum_pr,
+                       sum(CASE WHEN v.deg = 0 THEN c.rank ELSE 0.0 END)
+                         AS dangling
+                FROM cur c JOIN verts v ON c.id = v.id),
+         contrib AS (SELECT e.dst AS id, sum(c.rank / v.deg) AS h_raw
+                     FROM cur c
+                     JOIN ed e ON c.id = e.src
+                     JOIN verts v ON c.id = v.id
+                     GROUP BY e.dst),
+         nxt AS (SELECT c.it + 1 AS it, c.id,
+                        {a} * coalesce(h.h_raw, CAST(0.0 AS DOUBLE))
+                          / (CASE WHEN c.it = 0 THEN 1.0 ELSE s.sum_pr END)
+                        + {a} * s.dangling / (SELECT n FROM ws)
+                        + (1.0 - {a}) / (SELECT n FROM ws) AS rank,
+                        c.rank / (CASE WHEN c.it = 0 THEN 1.0 ELSE s.sum_pr END)
+                          AS old_rank
+                 FROM cur c CROSS JOIN st s LEFT JOIN contrib h ON c.id = h.id),
+         dl AS (SELECT sum(abs(rank - old_rank)) AS d FROM nxt)
+         SELECT it, id, rank, (SELECT d FROM dl) FROM nxt)
+      )
+      SELECT id, round(rank, {round_digits}) AS rank
+      FROM t WHERE it = (SELECT max(it) FROM t)"""
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """out-degree per src page (reference ``num_outgoing``,
     mr-pr-cpp.cpp:202-208). Returns (src, deg)."""

@@ -29,9 +29,11 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from pagerank_mapreduce_spark.operators.mapreduce import mr_map_tasks
 
-__all__ = ["rmat_edges"]
+__all__ = ["rmat_edges", "rmat_edges_portable", "rmat_oracle_sql"]
 
 
 def rmat_edges(
@@ -74,3 +76,102 @@ def rmat_edges(
 
     edges = mr_map_tasks(spark, n_tasks, gen, "src bigint, dst bigint")
     return edges.distinct() if dedup else edges
+
+
+_TWO_60 = float(1 << 60)
+
+
+def _quadrant_thresholds(a: float, b: float, c: float) -> tuple[str, str, str]:
+    # computed once in Python and embedded as repr'd literals on BOTH
+    # engine sides, so the float comparisons are bit-identical
+    return repr(float(a)), repr(float(a + b)), repr(float(a + b + c))
+
+
+def rmat_edges_portable(
+    spark: SparkSession,
+    scale: int = 10,
+    edge_factor: int = 8,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+    dedup: bool = True,
+) -> DataFrame:
+    """R-MAT with portable coin flips — the cross-engine twin of
+    :func:`rmat_edges` (same quadrant-descent semantics; different,
+    replayable randomness).
+
+    The per-(edge, level) uniform is ``portable_hash60("<i>:<l>:<seed>")
+    / 2^60`` — the md5-derived hash both Spark and DuckDB compute
+    identically (see ``dedup.portable_hash60``), so
+    :func:`rmat_oracle_sql` regenerates the exact edge set.
+
+    Shape: ``spark.range(n_edges)`` and one ``F.aggregate`` fold over
+    ``sequence(0, scale-1)`` per vertex coordinate — expression-only,
+    no explode, no Python, NO shuffle until the final ``distinct``.
+    Generation parallelism is the range partitioning, so the same code
+    generates 2^30+-vertex graphs across a cluster.
+    """
+    if a + b + c >= 1.0:
+        raise ValueError("quadrant probabilities must satisfy a+b+c < 1")
+    t1, t2, t3 = float(a), float(a + b), float(a + b + c)
+    n_edges = edge_factor << scale
+
+    def u(l):  # noqa: E741 - level column inside the fold
+        s = F.concat_ws(
+            ":", F.col("id").cast("string"), l.cast("string"), F.lit(str(seed))
+        )
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+            "bigint"
+        ) / F.lit(_TWO_60)
+
+    def bits(bit_expr):
+        # left fold in level order: acc*2 + bit  ==  sum(bit << (scale-1-l))
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(scale - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, l: acc * 2 + bit_expr(u(l)),  # noqa: E741
+        )
+
+    src_bit = lambda uu: (uu >= t2).cast("bigint")  # noqa: E731
+    dst_bit = lambda uu: (  # noqa: E731
+        ((uu >= t1) & (uu < t2)) | (uu >= t3)
+    ).cast("bigint")
+    edges = spark.range(n_edges).select(
+        bits(src_bit).alias("src"), bits(dst_bit).alias("dst")
+    )
+    return edges.distinct() if dedup else edges
+
+
+def rmat_oracle_sql(
+    scale: int = 10,
+    edge_factor: int = 8,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL regenerating :func:`rmat_edges_portable`'s edge set
+    (post-dedup): unnest the (edge, level) grid, replay the portable
+    coins, fold the quadrant bits back into vertex ids."""
+    t1, t2, t3 = _quadrant_thresholds(a, b, c)
+    n_edges = edge_factor << scale
+    return f"""
+      WITH grid AS (
+        SELECT i.range AS i, l.range AS l
+        FROM range({n_edges}) i CROSS JOIN range({scale}) l),
+      coins AS (
+        SELECT i, l,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                   CAST(l AS VARCHAR) || ':' || '{seed}'),
+                               1, 15))::BIGINT / {_TWO_60!r} AS u
+        FROM grid),
+      folded AS (
+        SELECT i,
+               sum(CASE WHEN u >= {t2} THEN 1 ELSE 0 END
+                   * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS src,
+               sum(CASE WHEN (u >= {t1} AND u < {t2}) OR u >= {t3}
+                        THEN 1 ELSE 0 END
+                   * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS dst
+        FROM coins GROUP BY i)
+      SELECT DISTINCT src, dst FROM folded"""

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pagerank_mapreduce_spark.functions import text as T
 from pagerank_mapreduce_spark.functions.vectors import cosine
-from pagerank_mapreduce_spark.graph import pagerank
+from pagerank_mapreduce_spark.graph import pagerank, pagerank_oracle_sql
 from pagerank_mapreduce_spark.operators import dedup as D
 from pagerank_mapreduce_spark.operators import mapreduce as M
 from pagerank_mapreduce_spark.operators import multimodal as MM
@@ -66,7 +66,14 @@ _EDGES_SQL = derive_edges_sql(N_GRAPH)
 # (SURVEY.md §2.1), on a deterministic graph derived from orders.
 
 
-@_q("pagerank", None)  # iterative fixed point — not SQL-expressible
+@_q(
+    "pagerank",
+    # the full fixed point replays in a DuckDB recursive CTE — see
+    # pagerank_oracle_sql for why exact hash equality is safe for an
+    # iterative float algorithm (contraction bounds cross-engine noise
+    # at ~1e-18; round-8 boundaries are ~1e-12 away)
+    pagerank_oracle_sql(_EDGES_SQL, max_iterations=100),
+)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = derive_edges(spark, sf_dir, N_GRAPH)
     res = pagerank(edges, max_iterations=100)
@@ -2148,14 +2155,26 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ============================================= graph track (cont.)
 
 
-@_q("graph_rmat_degree_hist", None)  # seeded RNG — not SQL-expressible
+def _rmat_hist_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    return f"""
+      WITH e AS ({rmat_oracle_sql(scale=10, edge_factor=8, seed=42)}),
+      d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+      SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg"""
+
+
+@_q("graph_rmat_degree_hist", _rmat_hist_oracle())
 def q_rmat_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R-MAT generation (the MR-MPI example, doc/Examples.txt) +
-    # out-degree histogram of the generated graph; deterministic for
-    # (scale, edge_factor, seed, n_tasks) so rows-only is stable
-    from pagerank_mapreduce_spark.graph.rmat import rmat_edges
+    # out-degree histogram of the generated graph. Hash-green despite
+    # the seeded RNG: the portable-coin generator's md5 uniforms
+    # replay exactly in DuckDB (rmat_oracle_sql). The NumPy
+    # task-parallel generator (rmat_edges) stays the fast default and
+    # is exercised by test_skew_rmat_stateful.py.
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
 
-    e = rmat_edges(spark, scale=10, edge_factor=8, seed=42)
+    e = rmat_edges_portable(spark, scale=10, edge_factor=8, seed=42)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     return (
         deg.groupBy("deg")

@@ -124,6 +124,23 @@ def test_rmat_is_skewed(spark):
     assert top > 5 * mean
 
 
+def test_rmat_portable_skewed_and_shuffle_free(spark):
+    # the portable-coin twin must keep the R-MAT character (heavy
+    # tail, bounded vertex space) and generate without any shuffle
+    # before the dedup — the fold is expression-only over range()
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+    from pagerank_mapreduce_spark.plans.audit import exchange_count
+
+    raw = rmat_edges_portable(spark, scale=8, edge_factor=8, seed=42, dedup=False)
+    assert exchange_count(raw) == 0
+    stats = raw.agg(F.max("src"), F.max("dst")).first()
+    assert stats[0] < 256 and stats[1] < 256
+    deg = raw.groupBy("src").count()
+    top = deg.agg(F.max("count")).first()[0]
+    mean = deg.agg(F.avg("count")).first()[0]
+    assert top > 5 * mean
+
+
 def test_rmat_dedup_removes_duplicates(spark):
     raw = rmat_edges(spark, scale=6, edge_factor=16, seed=1, dedup=False)
     ded = rmat_edges(spark, scale=6, edge_factor=16, seed=1, dedup=True)
