@@ -281,7 +281,14 @@ def triangles(edges: DataFrame) -> DataFrame:
     # source via oriented AND the closing join; oriented: both wedge
     # sides) — without persist each consumer recomputes the dedup and
     # the two degree joins. Edge-set sized, MEMORY_AND_DISK by
-    # default, so this holds at scale.
+    # default, so this holds at scale. The wedge self-join's two sides
+    # are the identical cached relation shuffled on the identical key,
+    # so Spark plans ONE Exchange plus a ReusedExchange — the oriented
+    # edge list is shuffled at most once (pinned by
+    # test_plan_audit.py; a pre-partitioned cache was A/B-measured and
+    # is a wash against the reuse: it only moves the same exchange
+    # into the cache build). The only shuffle of the O(m^1.5) wedge
+    # relation itself is the unavoidable closing-join key change.
     und = edge_upper(edges).persist()  # (a < b), deduped
     deg = (
         und.select(F.col("a").alias("v"))

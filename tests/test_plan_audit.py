@@ -117,6 +117,39 @@ def test_asof_bucketed_plan_is_equi_join_only(spark, sf_dir):
     assert "_b" in plan
 
 
+def test_triangles_wedge_exchange_is_shared(spark, sf_dir):
+    # the wedge self-join's two inputs are the identical cached
+    # `oriented` relation shuffled on the identical key (`lo`), so the
+    # oriented edge list must be shuffled AT MOST ONCE: one Exchange +
+    # a ReusedExchange, never two independent shuffles of the same
+    # data. Checked under the 100 TB plan shape (AQE and broadcast
+    # off — at fixture scale AQE hides the exchanges by broadcasting
+    # everything).
+    from pagerank_mapreduce_spark.graph import algorithms as GA
+    from pagerank_mapreduce_spark.sources.edges import derive_edges
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tri = GA.triangles(derive_edges(spark, sf_dir, 1000))
+        tri.count()  # materialize caches: final plan reads InMemoryTableScan
+        plan = formatted_plan(tri)
+        assert "ReusedExchange" in plan, plan
+        # and the whole query stays within the audited shuffle budget:
+        # deg agg, two orientation joins, wedge (shared), closing x2
+        assert exchange_count(tri) <= 6, exchange_count(tri)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_embedding_near_dups_plan_is_equi_join_only(spark, sf_dir):
     # post-guard pair generation: bucket groupBy + explode + two
     # id equi-joins — never a theta self-join over vectors
