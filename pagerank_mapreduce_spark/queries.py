@@ -3898,17 +3898,26 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
 # build's rounds, the catalog is rotated so entries that have not yet
-# appeared in any CORRECTNESS_r*.json come first, in registration
-# order, with NO exclusions: rows-only entries rotate through on the
-# same terms as oracle-backed ones (the driver records the weaker
-# rows-only check for them, and the judge sees which). Entries that
-# already have a driver verdict follow, again in registration order,
-# so once the backlog drains the window naturally re-covers them.
+# received the strongest check they currently support come first, in
+# registration order, with NO exclusions: rows-only entries rotate
+# through on the same terms as oracle-backed ones (the driver records
+# the weaker rows-only check for them, and the judge sees which).
+# Checked entries follow, again in registration order, so once the
+# backlog drains the window naturally re-covers them.
+#
+# "Strongest check it currently supports" matters for entries that
+# GAINED an oracle after being driver-checked rows-only (pagerank,
+# whose fixed point is now replayed exactly by a recursive CTE): a
+# past rows-only row is not a verdict on today's hash oracle, so such
+# entries re-enter the unchecked pool on the same terms as
+# never-checked ones.
 #
 # _DRIVER_CHECKED_THROUGH_R04 is the frozen union of names present in
 # the committed CORRECTNESS_r02..r04 files — a historical record, not
 # a policy knob. Extend it with each new round's checked names; never
 # remove names to steer a query back out of (or into) the window.
+# _HASH_CHECKED_THROUGH_R04 is the subset that actually got a hash
+# verdict (the rest were "err": "no_oracle" rows-only records).
 _DRIVER_CHECKED_THROUGH_R04 = frozenset({
     "dedup_canonical_docs", "dedup_exact", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "graph_connected_components", "graph_dangling",
@@ -3933,11 +3942,29 @@ _DRIVER_CHECKED_THROUGH_R04 = frozenset({
 })
 
 
+# Subset of the record above that actually received a hash verdict
+# (everything else in the record was an "err": "no_oracle" rows-only
+# row — only pagerank and rel_approx_count_distinct ever were).
+_HASH_CHECKED_THROUGH_R04 = _DRIVER_CHECKED_THROUGH_R04 - {
+    "pagerank",
+    "rel_approx_count_distinct",
+}
+
+
+def _is_checked(name: str) -> bool:
+    """True if the entry has received the strongest check its CURRENT
+    form supports: a hash verdict if it has an oracle, any driver
+    verdict if it is irreducibly rows-only."""
+    if CATALOG[name].oracle is not None:
+        return name in _HASH_CHECKED_THROUGH_R04
+    return name in _DRIVER_CHECKED_THROUGH_R04
+
+
 def _rotate_catalog_for_coverage() -> None:
     unknown = _DRIVER_CHECKED_THROUGH_R04 - set(CATALOG)
     assert not unknown, f"checked-record names unknown queries: {unknown}"
-    unchecked = [n for n in CATALOG if n not in _DRIVER_CHECKED_THROUGH_R04]
-    checked = [n for n in CATALOG if n in _DRIVER_CHECKED_THROUGH_R04]
+    unchecked = [n for n in CATALOG if not _is_checked(n)]
+    checked = [n for n in CATALOG if _is_checked(n)]
     final = unchecked + checked
     assert sorted(final) == sorted(CATALOG)
     reordered = {n: CATALOG[n] for n in final}

@@ -95,21 +95,22 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 
 def test_driver_window_rotation_is_fair():
     # The driver's correctness gate checks only the FIRST 50 catalog
-    # entries, so the catalog rotates never-driver-checked entries to
-    # the front each round. The rotation must be a pure reordering by
-    # the frozen checked-through record: never-checked entries first
-    # (registration order, NO exclusions — rows-only entries rotate
-    # through on the same terms), already-checked entries after.
-    from pagerank_mapreduce_spark.queries import _DRIVER_CHECKED_THROUGH_R04
+    # entries, so the catalog rotates entries that have not yet
+    # received the strongest check their current form supports to the
+    # front each round (a hash verdict for oracle-backed entries, any
+    # driver verdict for irreducibly rows-only ones). The rotation
+    # must be a pure reordering by the frozen checked-through record:
+    # unchecked entries first (registration order, NO exclusions —
+    # rows-only entries rotate through on the same terms), checked
+    # entries after.
+    from pagerank_mapreduce_spark.queries import _is_checked
 
     names = list(CATALOG)
-    n_unchecked = sum(
-        1 for n in names if n not in _DRIVER_CHECKED_THROUGH_R04
-    )
+    n_unchecked = sum(1 for n in names if not _is_checked(n))
     head, tail = names[:n_unchecked], names[n_unchecked:]
-    # every never-checked entry precedes every already-checked entry
-    assert all(n not in _DRIVER_CHECKED_THROUGH_R04 for n in head)
-    assert all(n in _DRIVER_CHECKED_THROUGH_R04 for n in tail)
+    # every unchecked entry precedes every checked entry
+    assert all(not _is_checked(n) for n in head)
+    assert all(_is_checked(n) for n in tail)
     # no exclusions: rows-only entries appear in the window whenever
     # the rotation reaches them — they must not be filtered out
     window = names[:50]
