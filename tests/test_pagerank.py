@@ -68,6 +68,44 @@ def test_isolated_vertices_hold_rank(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("small_dangling", None),  # SMALL_GRAPH filled in below
+        ("chain", [(i, i + 1) for i in range(30)]),
+        ("self_loops_dupes", [(0, 1), (0, 1), (1, 1), (2, 0), (3, 3)]),
+        ("star_plus_isolated_gap", [(0, 5), (1, 5), (2, 5), (9, 9)]),
+    ],
+)
+def test_pagerank_duckdb_oracle_shapes(spark, name, edges):
+    # the recursive-CTE replay (pagerank_oracle_sql) must match the
+    # engine EXACTLY (round-8 string equality — the driver's hash
+    # comparison) on structurally-diverse graphs: chains, dangling
+    # mass, self-loops, duplicate edges, id gaps
+    import duckdb
+
+    from pagerank_mapreduce_spark.graph import pagerank_oracle_sql
+    from pyspark.sql import functions as F
+
+    if edges is None:
+        edges = SMALL_GRAPH
+    res = pagerank(_edges_df(spark, edges))
+    got = sorted(
+        tuple(r)
+        for r in res.ranks.select(
+            "id", F.round("rank", 8).alias("rank")
+        ).collect()
+    )
+    rows = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) AS v(src, dst)"
+    )
+    exp = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g[0] == e[0] and str(g[1]) == str(e[1]), (name, g, e)
+
+
 def test_out_degrees_and_websize(spark):
     df = _edges_df(spark, SMALL_GRAPH)
     deg = {r["src"]: r["deg"] for r in out_degrees(df).collect()}

@@ -141,6 +141,24 @@ def test_rmat_portable_skewed_and_shuffle_free(spark):
     assert top > 5 * mean
 
 
+def test_rmat_portable_oracle_alternate_params(spark):
+    # the DuckDB replay must track the generator across parameters,
+    # not just the catalog's (scale=10, ef=8, seed=42) point
+    import duckdb
+
+    from pagerank_mapreduce_spark.graph.rmat import (
+        rmat_edges_portable,
+        rmat_oracle_sql,
+    )
+
+    kw = dict(scale=7, edge_factor=4, a=0.45, b=0.25, c=0.15, seed=99)
+    got = sorted(
+        map(tuple, rmat_edges_portable(spark, **kw).collect())
+    )
+    exp = sorted(duckdb.connect().execute(rmat_oracle_sql(**kw)).fetchall())
+    assert got == exp and len(got) > 100
+
+
 def test_rmat_dedup_removes_duplicates(spark):
     raw = rmat_edges(spark, scale=6, edge_factor=16, seed=1, dedup=False)
     ded = rmat_edges(spark, scale=6, edge_factor=16, seed=1, dedup=True)
