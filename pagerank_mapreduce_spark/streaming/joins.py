@@ -52,12 +52,20 @@ def interval_join_streams(
         l = left.withWatermark(on, watermark).alias("l")
     if right.isStreaming:
         r = right.withWatermark(on, watermark).alias("r")
+    # the upper bound MUST be plain interval arithmetic on the event
+    # time columns: Spark derives each side's state watermark by
+    # symbolically solving the condition for the time columns
+    # (StreamingJoinHelper), and it only understands casts/interval
+    # arithmetic — a unix_micros()-based bound is opaque to it, the
+    # state watermark silently fails to derive, and that side's join
+    # buffer grows forever (verified against the physical plan's
+    # "state cleanup" predicates)
     cond = (
         (F.col(f"l.{by}") == F.col(f"r.{by}"))
         & (F.col(f"r.{on}") >= F.col(f"l.{on}"))
         & (
-            F.unix_micros(F.col(f"r.{on}"))
-            <= F.unix_micros(F.col(f"l.{on}")) + within_seconds * 1_000_000
+            F.col(f"r.{on}")
+            <= F.col(f"l.{on}") + F.expr(f"INTERVAL {within_seconds} SECONDS")
         )
     )
     return l.join(r, cond, "inner")
@@ -87,9 +95,16 @@ def asof_enrich_stream(
     Streaming supports with watermark propagation; the left event
     time stays in the grouping key so aggregation state also evicts
     by watermark. Valid for batch inputs unchanged (the module
-    convention), where it must equal
+    convention), where it equals
     ``asof_join(..., tolerance=horizon_seconds)`` exactly — the
-    batch-parity test asserts that."""
+    batch-parity test asserts that.
+
+    Contract: left rows must be row-unique (carry an event id, as the
+    fixture does). The grouped reduce is keyed on all left columns,
+    so two byte-identical left rows collapse into one output — the
+    per-row streaming as-of is only well-defined over a keyed stream
+    (under at-least-once re-delivery, collapsing re-delivered
+    duplicates is the desired behavior)."""
     payload_cols = [c for c in right.columns if c not in (by, on)]
     l = left.alias("l")
     r = right.alias("r")
@@ -97,13 +112,15 @@ def asof_enrich_stream(
         l = left.withWatermark(on, watermark).alias("l")
     if right.isStreaming:
         r = right.withWatermark(on, watermark).alias("r")
+    # interval arithmetic, not unix_micros: see interval_join_streams
+    # — only this form lets Spark derive the right side's state
+    # watermark, which is the whole point of the horizon
     cond = (
         (F.col(f"l.{by}") == F.col(f"r.{by}"))
         & (F.col(f"r.{on}") <= F.col(f"l.{on}"))
         & (
-            F.unix_micros(F.col(f"r.{on}"))
-            >= F.unix_micros(F.col(f"l.{on}"))
-            - horizon_seconds * 1_000_000
+            F.col(f"r.{on}")
+            >= F.col(f"l.{on}") - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
         )
     )
     j = l.join(r, cond, "left_outer")

@@ -61,6 +61,34 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_joins_derive_both_state_watermarks(spark, sf_dir):
+    # the join time bounds must be plain interval arithmetic:
+    # StreamingJoinHelper can only derive a side's state-eviction
+    # watermark from casts/interval terms, and a bound it cannot
+    # parse silently leaves that side's join buffer growing forever.
+    # Pin the derivation by checking the executed streaming plan's
+    # "state cleanup" section names BOTH value predicates.
+    import contextlib
+    import io
+
+    from pagerank_mapreduce_spark.streaming.joins import asof_enrich_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    lhs = ev.select("event_id", "user_id", "ts")
+    rhs = ev.filter(ev.event_type == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_enrich_stream(lhs, rhs, by="user_id", on="ts", horizon_seconds=3600)
+    q = run_to_memory_sink(out, "wm_probe_sink", mode="append")
+    q.awaitTermination()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(extended=False)
+    plan = buf.getvalue()
+    assert "left value predicate: (ts" in plan, plan
+    assert "right value predicate: (ts" in plan, plan
+
+
 def _asof_sides(df):
     lhs = df.select("event_id", "user_id", "ts")
     rhs = df.filter(df.event_type == "purchase").select(
