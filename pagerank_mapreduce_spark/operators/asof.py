@@ -41,9 +41,28 @@ def _exact_on(col: Column, dtype: DataType) -> Column:
     microseconds for timestamps — double epoch-seconds carry ~0.25 µs
     of ulp at 2026 epochs, enough to flip a ``gap <= tolerance``
     comparison exactly at the boundary — and the column's own value
-    for numeric types."""
-    if isinstance(dtype, (TimestampType, TimestampNTZType)):
-        return F.unix_micros(col.cast("timestamp"))
+    for numeric types.
+
+    TIMESTAMP_NTZ is converted from its FIELDS (datediff + hour/
+    minute/second extraction), never via ``cast("timestamp")``: the
+    cast routes through the session time zone, which is non-monotonic
+    across a DST spring-forward (a later wall-clock NTZ can map to an
+    earlier instant), corrupting gaps and bucket assignment. Field
+    extraction is wall-clock-pure, matching the DuckDB oracles'
+    ``date_diff('microsecond', ...)`` local-datetime semantics."""
+    if isinstance(dtype, TimestampNTZType):
+        days = F.datediff(
+            F.to_date(col), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        sec_frac = F.date_part(F.lit("SECOND"), col)  # decimal w/ fraction
+        return (
+            days * F.lit(86_400_000_000)
+            + F.hour(col).cast("long") * F.lit(3_600_000_000)
+            + F.minute(col).cast("long") * F.lit(60_000_000)
+            + (sec_frac * 1_000_000).cast("long")
+        )
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col)
     return col
 
 
@@ -265,15 +284,39 @@ def asof_join_bucketed(
         .orderBy(F.col("_b").asc() if backward else F.col("_b").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # joins back on (_k, _b) are NULL-SAFE: the plain path's window
+    # partitionBy groups NULL keys together and carries their matches,
+    # so the bucketed path must too — a plain equi-join would drop
+    # every NULL-keyed carry and diverge from the documented
+    # plain-path equivalence (still a hash-partitionable condition,
+    # not a nested loop)
     entering = (
-        buckets.join(rsum, ["_k", "_b"], "left")
+        buckets.alias("bk")
+        .join(
+            rsum.alias("rs"),
+            F.col("bk._k").eqNullSafe(F.col("rs._k"))
+            & F.col("bk._b").eqNullSafe(F.col("rs._b")),
+            "left",
+        )
+        .select(
+            F.col("bk._k").alias("_k"),
+            F.col("bk._b").alias("_b"),
+            F.col("rs._brp").alias("_brp"),
+        )
         .withColumn("_cent", F.last("_brp", ignorenulls=True).over(w_x))
         .select("_k", "_b", "_cent")
     )
 
     j = (
         u.filter(F.col("_side") == 1)
-        .join(entering, ["_k", "_b"], "left")
+        .alias("ul")
+        .join(
+            entering.alias("en"),
+            F.col("ul._k").eqNullSafe(F.col("en._k"))
+            & F.col("ul._b").eqNullSafe(F.col("en._b")),
+            "left",
+        )
+        .select("ul.*", F.col("en._cent").alias("_cent"))
         .withColumn("_carried", F.coalesce(F.col("_cin"), F.col("_cent")))
     )
     if tolerance is not None:
@@ -388,8 +431,23 @@ def range_join(
     ``|left.on - right.on| <= width_seconds``. Equi-join on
     (key, time-bucket) with a 3-bucket explosion of the left side,
     then the exact predicate — never a per-key cross product."""
-    lsec = F.col(on).cast("double")
-    bucket = F.floor(lsec / F.lit(float(width_seconds)))
+    # buckets are computed on the SAME exact basis as the final
+    # predicate (integer microseconds for timestamps): with a
+    # double-seconds basis, a sub-second width at 2026 epochs carries
+    # enough ulp error to push a boundary row one bucket over, where
+    # the ±1 explosion no longer reaches it — a silently dropped
+    # qualifying pair. On the exact basis the explosion really does
+    # cover every |gap| <= width candidate.
+    on_type = right.schema[on].dataType
+    if isinstance(on_type, (TimestampType, TimestampNTZType)):
+        width = F.lit(int(round(float(width_seconds) * 1_000_000)))
+    else:
+        width = F.lit(float(width_seconds))
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(_exact_on(c, on_type) / width).cast("long")
+
+    bucket = _bucket(F.col(on))
     l2 = left.select(
         F.col(by).alias("_k"),
         F.col(on).alias("_lt"),
@@ -402,14 +460,8 @@ def range_join(
         F.col(by).alias("_k2"),
         F.col(on).alias("_rt"),
         F.struct(*[F.col(c) for c in right.columns]).alias("_rp2"),
-        F.floor(F.col(on).cast("double") / F.lit(float(width_seconds))).alias(
-            "_b2"
-        ),
+        _bucket(F.col(on)).alias("_b2"),
     )
-    # candidate generation via double-precision buckets is robust to
-    # ulp error (the left side explodes to ±1 adjacent buckets); the
-    # FINAL predicate is exact — integer microseconds for timestamps
-    on_type = right.schema[on].dataType
     pairs = l2.join(
         r2, (F.col("_k") == F.col("_k2")) & (F.col("_b") == F.col("_b2"))
     ).filter(

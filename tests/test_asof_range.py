@@ -226,10 +226,24 @@ def test_asof_bucketed_matches_plain_on_hot_key(spark):
 
 def test_asof_bucketed_salts_the_hot_key(spark):
     # the point of the variant: the hot key's window work spreads
-    # over many (key, bucket) groups instead of one
-    left, right = _hot_key_frames(spark)
+    # over many (key, bucket) groups instead of one. Assert on the
+    # OPERATOR's plan — the within-bucket window must partition by
+    # the salted (_k, _b) key — and on the actual group fan-out its
+    # bucketing induces on the hot key
+    import re
+
     from pyspark.sql import functions as F
 
+    from pagerank_mapreduce_spark.plans.audit import formatted_plan
+
+    left, right = _hot_key_frames(spark)
+    df = asof_join_bucketed(
+        left, right, on="ts", by="user_id", bucket_seconds=1800.0
+    )
+    plan = formatted_plan(df)
+    # the carry window's partition spec includes the bucket salt
+    assert re.search(r"windowspecdefinition\(_k#\d+L?, _b#\d+L?", plan), plan
+    # and the hot key's rows really spread across many salted groups
     n_groups = (
         left.filter(F.col("user_id") == 1)
         .select(
@@ -241,6 +255,90 @@ def test_asof_bucketed_salts_the_hot_key(spark):
         .count()
     )
     assert n_groups >= 20
+
+
+def test_asof_bucketed_matches_plain_on_null_keys(spark):
+    # NULL by-keys: the plain path's window partitionBy groups them
+    # together and carries their matches — the bucketed path's
+    # null-safe carry joins must reproduce that exactly, including
+    # across a bucket boundary
+    left = spark.createDataFrame(
+        [(1, None, _ts(50)), (2, 7, _ts(50))],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(1), 7.0), (7, _ts(2), 9.0)],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    plain = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    bucketed = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join_bucketed(
+            left, right, on="ts", by="user_id", bucket_seconds=100.0
+        ).collect()
+    }
+    assert plain == {1: 7.0, 2: 9.0}
+    assert bucketed == plain
+
+
+def test_asof_ntz_exact_across_dst(spark):
+    # TIMESTAMP_NTZ gaps must be pure wall-clock arithmetic: under a
+    # DST-observing session time zone, a cast-based conversion is
+    # non-monotonic across spring-forward and corrupts tolerance
+    # checks; the field-based conversion must not care about the zone
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        left = spark.createDataFrame(
+            [(1, "2026-03-08 03:00:00")], "event_id BIGINT, s STRING"
+        ).select("event_id", F.col("s").cast("timestamp_ntz").alias("ts"))
+        right = spark.createDataFrame(
+            [("2026-03-08 01:30:00", 5.0)], "s STRING, value DOUBLE"
+        ).select(
+            F.col("s").cast("timestamp_ntz").alias("ts"),
+            F.lit(1).cast("bigint").alias("event_id"),
+            "value",
+        ).select(F.col("event_id").alias("user_id"), "ts", "value")
+        lhs = left.select("event_id", F.lit(1).cast("bigint").alias("user_id"), "ts")
+        # wall-clock gap 01:30 -> 03:00 is 5400 s; tolerance 5400 must
+        # match, 5399 must not (the broken cast computes 1800 s here)
+        hit = asof_join(lhs, right, on="ts", by="user_id", tolerance=5400.0)
+        miss = asof_join(lhs, right, on="ts", by="user_id", tolerance=5399.0)
+        assert hit.collect()[0]["r_value"] == 5.0
+        assert miss.collect()[0]["r_value"] is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_range_join_subsecond_width_boundary(spark):
+    # candidate buckets are computed on the exact micros basis: with
+    # double-seconds bucketing, sub-second widths at 2026 epochs can
+    # push a boundary row one bucket over and silently drop a
+    # qualifying pair that the exact final predicate accepts
+    from datetime import datetime as dt
+
+    base = dt(2026, 1, 1, 12, 0, 0)
+    width = 1e-4  # 100 microseconds
+    left = spark.createDataFrame(
+        [(1, base.replace(microsecond=200))],
+        "user_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, base.replace(microsecond=300)), (1, base.replace(microsecond=301))],
+        "user_id BIGINT, ts TIMESTAMP",
+    )
+    got = {
+        r["b_ts"].microsecond
+        for r in range_join(
+            left, right, width_seconds=width, on="ts", by="user_id"
+        ).collect()
+    }
+    assert got == {300}  # |gap| = 100 µs qualifies; 101 µs does not
 
 
 def test_asof_bucketed_rejects_nearest(spark):
