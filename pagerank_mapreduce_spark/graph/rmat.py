@@ -82,8 +82,10 @@ _TWO_60 = float(1 << 60)
 
 
 def _quadrant_thresholds(a: float, b: float, c: float) -> tuple[str, str, str]:
-    # computed once in Python and embedded as repr'd literals on BOTH
-    # engine sides, so the float comparisons are bit-identical
+    # the cumulative thresholds are computed ONCE here in Python
+    # float arithmetic; the Spark side compares against the floats,
+    # the SQL side against their repr()s (repr round-trips exactly),
+    # so both engines compare against bit-identical doubles
     return repr(float(a)), repr(float(a + b)), repr(float(a + b + c))
 
 
@@ -117,13 +119,13 @@ def rmat_edges_portable(
     t1, t2, t3 = float(a), float(a + b), float(a + b + c)
     n_edges = edge_factor << scale
 
+    from pagerank_mapreduce_spark.operators.dedup import portable_hash60
+
     def u(l):  # noqa: E741 - level column inside the fold
         s = F.concat_ws(
             ":", F.col("id").cast("string"), l.cast("string"), F.lit(str(seed))
         )
-        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-            "bigint"
-        ) / F.lit(_TWO_60)
+        return portable_hash60(s) / F.lit(_TWO_60)
 
     def bits(bit_expr):
         # left fold in level order: acc*2 + bit  ==  sum(bit << (scale-1-l))

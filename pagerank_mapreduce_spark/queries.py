@@ -3944,10 +3944,17 @@ _DRIVER_CHECKED_THROUGH_R04 = frozenset({
 
 # Subset of the record above that actually received a hash verdict
 # (everything else in the record was an "err": "no_oracle" rows-only
-# row — only pagerank and rel_approx_count_distinct ever were).
+# row — only pagerank and rel_approx_count_distinct ever were), MINUS
+# entries whose operator or oracle semantics changed after their last
+# verdict: sim_ivf_topk's codebook oracle was rewritten (smallest-ids
+# fix) and sim_embedding_near_dups gained a default hot-bucket cap in
+# round 5, so their round-4 verdicts were earned by different code —
+# they re-enter the unchecked pool like any never-checked entry.
 _HASH_CHECKED_THROUGH_R04 = _DRIVER_CHECKED_THROUGH_R04 - {
     "pagerank",
     "rel_approx_count_distinct",
+    "sim_ivf_topk",
+    "sim_embedding_near_dups",
 }
 
 
