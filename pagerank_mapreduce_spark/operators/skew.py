@@ -41,7 +41,9 @@ __all__ = ["salt_column", "salted_agg", "salted_join"]
 _SALT = "__salt"
 
 # aggregate name -> (partial expr builder, final expr builder).
-# Partial runs per (key, salt); final re-combines per key.
+# Partial runs per (key, salt); final re-combines per key. ``avg``
+# is handled separately in salted_agg (decomposed into sum + count
+# partials, recombined as sum/sum).
 _ALGEBRAIC = {
     "sum": (F.sum, F.sum),
     "count": (lambda c: F.count(c), F.sum),
@@ -67,27 +69,38 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
-    metrics: (how, value_col, out_alias) with how ∈ sum|count|min|max.
+    metrics: (how, value_col, out_alias) with how ∈
+    sum|count|min|max|avg — ``avg`` decomposes into (sum, count)
+    partials and recombines as sum/sum (null values skipped, same as
+    the built-in).
     salt_cols: columns whose hash spreads a hot key's rows (defaults
     to every non-key column).
     """
     for how, _, _ in metrics:
-        if how not in _ALGEBRAIC:
+        if how != "avg" and how not in _ALGEBRAIC:
             raise ValueError(f"non-algebraic aggregate {how!r} cannot be salted")
     salt_cols = salt_cols or [c for c in df.columns if c not in keys]
     salted = df.withColumn(_SALT, salt_column(n_salt, *salt_cols))
-    partial = salted.groupBy(*keys, _SALT).agg(
-        *[
-            _ALGEBRAIC[how][0](col).alias(f"__p_{alias}")
-            for how, col, alias in metrics
-        ]
-    )
-    return partial.groupBy(*keys).agg(
-        *[
-            _ALGEBRAIC[how][1](f"__p_{alias}").alias(alias)
-            for how, _, alias in metrics
-        ]
-    )
+    partial_exprs: list[Column] = []
+    final_exprs: list[Column] = []
+    for how, col, alias in metrics:
+        if how == "avg":
+            partial_exprs.append(F.sum(col).alias(f"__p_{alias}__s"))
+            partial_exprs.append(F.count(col).alias(f"__p_{alias}__c"))
+            final_exprs.append(
+                (F.sum(f"__p_{alias}__s") / F.sum(f"__p_{alias}__c")).alias(
+                    alias
+                )
+            )
+        else:
+            partial_exprs.append(
+                _ALGEBRAIC[how][0](col).alias(f"__p_{alias}")
+            )
+            final_exprs.append(
+                _ALGEBRAIC[how][1](f"__p_{alias}").alias(alias)
+            )
+    partial = salted.groupBy(*keys, _SALT).agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
 
 
 def salted_join(
@@ -98,11 +111,33 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Replicate-join: salt the skewed side, explode the other side
-    once per salt value, join on (key, salt). Result columns match
-    ``skewed.join(other, on, how)``."""
+    once per salt value, join on (key, salt). Result matches
+    ``skewed.join(other, on, how)`` row for row — including outer
+    joins: an ``other`` row that matches no skewed row at all exists
+    once per salt copy under the replicate scheme, so for right/full
+    joins the unmatched rows are produced separately (anti-join of
+    ``other`` against the skewed key set — an algebraic distinct, so
+    the hot keys collapse map-side) and unioned in null-padded
+    exactly once."""
     salt_src = [c for c in skewed.columns if c != on]
     left = skewed.withColumn(_SALT, salt_column(n_salt, *salt_src))
     right = other.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
-    return left.join(right, [on, _SALT], how).drop(_SALT)
+    how_n = how.replace("_", "").lower()
+    if how_n not in ("right", "rightouter", "full", "fullouter", "outer"):
+        return left.join(right, [on, _SALT], how).drop(_SALT)
+    matched_how = "left" if how_n in ("full", "fullouter", "outer") else "inner"
+    matched = left.join(right, [on, _SALT], matched_how).drop(_SALT)
+    skew_types = dict(skewed.dtypes)
+    unmatched = other.join(
+        skewed.select(on).distinct(), on, "left_anti"
+    ).select(
+        *[
+            F.col(c)
+            if c in other.columns
+            else F.lit(None).cast(skew_types[c]).alias(c)
+            for c in matched.columns
+        ]
+    )
+    return matched.unionByName(unmatched)

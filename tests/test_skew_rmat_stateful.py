@@ -87,6 +87,46 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_salted_agg_avg_decomposes(spark, sf_dir):
+    # avg is algebraic via (sum, count) partials — the documented
+    # decomposition; null values skipped like the built-in
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["v_avg"]
+        for r in skew.salted_agg(
+            ev, ["event_type"], [("avg", "value", "v_avg")], n_salt=16
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["v_avg"]
+        for r in ev.groupBy("event_type")
+        .agg(F.avg("value").alias("v_avg"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k]))
+
+
+def test_salted_join_outer_matches_plain(spark):
+    # unmatched rows of the exploded (non-skewed) side must survive
+    # exactly ONCE in right/full outer joins, not once per salt copy
+    skewed = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (3, "c")], "k long, x string"
+    )
+    other = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    for how in ("right", "full", "left", "inner"):
+        got = sorted(
+            map(tuple, skew.salted_join(skewed, other, "k", n_salt=8, how=how).collect()),
+            key=key,
+        )
+        want = sorted(map(tuple, skewed.join(other, "k", how).collect()), key=key)
+        assert got == want, how
+
+
 def test_salted_join_columns_match_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), "l_quantity"
