@@ -106,8 +106,14 @@ def asof_join(
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     payload_cols = [c for c in right.columns if c not in (by, on)]
     rp = F.struct(*[F.col(c) for c in payload_cols])
+    # NULL-timestamp right rows can never be an as-of match (DuckDB
+    # ASOF and pandas merge_asof both drop them); without this filter
+    # they sort nulls-FIRST under the backward ascending order and
+    # would be carried as a bogus "-infinity" match
     right_u = (
-        right.groupBy(by, on).agg(F.max(rp).alias("_rp"))
+        right.filter(F.col(on).isNotNull())
+        .groupBy(by, on)
+        .agg(F.max(rp).alias("_rp"))
     )
     on_type = right.schema[on].dataType
     if tolerance is not None:
@@ -156,6 +162,12 @@ def asof_join(
         l2.unionByName(r2)
         .withColumn("_carried", F.last("_rp", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
+        # a NULL-timestamp LEFT row matches nothing (under forward's
+        # descending order nulls sort last and would otherwise see
+        # every right row as "preceding")
+        .withColumn(
+            "_carried", F.when(F.col("_t").isNotNull(), F.col("_carried"))
+        )
     )
     if tolerance is not None:
         gap = F.abs(_exact_on(F.col("_t"), on_type) - F.col("_carried._rt"))
@@ -218,8 +230,10 @@ def asof_join_bucketed(
     on_type = right.schema[on].dataType
     payload_cols = [c for c in right.columns if c not in (by, on)]
     rp = F.struct(*[F.col(c) for c in payload_cols])
+    # NULL-timestamp right rows match nothing — see asof_join
     right_u = (
-        right.groupBy(by, on)
+        right.filter(F.col(on).isNotNull())
+        .groupBy(by, on)
         .agg(F.max(rp).alias("_pl"))
         .select(
             by,
@@ -318,6 +332,10 @@ def asof_join_bucketed(
         )
         .select("ul.*", F.col("en._cent").alias("_cent"))
         .withColumn("_carried", F.coalesce(F.col("_cin"), F.col("_cent")))
+        # NULL-timestamp left rows match nothing — mirrors asof_join
+        .withColumn(
+            "_carried", F.when(F.col("_t").isNotNull(), F.col("_carried"))
+        )
     )
     if tolerance is not None:
         gap = F.abs(_exact_on(F.col("_t"), on_type) - F.col("_carried._rt"))
@@ -349,8 +367,10 @@ def _asof_nearest(
     payload_cols = [c for c in right.columns if c not in (by, on)]
     on_type = right.schema[on].dataType
     rp = F.struct(*[F.col(c) for c in payload_cols])
+    # NULL-timestamp right rows match nothing — see asof_join
     right_u = (
-        right.groupBy(by, on)
+        right.filter(F.col(on).isNotNull())
+        .groupBy(by, on)
         .agg(F.max(rp).alias("_pl"))
         .select(
             by,
@@ -402,7 +422,9 @@ def _asof_nearest(
         .when(gf < gb, F.col("_cf"))
         .otherwise(F.col("_cb"))
     )
-    j = j.withColumn("_c", chosen)
+    # NULL-timestamp left rows match nothing (they sort nulls-last
+    # under the forward descending order and would pick up _cf)
+    j = j.withColumn("_c", F.when(F.col("_t").isNotNull(), chosen))
     if tolerance is not None:
         j = j.withColumn(
             "_c",

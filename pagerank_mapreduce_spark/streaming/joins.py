@@ -104,7 +104,11 @@ def asof_enrich_stream(
     so two byte-identical left rows collapse into one output — the
     per-row streaming as-of is only well-defined over a keyed stream
     (under at-least-once re-delivery, collapsing re-delivered
-    duplicates is the desired behavior)."""
+    duplicates is the desired behavior). NULL ``by`` keys enrich to
+    NULL (SQL equi-join semantics — a stream-stream join cannot key
+    state on NULL); the batch ``asof_join``'s window form carries
+    NULL-key matches, so exact batch parity holds for non-NULL keys
+    only."""
     payload_cols = [c for c in right.columns if c not in (by, on)]
     l = left.alias("l")
     r = right.alias("r")

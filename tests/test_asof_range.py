@@ -284,6 +284,40 @@ def test_asof_bucketed_matches_plain_on_null_keys(spark):
     assert bucketed == plain
 
 
+def test_asof_null_timestamps_match_nothing(spark):
+    # NULL-timestamp rows on either side can never participate in an
+    # as-of match (DuckDB ASOF / pandas merge_asof semantics): a NULL
+    # right row must not act as a "-infinity" carry under the
+    # nulls-first ascending sort, and a NULL left row gets NULL in
+    # every direction
+    left = spark.createDataFrame(
+        [(1, 1, _ts(9)), (2, 1, None)],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(10), 5.0)],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["event_id"]: r["r_value"]
+            for r in asof_join(
+                left, right, on="ts", by="user_id", direction=direction
+            ).collect()
+        }
+        # event 1 at 09:00: backward→no row at-or-before, forward and
+        # nearest→10:00; event 2 (NULL ts)→always NULL
+        want1 = None if direction == "backward" else 5.0
+        assert got == {1: want1, 2: None}, direction
+    bucketed = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join_bucketed(
+            left, right, on="ts", by="user_id", bucket_seconds=60.0
+        ).collect()
+    }
+    assert bucketed == {1: None, 2: None}
+
+
 def test_asof_ntz_exact_across_dst(spark):
     # TIMESTAMP_NTZ gaps must be pure wall-clock arithmetic: under a
     # DST-observing session time zone, a cast-based conversion is
