@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pagerank_mapreduce_spark.operators.dedup import shingles
+from pagerank_mapreduce_spark.operators.dedup import shingles, tokens
 
 
 def repetition_stats(
@@ -68,9 +68,15 @@ def repetition_stats(
         )
     )
 
-    gram_rows = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
-    )
+    # documents with fewer than n tokens contain NO n-grams and must
+    # report 0.0 — shingles()'s short-text fallback (whole text as one
+    # pseudo-gram, needed by MinHash so every doc gets a signature)
+    # would score them top_ngram_char_frac ≈ 1.0 and a Gopher-style
+    # threshold would drop every short document as "repetitive"
+    grams = F.when(
+        F.size(tokens(text_col)) >= n, shingles(text_col, n)
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     gram_stats = (
         gram_rows.groupBy(id_col, "gram")
         .agg(F.count("*").alias("cnt"), F.length("gram").alias("glen"))

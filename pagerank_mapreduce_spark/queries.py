@@ -1234,7 +1234,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents),
     sg AS (SELECT doc_id,
                   CASE WHEN len(w) < 2
-                       THEN [array_to_string(w, ' ')]
+                       THEN []
                        ELSE list_transform(range(1, len(w)),
                                            i -> array_to_string(w[i:i+1], ' '))
                   END AS ss

@@ -274,6 +274,21 @@ def test_repetition_stats_multiline(spark):
     assert got[3]["top_ngram_char_frac"] == 0.0
 
 
+def test_repetition_stats_short_docs_have_no_ngrams(spark):
+    # a document with fewer than n tokens contains NO n-grams —
+    # shingles()'s whole-text fallback (needed by MinHash) must not
+    # leak in and score every 1-token doc as ~100% repetitive
+    from pagerank_mapreduce_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "two words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs, n=2).collect()}
+    assert got[1]["top_ngram_char_frac"] == 0.0  # 1 token, no 2-grams
+    assert got[2]["top_ngram_char_frac"] == round(9 / 9, 6)  # one 2-gram
+
+
 def test_canonicalize_transitive_chain(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
