@@ -64,8 +64,13 @@ def mr_map_tasks(
     emitting rows. Task→executor assignment is Spark's scheduler
     (the dynamic analogue of mapstyle=2 master/slave)."""
 
+    # parse the DDL properly — a comma-split would misread types that
+    # contain commas themselves (decimal(10,2), map<k,v>, struct<...>)
+    from pyspark.sql.types import StructType
+
+    cols = [f.name for f in StructType.fromDDL(schema).fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.strip().split()[0] for f in schema.split(",")]
         for pdf in batches:
             rows = [row for task_id in pdf["id"] for row in func(int(task_id))]
             yield pd.DataFrame(rows, columns=cols)
@@ -324,20 +329,35 @@ def _kv_size(flag: int, col: Column) -> Column:
     return F.lit(widths[flag])
 
 
+def _kv_uint64(col: Column) -> Column:
+    """Render a BIGINT as C's %lu would render the same 64 bits:
+    values with the sign bit set print as their unsigned
+    reinterpretation (conv() treats the hex digits as unsigned)."""
+    return F.conv(F.hex(col), 16, 10)
+
+
 def _kv_fmt(flag: int, col: Column) -> Column:
     """Formatted element per MR-MPI flag (keyvalue.cpp:790-815):
     0=NULL, 1=int %d, 2=uint64 %lu, 3=float %g, 4=double %g,
     5=string %s, 6=int pair, 7=uint64 pair. Flags 6/7 expect a
     2-element array column. Java's %g keeps trailing zeros where C's
-    strips them — a cosmetic deviation, same as format_ranks notes."""
+    strips them — a cosmetic deviation, same as format_ranks notes.
+    The uint64 flags (2 and 7) reinterpret the sign bit like C's %lu
+    does, so a high-bit hash prints as its unsigned value."""
     if flag == 0:
         return F.lit("NULL")
-    if flag in (6, 7):
+    if flag == 7:
+        return F.concat_ws(
+            " ", _kv_uint64(col.getItem(0)), _kv_uint64(col.getItem(1))
+        )
+    if flag == 6:
         return F.format_string("%d %d", col.getItem(0), col.getItem(1))
     if flag in (3, 4):
         return F.format_string("%g", col)
     if flag == 5:
         return col.cast("string")
+    if flag == 2:
+        return _kv_uint64(col)
     return F.format_string("%d", col)
 
 

@@ -225,6 +225,16 @@ def test_print_kv_typed_formats(spark):
     ).repartition(1).sortWithinPartitions("key")
     kept = M.print_kv(big, kflag=1, vflag=2, nstride=10).count()
     assert kept == 10
+    # uint64 flags reinterpret the sign bit like C's %lu: -1 is the
+    # all-ones 64-bit pattern
+    udf = spark.createDataFrame([(1, -1)], "key int, value long")
+    (uline,) = [r["line"] for r in M.print_kv(udf, kflag=1, vflag=2).collect()]
+    assert "value 18446744073709551615" in uline
+    updf = spark.createDataFrame(
+        [([-1, 2], [3, 4])], "key array<long>, value array<int>"
+    )
+    (upline,) = [r["line"] for r in M.print_kv(updf, kflag=7, vflag=6).collect()]
+    assert "key 18446744073709551615 2, value 3 4" in upline
     # invalid flags abort like mapreduce.cpp:1572-1573
     with pytest.raises(ValueError, match="Invalid print args"):
         M.print_kv(df, kflag=8)
