@@ -291,12 +291,23 @@ def _hot_bucket_guard(
     ).filter(size_col <= cap)
 
 
-def _explode_member_pairs(members: DataFrame, members_col: str) -> DataFrame:
-    """Sorted member array → all (a, b) pairs with a < b, JVM-side
-    (array higher-order functions, no Python). One output row per
-    in-bucket pair; callers dedup across buckets if members can
-    co-occur in more than one."""
-    return members.select(
+def _explode_member_pairs(
+    members: DataFrame, members_col: str, pair_builder=None
+) -> DataFrame:
+    """Sorted member array → all (x, y) element pairs with
+    x-before-y, JVM-side (array higher-order functions, no Python).
+    One output row per in-bucket pair; callers dedup across buckets
+    if members can co-occur in more than one.
+
+    ``pair_builder(x, y) -> struct Column`` customizes the emitted
+    struct (default: ``(a, b)`` from the raw elements) — the slice
+    combinatorics live HERE only, shared by the MinHash and SimHash
+    paths."""
+    if pair_builder is None:
+        pair_builder = lambda x, y: F.struct(  # noqa: E731
+            x.alias("a"), y.alias("b")
+        )
+    exploded = members.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -309,12 +320,13 @@ def _explode_member_pairs(members: DataFrame, members_col: str) -> DataFrame:
                                 F.size(members_col) - i - 1, F.lit(0)
                             ),
                         ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        lambda y: pair_builder(x, y),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.a", "p.b")
+    )
+    return exploded.select("p.*")
 
 
 def _bucket_pairs(
@@ -381,17 +393,21 @@ def minhash_dedup(
     """Full near-dup pipeline: LSH candidates → exact Jaccard filter.
     Returns pairs (a, b, jaccard) with jaccard >= threshold.
 
-    The corpus text is tokenized exactly twice: once inside the
-    no-shuffle signature/banding projection (per-row array
-    expression), and once in the verifier — but there semi-join
-    pruned to only the documents that appear in a candidate pair,
-    which LSH keeps orders of magnitude smaller than the corpus. The
-    candidate pair set is persisted: it is consumed three times by
-    the verification step (two id-projections for the prune and the
-    final join) and is tiny relative to the corpus."""
+    The corpus text is tokenized exactly twice: once in the signature
+    stage (the measured-faster explode + min-agg formulation — see
+    SCALE.md on why the no-shuffle fold variant lost), and once in
+    the verifier — but there semi-join pruned to only the documents
+    that appear in a candidate pair, which LSH keeps orders of
+    magnitude smaller than the corpus. The candidate pair set is
+    consumed three times by the verification step (two
+    id-projections for the prune and the final join), so it is
+    materialized once via an eager ``localCheckpoint`` — unlike a
+    ``persist``, the checkpoint's storage is released automatically
+    when the result is dropped (no cache entry accumulating across
+    repeated calls in a long-lived session)."""
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, k
-    ).persist()
+    ).localCheckpoint()
     return ngram_jaccard(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
     )
@@ -515,23 +531,13 @@ def simhash_candidates(
         .filter(F.size("ms") > 1)
     )
     members = _hot_bucket_guard(members, max_bucket_size, "ms")
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ms"), i + 2, F.greatest(F.size("ms") - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(
-                            x["id"].alias("a"),
-                            y["id"].alias("b"),
-                            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = _explode_member_pairs(
+        members,
+        "ms",
+        pair_builder=lambda x, y: F.struct(
+            x["id"].alias("a"),
+            y["id"].alias("b"),
+            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+        ),
     )
-    return pairs.select("p.a", "p.b", "p.hamming").distinct()
+    return pairs.distinct()
