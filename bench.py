@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     # round-over-round)
     "graph_cc_star",
     "ts_asof_bucketed",
+    "text_decontaminate",
+    "text_pack_sequences",
 ]
 
 
@@ -86,11 +88,19 @@ def main() -> None:
     else:
         spark.range(1000).count()
 
+    # best-of-N per query (default 2): the min over repetitions is the
+    # interference-robust wall-clock estimator — single-shot timings on
+    # a shared host can vary 2× on GC/compaction noise with identical
+    # plans. N=1 restores the old single-shot behavior.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        materialize(CATALOG[name].fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            materialize(CATALOG[name].fn(spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -541,3 +541,47 @@ def simhash_candidates(
         ),
     )
     return pairs.distinct()
+
+
+# ----------------------------------------------- decontamination
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Train/test contamination check: for every training doc that
+    shares at least one word ``k``-gram with ANY test doc, return
+    ``(id_col, n_shared_ngrams)`` — the count of distinct
+    contaminated k-grams in that doc. Exact (no sketching): the
+    standard eval-decontamination pass of a pre-training pipeline.
+
+    Scale shape: both sides explode to distinct ``(doc, k-gram)``
+    rows; the test side collapses to its distinct k-gram set — at
+    100 TB that set is still orders of magnitude smaller than the
+    training corpus (eval suites are small) and both sides hash-
+    partition on the k-gram string, so the join is one narrow
+    shuffle keyed by k-gram and the per-doc count is a partial-agg
+    group-by on ``id_col``. No driver materialization, no pair
+    explosion: a k-gram shared by m test docs still contributes one
+    test-side row. (For an extreme test side, hash the k-gram to a
+    64-bit int before the shuffle; kept as the raw string here so
+    external oracles can replay it.)
+
+    No reference counterpart — training-data-pipeline extension.
+    """
+    tr = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("ng"),
+    )
+    te = (
+        _spread(test)
+        .select(F.explode(F.array_distinct(shingles(text_col, k))).alias("ng"))
+        .distinct()
+    )
+    return tr.join(te, "ng").groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_shared_ngrams")
+    )

@@ -3894,6 +3894,108 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "r_value")
 
 
+# ============================== training-pipeline finishing passes
+# Decontamination, sequence packing, feature normalization — the
+# last-mile operators of a pre-training data pipeline. No reference
+# counterpart (extension surface).
+
+
+@_q(
+    "text_decontaminate",
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(len(t) - 4),
+                            i -> array_to_string(t[i+1:i+5], ' '))
+                END AS s
+         FROM toks),
+       split AS (
+         SELECT doc_id,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 100 < 90 AS is_train
+         FROM documents),
+       tr AS (
+         SELECT x.doc_id, unnest(list_distinct(x.s)) AS ng
+         FROM sh x JOIN split p ON p.doc_id = x.doc_id WHERE p.is_train),
+       te AS (
+         SELECT DISTINCT unnest(list_distinct(x.s)) AS ng
+         FROM sh x JOIN split p ON p.doc_id = x.doc_id WHERE NOT p.is_train)
+       SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+       FROM tr JOIN te ON te.ng = tr.ng GROUP BY tr.doc_id""",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eval-set decontamination: training docs sharing any word 5-gram
+    # with the held-out split (split = the same deterministic md5
+    # bucket as rel_train_test_split, so the whole pass is replayable)
+    from pagerank_mapreduce_spark.operators.sessions import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    is_train = hash_bucket("doc_id") < 90
+    return D.decontaminate(
+        docs.filter(is_train), docs.filter(~is_train), k=5
+    )
+
+
+@_q(
+    "text_pack_sequences",
+    """WITH toks AS (
+         SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS BIGINT) AS w
+         FROM documents)
+       SELECT doc_id,
+              CAST(floor(coalesce(sum(w) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) / 512) AS BIGINT) AS chunk_id
+       FROM toks""",
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window packing: docs → 512-token training chunks by
+    # global running sum. The oracle's single ORDER BY window is
+    # exactly what the operator refuses to do at scale — see
+    # operators/packing.py for the two-phase bucketed prefix sum.
+    from pagerank_mapreduce_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("bigint").alias("w")
+    )
+    return pack_sequences(d, "w", "doc_id", budget=512).select(
+        "doc_id", "chunk_id"
+    )
+
+
+@_q(
+    "rel_zscore_by_group",
+    """WITH s AS (SELECT o_orderstatus, avg(o_totalprice) AS mu,
+                         stddev_pop(o_totalprice) AS sd
+                  FROM orders GROUP BY o_orderstatus)
+       SELECT o_orderkey, round((o_totalprice - mu) / sd, 6) AS z
+       FROM orders JOIN s USING (o_orderstatus)""",
+)
+def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group feature normalization: tiny grouped moments relation,
+    # broadcast back onto the fact — NOT a window partitioned by the
+    # group (3 statuses → 3 window partitions would serialize the
+    # whole table through 3 tasks at scale)
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_pop("o_totalprice").alias("sd"),
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            F.round((F.col("o_totalprice") - F.col("mu")) / F.col("sd"), 6)
+            .alias("z"),
+        )
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
