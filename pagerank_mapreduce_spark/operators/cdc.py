@@ -1,0 +1,91 @@
+"""Changelog compaction and snapshot merge (MERGE INTO semantics).
+
+The batch primitive under every lakehouse upsert pipeline: a base
+snapshot plus an ordered stream of changes (upserts + deletes)
+compacts to the new snapshot — last writer wins per key, a trailing
+delete removes the key. ``rel_latest_by_key`` is the special case
+with no deletes and no base.
+
+Scale shape: ONE shuffle on the key columns (the ranking window);
+per-key state is a single row, so the window never buffers a group
+beyond its changes. A pathologically hot key serializes its own
+changes only — at 100 TB the standard mitigation is compacting in
+event-time buckets first (same coarse-bucket idea as
+operators.asof.asof_join_bucketed), which composes because
+last-per-key is associative across ordered buckets.
+
+Null-ordering portability note (why the generation column exists):
+base rows carry NULL order columns, and engines disagree on where
+NULLs sort in DESC order (Spark: last; DuckDB: first). Ordering by
+the generation first makes the NULLs unreachable as tie-breakers —
+base rows only ever compare against each other (one per key) — so
+the result is engine-independent without relying on null placement.
+
+No reference counterpart — training-data / lakehouse extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact an ordered changelog to its final state: per key keep
+    the payload of the last change (by ``order_cols``); keys whose
+    last change is ``delete_op`` are absent from the output."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    return (
+        changes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rk", op_col, *order_cols)
+    )
+
+
+def merge_snapshot(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE the changelog into a base snapshot: unchanged base keys
+    pass through, changed keys take their last change's payload,
+    deleted keys drop. ``base`` must be key-unique and carry exactly
+    the payload columns of ``changes`` (i.e. ``changes`` minus
+    ``op_col``/``order_cols``)."""
+    payload = [
+        c
+        for c in changes.columns
+        if c != op_col and c not in order_cols
+    ]
+    assert sorted(base.columns) == sorted(payload), (
+        f"base columns {base.columns} must equal changes payload {payload}"
+    )
+    tagged_base = base.select(
+        F.lit(0).alias("_gen"),
+        *[F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in order_cols],
+        F.lit("U").alias(op_col),
+        *payload,
+    )
+    tagged_changes = changes.select(
+        F.lit(1).alias("_gen"), *order_cols, op_col, *payload
+    )
+    return apply_changelog(
+        tagged_base.unionByName(tagged_changes),
+        key_cols,
+        ["_gen", *order_cols],
+        op_col=op_col,
+        delete_op=delete_op,
+    )

@@ -3969,6 +3969,52 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_cdc_snapshot",
+    # NULLS LAST on both engines: Spark's desc() defaults to nulls
+    # last, DuckDB's DESC to nulls first — spelled out so the oracle
+    # can never diverge on a null order key (none in the fixture, but
+    # the operator admits them)
+    """WITH ch AS (
+         SELECT user_id, 1 AS gen, ts, event_id, value,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+         FROM events
+         UNION ALL
+         SELECT c_custkey AS user_id, 0 AS gen, NULL, NULL,
+                CAST(c_acctbal AS DOUBLE), 'U'
+         FROM customer),
+       ranked AS (
+         SELECT user_id, value, op,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY gen DESC,
+                                            ts DESC NULLS LAST,
+                                            event_id DESC NULLS LAST) AS rk
+         FROM ch)
+       SELECT user_id, round(value, 6) AS value
+       FROM ranked WHERE rk = 1 AND op <> 'D'""",
+)
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO: customer balances as the base snapshot, events as
+    # the ordered changelog ('error' = delete, anything else =
+    # upsert of the event's value). Untouched base keys pass through;
+    # a key whose last change is a delete drops out.
+    from pagerank_mapreduce_spark.operators.cdc import merge_snapshot
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_acctbal").cast("double").alias("value"),
+    )
+    changes = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    snap = merge_snapshot(base, changes, ["user_id"], ["ts", "event_id"])
+    return snap.select("user_id", F.round("value", 6).alias("value"))
+
+
+@_q(
     "rel_zscore_by_group",
     """WITH s AS (SELECT o_orderstatus, avg(o_totalprice) AS mu,
                          stddev_pop(o_totalprice) AS sd

@@ -1,0 +1,91 @@
+"""Unit + property tests for changelog compaction / snapshot merge
+(operators/cdc.py). The catalog parity test checks ts_cdc_snapshot
+against DuckDB; these pin the MERGE semantics on adversarial cases:
+delete-then-reinsert, delete of a key absent from base, base
+passthrough, and a randomized last-writer-wins oracle.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pagerank_mapreduce_spark.operators.cdc import (
+    apply_changelog,
+    merge_snapshot,
+)
+
+SPARK_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+CH_SCHEMA = "k bigint, seq bigint, v double, op string"
+
+
+def _merge_reference(base: dict, changes: list[tuple]) -> dict:
+    state = dict(base)
+    for k, seq, v, op in sorted(changes, key=lambda r: r[1]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    return state
+
+
+def test_merge_semantics_adversarial(spark):
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double")
+    changes = spark.createDataFrame(
+        [
+            (1, 1, 11.0, "U"),   # plain update
+            (2, 1, 0.0, "D"),    # delete existing
+            (2, 2, 22.0, "U"),   # ...then re-insert (survives)
+            (3, 1, 31.0, "U"),
+            (3, 2, 0.0, "D"),    # update then delete (drops)
+            (9, 1, 90.0, "U"),   # insert of a key absent from base
+            (8, 1, 0.0, "D"),    # delete of a key absent from base (no-op)
+        ],
+        CH_SCHEMA,
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_snapshot(base, changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: 11.0, 2: 22.0, 9: 90.0}
+
+
+def test_apply_changelog_no_base(spark):
+    changes = spark.createDataFrame(
+        [(1, 1, 5.0, "U"), (1, 2, 6.0, "U"), (2, 1, 7.0, "D")], CH_SCHEMA
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: 6.0}
+
+
+@SPARK_SETTINGS
+@given(
+    base=st.dictionaries(st.integers(0, 6), st.floats(0, 100, width=32), max_size=5),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 6),
+            st.floats(0, 100, width=32),
+            st.sampled_from(["U", "U", "D"]),
+        ),
+        max_size=25,
+    ),
+)
+def test_merge_matches_sequential_reference(spark, base, ops):
+    changes = [(k, i, v, op) for i, (k, v, op) in enumerate(ops)]
+    base_df = spark.createDataFrame(
+        list(base.items()) or [], "k bigint, v double"
+    )
+    ch_df = spark.createDataFrame(changes or [], CH_SCHEMA)
+    got = {
+        r["k"]: r["v"]
+        for r in merge_snapshot(base_df, ch_df, ["k"], ["seq"]).collect()
+    }
+    assert got == _merge_reference(base, changes)
