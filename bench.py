@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ts_asof_bucketed",
     "text_decontaminate",
     "text_pack_sequences",
+    "ts_cdc_snapshot",
 ]
 
 
