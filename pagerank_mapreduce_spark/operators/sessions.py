@@ -81,3 +81,30 @@ def stratified_sample(
     for value, pct in rates.items():
         rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
     return df.filter(hash_bucket(*key_cols) < rate)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, n: int, *key_cols: str
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, selected in deterministic
+    md5-of-key order — the "cap documents per source/domain" pass of
+    corpus mixing, reproducible across engines and re-runs (unlike a
+    per-group random sample).
+
+    Scale shape: rank-filter windows compile to Spark's
+    WindowGroupLimit — each map task pre-prunes its partition to the
+    group's top-``n`` BEFORE the shuffle, so a group with 10⁹ rows
+    moves at most ``n × num_input_partitions`` rows, not 10⁹. The
+    plan pin lives in test_plan_audit.py.
+    """
+    order = F.md5(
+        F.concat_ws(
+            "-", *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(order, *key_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -3969,6 +3969,92 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_cap_per_source",
+    """WITH ranked AS (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS rk
+         FROM documents)
+       SELECT doc_id, source FROM ranked WHERE rk <= 10""",
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus mixing: cap each source at 10 docs, chosen in
+    # deterministic md5 order (reproducible "random" subset). The
+    # rank filter compiles to WindowGroupLimit: map-side top-10 per
+    # source before the shuffle.
+    from pagerank_mapreduce_spark.operators.sessions import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", 10, "doc_id")
+
+
+@_q(
+    "rel_profile_columns",
+    """SELECT 'o_orderkey' AS col_name,
+              CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+              CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+              CAST(max(o_orderkey) AS VARCHAR) AS max_val
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus',
+              CAST(count(*) - count(o_orderstatus) AS BIGINT),
+              CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+              min(o_orderstatus), max(o_orderstatus)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderdate',
+              CAST(count(*) - count(o_orderdate) AS BIGINT),
+              CAST(count(DISTINCT o_orderdate) AS BIGINT),
+              CAST(min(o_orderdate) AS VARCHAR),
+              CAST(max(o_orderdate) AS VARCHAR)
+       FROM orders
+       UNION ALL
+       SELECT 'o_totalprice',
+              CAST(count(*) - count(o_totalprice) AS BIGINT),
+              CAST(count(DISTINCT o_totalprice) AS BIGINT),
+              printf('%.2f', min(o_totalprice)),
+              printf('%.2f', max(o_totalprice))
+       FROM orders""",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data profiling in ONE scan: all per-column aggregates in a
+    # single agg row (Catalyst's Expand handles the multiple exact
+    # distincts), then stack() pivots to long format. The oracle's
+    # UNION ALL form scans 4 times — the one-pass formulation is the
+    # point at 100 TB. Doubles render via printf so engine float
+    # formatting can't leak into the hash.
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}_nd"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    row = o.agg(*aggs)
+
+    def _s(c: str, end: str) -> str:
+        return (
+            f"printf('%.2f', {c}_{end})"
+            if c == "o_totalprice"
+            else f"CAST({c}_{end} AS STRING)"
+        )
+
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_nd, {_s(c, 'min')}, {_s(c, 'max')}"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@_q(
     "ts_cdc_snapshot",
     # NULLS LAST on both engines: Spark's desc() defaults to nulls
     # last, DuckDB's DESC to nulls first — spelled out so the oracle

@@ -160,3 +160,24 @@ def test_embedding_near_dups_plan_is_equi_join_only(spark, sf_dir):
     plan = formatted_plan(df)
     # the hot-bucket drop metric is attached
     assert "CollectMetrics" in plan or "hot_buckets" in plan
+
+
+def test_cap_per_group_prunes_map_side(spark, sf_dir):
+    # the rank filter must compile to WindowGroupLimit BELOW the
+    # exchange: each map task pre-prunes to the group's top-n before
+    # any row moves, bounding shuffle volume at n x input partitions
+    from pagerank_mapreduce_spark.operators.sessions import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    from pagerank_mapreduce_spark.plans.audit import _final_tree
+
+    plan = formatted_plan(cap_per_group(docs, "source", 10, "doc_id"))
+    # the operator TREE prints top-down, so the MAP-SIDE (partial)
+    # limit is a WindowGroupLimit appearing AFTER the Exchange line;
+    # the one before it is the post-shuffle final pass
+    tree = _final_tree(plan)
+    assert "Exchange" in tree, plan
+    below_exchange = tree.split("Exchange", 1)[1]
+    assert "WindowGroupLimit" in below_exchange, plan
