@@ -116,7 +116,11 @@ def rmat_edges_portable(
     """
     if a + b + c >= 1.0:
         raise ValueError("quadrant probabilities must satisfy a+b+c < 1")
-    t1, t2, t3 = float(a), float(a + b), float(a + b + c)
+    # derive the floats from the shared helper (repr round-trips
+    # exactly) so both the generator and the SQL oracle compare coins
+    # against bit-identical thresholds — a second inline computation
+    # could drift under a future edit and silently break coin parity
+    t1, t2, t3 = (float(t) for t in _quadrant_thresholds(a, b, c))
     n_edges = edge_factor << scale
 
     from pagerank_mapreduce_spark.operators.dedup import portable_hash60

@@ -75,6 +75,31 @@ def _tolerance_lit(tolerance: float, dtype: DataType) -> Column:
     return F.lit(float(tolerance))
 
 
+def _shared_on_type(left: DataFrame, right: DataFrame, on: str) -> DataType:
+    """The ``on`` column's type, required identical on both inputs.
+
+    The exact-arithmetic basis (:func:`_exact_on`) is type-directed;
+    applying the right side's basis to a left side of a different
+    type (e.g. TIMESTAMP vs TIMESTAMP_NTZ) would convert the left
+    through the session time zone — the non-monotonic DST hazard the
+    basis exists to avoid — and silently drop or add boundary
+    matches. Mismatches fail loudly instead."""
+    lt, rt = left.schema[on].dataType, right.schema[on].dataType
+    if lt != rt:
+        raise ValueError(
+            f"'on' column {on!r} type mismatch: left {lt.simpleString()} "
+            f"vs right {rt.simpleString()} — cast one side explicitly"
+        )
+    return rt
+
+
+# Public aliases: these helpers have cross-module consumers
+# (operators.sessions builds its gap arithmetic on the same exact
+# basis) — the underscore names remain for in-module brevity.
+exact_on = _exact_on
+tolerance_lit = _tolerance_lit
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -115,7 +140,7 @@ def asof_join(
         .groupBy(by, on)
         .agg(F.max(rp).alias("_rp"))
     )
-    on_type = right.schema[on].dataType
+    on_type = _shared_on_type(left, right, on)
     if tolerance is not None:
         # carry the right timestamp (exact units) with the payload
         # for the gap check
@@ -227,7 +252,7 @@ def asof_join_bucketed(
             "asof_join_bucketed supports direction 'backward' or 'forward'"
         )
     backward = direction == "backward"
-    on_type = right.schema[on].dataType
+    on_type = _shared_on_type(left, right, on)
     payload_cols = [c for c in right.columns if c not in (by, on)]
     rp = F.struct(*[F.col(c) for c in payload_cols])
     # NULL-timestamp right rows match nothing — see asof_join
@@ -365,7 +390,7 @@ def _asof_nearest(
     ascending, one descending — two sorts, still one shuffle on the
     key, never a pair space); the winner is a per-row projection."""
     payload_cols = [c for c in right.columns if c not in (by, on)]
-    on_type = right.schema[on].dataType
+    on_type = _shared_on_type(left, right, on)
     rp = F.struct(*[F.col(c) for c in payload_cols])
     # NULL-timestamp right rows match nothing — see asof_join
     right_u = (
@@ -460,7 +485,7 @@ def range_join(
     # the ±1 explosion no longer reaches it — a silently dropped
     # qualifying pair. On the exact basis the explosion really does
     # cover every |gap| <= width candidate.
-    on_type = right.schema[on].dataType
+    on_type = _shared_on_type(left, right, on)
     if isinstance(on_type, (TimestampType, TimestampNTZType)):
         width = F.lit(int(round(float(width_seconds) * 1_000_000)))
     else:

@@ -40,14 +40,16 @@ def apply_changelog(
 ) -> DataFrame:
     """Compact an ordered changelog to its final state: per key keep
     the payload of the last change (by ``order_cols``); keys whose
-    last change is ``delete_op`` are absent from the output."""
+    last change is ``delete_op`` are absent from the output. A NULL
+    op is an upsert (null-safe comparison — a plain ``!=`` would
+    evaluate NULL and silently treat a malformed op as a delete)."""
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.desc(c) for c in order_cols]
     )
     return (
         changes.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .filter(F.col(op_col) != delete_op)
+        .filter(~F.col(op_col).eqNullSafe(delete_op))
         .drop("_rk", op_col, *order_cols)
     )
 
@@ -70,9 +72,13 @@ def merge_snapshot(
         for c in changes.columns
         if c != op_col and c not in order_cols
     ]
-    assert sorted(base.columns) == sorted(payload), (
-        f"base columns {base.columns} must equal changes payload {payload}"
-    )
+    if sorted(base.columns) != sorted(payload):
+        # ValueError, not assert: python -O would strip an assert and
+        # let a mismatched base be silently projected down to the
+        # changes payload, losing columns from the merged snapshot
+        raise ValueError(
+            f"base columns {base.columns} must equal changes payload {payload}"
+        )
     tagged_base = base.select(
         F.lit(0).alias("_gen"),
         *[F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in order_cols],

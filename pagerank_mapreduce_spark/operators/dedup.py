@@ -329,6 +329,14 @@ def _explode_member_pairs(
     return exploded.select("p.*")
 
 
+# Public aliases: the bucket-cap and pair-explosion helpers have a
+# cross-module consumer (operators.similarity.embedding_near_dups
+# shares the capped bucketed self-join shape) — the underscore names
+# remain for in-module brevity.
+hot_bucket_guard = _hot_bucket_guard
+explode_member_pairs = _explode_member_pairs
+
+
 def _bucket_pairs(
     banded: DataFrame, id_col: str, max_bucket_size: int | None = 512
 ) -> DataFrame:

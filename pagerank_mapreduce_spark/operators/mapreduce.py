@@ -332,8 +332,12 @@ def _kv_size(flag: int, col: Column) -> Column:
 def _kv_uint64(col: Column) -> Column:
     """Render a BIGINT as C's %lu would render the same 64 bits:
     values with the sign bit set print as their unsigned
-    reinterpretation (conv() treats the hex digits as unsigned)."""
-    return F.conv(F.hex(col), 16, 10)
+    reinterpretation (conv() treats the hex digits as unsigned).
+    NULL renders as the string 'null', matching what format_string
+    (Java %d) produces for the signed flags — without the coalesce,
+    flag 2 would propagate NULL into the whole line and flag 7's
+    concat_ws would silently drop the element."""
+    return F.coalesce(F.conv(F.hex(col), 16, 10), F.lit("null"))
 
 
 def _kv_fmt(flag: int, col: Column) -> Column:

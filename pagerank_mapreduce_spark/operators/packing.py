@@ -50,7 +50,10 @@ def pack_sequences(
     in global ``order_col`` order / ``budget``).
 
     ``order_col`` must be numeric and unique per row; null weights
-    count as 0 (a doc with no tokens occupies no budget).
+    count as 0 (a doc with no tokens occupies no budget). Rows with a
+    NULL ``order_col`` have no place in the global order — they pass
+    through with ``chunk_id`` NULL (never silently dropped) and
+    contribute nothing to any prefix sum.
     """
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
@@ -84,14 +87,22 @@ def pack_sequences(
         Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        bucketed.groupBy("_b")
+        # NULL-order rows (NULL bucket) are outside the global order:
+        # excluded here so their weights never shift a real bucket's
+        # offset (NULL _b sorts first in ASC and would otherwise be
+        # counted into every prefix)
+        bucketed.filter(F.col("_b").isNotNull())
+        .groupBy("_b")
         .agg(F.sum(w).alias("_bt"))
         .withColumn("_off", F.coalesce(F.sum("_bt").over(offs_w), F.lit(0)))
         .select("_b", "_off")
     )
 
+    # left join: a NULL order_col yields a NULL bucket, which an
+    # inner join would silently drop from the corpus — such rows
+    # keep their payload and get chunk_id NULL instead
     return (
-        local.join(F.broadcast(offsets), "_b")
+        local.join(F.broadcast(offsets), "_b", "left")
         .withColumn(
             "chunk_id",
             F.floor((F.col("_off") + F.col("_local_excl")) / F.lit(budget)),

@@ -32,20 +32,20 @@ def sessionize(
     """Append ``session_no`` (0-based per ``by`` key): a new session
     starts when the gap to the previous event exceeds
     ``gap_seconds``. Gap arithmetic is integer microseconds via
-    ``asof._exact_on`` — exact at the boundary, and wall-clock-pure
+    ``asof.exact_on`` — exact at the boundary, and wall-clock-pure
     for TIMESTAMP_NTZ (a session-timezone cast is non-monotonic
     across DST and could split or merge sessions spuriously);
     ``tiebreak`` makes the ordering total when timestamps collide."""
     from pagerank_mapreduce_spark.operators.asof import (
-        _exact_on,
-        _tolerance_lit,
+        exact_on,
+        tolerance_lit,
     )
 
     on_type = df.schema[on].dataType
     order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(by).orderBy(*order)
-    us = _exact_on(F.col(on), on_type)
-    gap = _tolerance_lit(float(gap_seconds), on_type)
+    us = exact_on(F.col(on), on_type)
+    gap = tolerance_lit(float(gap_seconds), on_type)
     brk = (
         F.when(F.lag(us).over(w).isNull(), 1)
         .when(us - F.lag(us).over(w) > gap, 1)

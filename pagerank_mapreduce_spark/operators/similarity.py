@@ -215,7 +215,7 @@ def embedding_near_dups(
     for the absence of a cross join). Output (a, b, cos).
 
     Pair generation goes through the same capped members/explode
-    shape as MinHash/SimHash (``_hot_bucket_guard``): a degenerate
+    shape as MinHash/SimHash (``hot_bucket_guard``): a degenerate
     corpus (many identical embeddings → one hot bucket) would turn a
     raw bucket self-join quadratic; with the cap, oversize buckets
     are dropped whole (with an ``observe`` drop metric) before any
@@ -225,8 +225,8 @@ def embedding_near_dups(
     Pass ``dim`` (the embedding width) to keep the operator fully
     lazy; when omitted, one ``first()`` driver action sniffs it."""
     from pagerank_mapreduce_spark.operators.dedup import (
-        _explode_member_pairs,
-        _hot_bucket_guard,
+        explode_member_pairs,
+        hot_bucket_guard,
     )
 
     if dim is None:
@@ -237,10 +237,10 @@ def embedding_near_dups(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    members = _hot_bucket_guard(members, max_bucket_size, "ids")
+    members = hot_bucket_guard(members, max_bucket_size, "ids")
     # single bucketization → each id is in exactly one bucket, so
     # pairs are already distinct (unlike the multi-band LSH case)
-    pairs = _explode_member_pairs(members, "ids")
+    pairs = explode_member_pairs(members, "ids")
     vecs = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )

@@ -381,3 +381,21 @@ def test_asof_bucketed_rejects_nearest(spark):
 
     with pytest.raises(ValueError):
         asof_join_bucketed(left, right, direction="nearest")
+
+
+def test_asof_on_type_mismatch_raises(spark):
+    # a left/right 'on' type mismatch would silently convert one side
+    # through the wrong basis — it must fail loudly instead
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00")], "user_id bigint, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1.0)], "user_id bigint, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    with pytest.raises(ValueError, match="type mismatch"):
+        asof_join(left, right)

@@ -89,3 +89,25 @@ def test_merge_matches_sequential_reference(spark, base, ops):
         for r in merge_snapshot(base_df, ch_df, ["k"], ["seq"]).collect()
     }
     assert got == _merge_reference(base, changes)
+
+
+def test_null_op_is_upsert_not_delete(spark):
+    # a malformed NULL op must not act as a delete (plain != would
+    # evaluate NULL and drop the key)
+    changes = spark.createDataFrame(
+        [(1, 1, 5.0, None), (2, 1, 6.0, "D")], CH_SCHEMA
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: 5.0}
+
+
+def test_merge_rejects_mismatched_base_columns(spark):
+    import pytest
+
+    base = spark.createDataFrame([(1, 10.0, "x")], "k bigint, v double, extra string")
+    changes = spark.createDataFrame([(1, 1, 11.0, "U")], CH_SCHEMA)
+    with pytest.raises(ValueError, match="payload"):
+        merge_snapshot(base, changes, ["k"], ["seq"])

@@ -105,3 +105,16 @@ def test_decontaminate_short_docs_whole_text_gram(spark):
         for r in decontaminate(train, test, k=5).collect()
     }
     assert got == {1: 1}
+
+
+def test_pack_sequences_null_order_passes_through(spark):
+    # NULL order rows can't be placed in the global order: they keep
+    # their payload with chunk_id NULL, and their weights must not
+    # shift any real bucket's offset
+    rows = [(1, 100), (None, 999), (2, 100), (3, 100)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = {
+        r["id"]: r["chunk_id"]
+        for r in pack_sequences(df, "w", "id", budget=150, num_buckets=2).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, None: None}
