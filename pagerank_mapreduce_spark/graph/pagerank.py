@@ -55,6 +55,7 @@ def pagerank_oracle_sql(
     convergence: float = CONVERGENCE,
     max_iterations: int = MAX_ITERATIONS,
     round_digits: int = 8,
+    personalize: list[int] | None = None,
 ) -> str:
     """DuckDB oracle replaying the full :func:`pagerank` fixed point as
     a recursive CTE — iteration for iteration, scalar for scalar.
@@ -78,6 +79,27 @@ def pagerank_oracle_sql(
     would silently quantize the whole recursion).
     """
     a = repr(float(alpha))
+    if personalize is None:
+        init_case = "CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END"
+        redistribute = (
+            f"+ {a} * s.dangling / (SELECT n FROM ws)\n"
+            f"                        + (1.0 - {a}) / (SELECT n FROM ws)"
+        )
+    else:
+        # personalized teleport: dangling + (1-a) mass goes to the
+        # source set, weight 1/|S| each — the literal is repr()'d once
+        # so Spark and DuckDB compare bit-identical doubles
+        ids = ", ".join(str(int(i)) for i in sorted(set(personalize)))
+        tw = repr(1.0 / len(set(personalize)))
+        tele = (
+            f"CASE WHEN c.id IN ({ids}) THEN CAST({tw} AS DOUBLE) "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        init_case = f"CASE WHEN id IN ({ids}) THEN {tw} ELSE 0.0 END"
+        redistribute = (
+            f"+ {a} * s.dangling * {tele}\n"
+            f"                        + (1.0 - {a}) * {tele}"
+        )
     return f"""
       WITH RECURSIVE
       ed AS ({edges_sql}),
@@ -89,7 +111,7 @@ def pagerank_oracle_sql(
                              AS id) u
                 LEFT JOIN deg d ON u.id = d.id),
       t(it, id, rank, diff) AS (
-        SELECT 0, id, CAST(CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE),
+        SELECT 0, id, CAST({init_case} AS DOUBLE),
                CAST(1e308 AS DOUBLE) FROM verts
         UNION ALL
         (WITH cur AS (SELECT it, id, rank FROM t
@@ -106,8 +128,7 @@ def pagerank_oracle_sql(
          nxt AS (SELECT c.it + 1 AS it, c.id,
                         {a} * coalesce(h.h_raw, CAST(0.0 AS DOUBLE))
                           / (CASE WHEN c.it = 0 THEN 1.0 ELSE s.sum_pr END)
-                        + {a} * s.dangling / (SELECT n FROM ws)
-                        + (1.0 - {a}) / (SELECT n FROM ws) AS rank,
+                        {redistribute} AS rank,
                         c.rank / (CASE WHEN c.it = 0 THEN 1.0 ELSE s.sum_pr END)
                           AS old_rank
                  FROM cur c CROSS JOIN st s LEFT JOIN contrib h ON c.id = h.id),
@@ -165,8 +186,17 @@ def pagerank(
     convergence: float = CONVERGENCE,
     max_iterations: int = MAX_ITERATIONS,
     num_vertices: int | None = None,
+    personalize: list[int] | None = None,
 ) -> PageRankResult:
-    """Run the reference PageRank fixed point; returns distributed ranks."""
+    """Run the reference PageRank fixed point; returns distributed ranks.
+
+    ``personalize``: teleport to this vertex set instead of uniformly —
+    personalized PageRank (beyond the reference, which is global-only:
+    mr-pr-cpp.cpp:110-180). Init mass, the damping teleport AND the
+    dangling redistribution all go to the set, weight 1/|S| each; the
+    global path's expressions are untouched when None. The set is
+    embedded as an ``isin`` literal — the common small-seed-set case;
+    a million-vertex seed set would want a broadcast-join variant."""
     spark = edges.sparkSession
     n = num_vertices if num_vertices is not None else websize(edges)
     if n <= 0:
@@ -191,7 +221,7 @@ def pagerank(
     conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _pagerank_loop(
-            spark, edges, n, alpha, convergence, max_iterations
+            spark, edges, n, alpha, convergence, max_iterations, personalize
         )
     finally:
         for k, v in saved.items():
@@ -205,7 +235,10 @@ def _pagerank_loop(
     alpha: float,
     convergence: float,
     max_iterations: int,
+    personalize: list[int] | None = None,
 ) -> PageRankResult:
+    tele_ids = sorted(set(personalize)) if personalize is not None else None
+    tele_w = 1.0 / len(tele_ids) if tele_ids else 0.0
     deg = out_degrees(edges)
     # Edge relation with the degree of its source attached, cached and
     # pre-partitioned on the per-iteration join key.
@@ -228,26 +261,35 @@ def _pagerank_loop(
     # checkpoint job as an Observation, like the in-loop stats: no
     # separate driver action.
     init_obs = Observation("pr_init")
-    pr = (
-        vdeg.select(
-            "id",
-            "deg",
-            F.when(F.col("id") == 0, F.lit(1.0))
+    if tele_ids is None:
+        init_rank = (
+            F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        init_metric = F.sum(
+            F.when(F.col("id") == 0, F.col("deg"))
+        ).alias("deg0")
+    else:
+        # personalized init: uniform over the seed set
+        init_rank = (
+            F.when(F.col("id").isin(tele_ids), F.lit(tele_w))
             .otherwise(F.lit(0.0))
-            .alias("rank"),
         )
-        .observe(
-            init_obs,
-            F.sum(F.when(F.col("id") == 0, F.col("deg"))).alias("deg0"),
-        )
+        init_metric = F.sum(
+            F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("dangling0")
+    pr = (
+        vdeg.select("id", "deg", init_rank.alias("rank"))
+        .observe(init_obs, init_metric)
         .localCheckpoint()
     )
 
-    # Pre-loop stats of the init vector: sum = 1; dangling mass is 1
-    # iff vertex 0 has no outgoing links.
-    deg0 = init_obs.get["deg0"]
+    # Pre-loop stats of the init vector: sum = 1 (iteration 0 runs
+    # un-normalized anyway); dangling mass rides the checkpoint job.
     sum_pr = 1.0
-    dangling_pr = 1.0 if deg0 == 0 else 0.0
+    if tele_ids is None:
+        dangling_pr = 1.0 if init_obs.get["deg0"] == 0 else 0.0
+    else:
+        dangling_pr = float(init_obs.get["dangling0"])
 
     one_Iv = (1.0 - alpha) / n
     diff = float("inf")
@@ -261,6 +303,19 @@ def _pagerank_loop(
         # reference does (mr-pr-cpp.cpp:132-138,155).
         norm = 1.0 if iterations == 0 else sum_pr
         one_Av = alpha * dangling_pr / n
+        _h = alpha * F.coalesce(F.col("c.h_raw"), F.lit(0.0)) / norm
+        if tele_ids is None:
+            _new_rank = _h + one_Av + one_Iv
+        else:
+            # dangling + teleport mass both flow to the seed set; the
+            # association order mirrors the oracle's SQL exactly
+            _tele = (
+                F.when(F.col("q.id").isin(tele_ids), F.lit(tele_w))
+                .otherwise(F.lit(0.0))
+            )
+            _new_rank = (
+                _h + (alpha * dangling_pr) * _tele + (1.0 - alpha) * _tele
+            )
 
         # h[i] = sum_{j -> i} old[j]/outdeg[j]; normalization is a
         # scalar, so it is applied after the aggregate (h_raw / norm).
@@ -279,11 +334,7 @@ def _pagerank_loop(
                 F.col("q.id").alias("id"),
                 F.col("q.deg").alias("deg"),
                 (F.col("q.rank") / norm).alias("old_rank"),
-                (
-                    alpha * F.coalesce(F.col("c.h_raw"), F.lit(0.0)) / norm
-                    + one_Av
-                    + one_Iv
-                ).alias("new_rank"),
+                _new_rank.alias("new_rank"),
             )
         )
         # Observation metrics piggyback on the checkpoint job, so each

@@ -81,6 +81,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_ppr",
+    # personalized PageRank (seed set {0, 7, 42}) — same recursive-CTE
+    # replay as the global oracle, teleport redirected to the seeds
+    pagerank_oracle_sql(_EDGES_SQL, max_iterations=100, personalize=[0, 7, 42]),
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # beyond-reference: personalized PageRank — init, damping teleport
+    # and dangling mass all flow to the seed set (1/|S| each). The
+    # loop/plan is the global fixed point's; only the redistribution
+    # expression changes.
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    res = pagerank(edges, max_iterations=100, personalize=[0, 7, 42])
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+@_q(
     "graph_rev_adjacency",
     f"""SELECT dst, string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS in_links
         FROM ({_EDGES_SQL}) GROUP BY dst""",

@@ -74,3 +74,38 @@ def gen_erdos(n: int, n_edges: int | None = None, seed: int = 42) -> list[tuple[
 # source node (no incoming to 0), a self-loop and a duplicate edge —
 # the stressors FIXTURES.md Track A asks for.
 SMALL_GRAPH = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (1, 1), (0, 2)]
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int]],
+    sources: list[int],
+    alpha: float = 0.85,
+    convergence: float = 1e-5,
+    max_iterations: int = 10000,
+    n: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Personalized variant of :func:`pagerank_oracle`: init, damping
+    teleport and dangling mass all flow to ``sources`` (1/|S| each)."""
+    if n is None:
+        n = max(max(s, d) for s, d in edges) + 1
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, _ in edges:
+        outdeg[s] += 1
+    srcs = np.array([s for s, _ in edges], dtype=np.int64)
+    dsts = np.array([d for _, d in edges], dtype=np.int64)
+
+    tele = np.zeros(n)
+    tele[np.array(sorted(set(sources)))] = 1.0 / len(set(sources))
+    pr = tele.copy()
+    diff = 1.0
+    it = 0
+    while diff > convergence and it < max_iterations:
+        sum_pr = pr.sum()
+        dangling_pr = pr[outdeg == 0].sum()
+        old_pr = pr.copy() if it == 0 else pr / sum_pr
+        contrib = old_pr[srcs] / outdeg[srcs]
+        h = np.bincount(dsts, weights=contrib, minlength=n)
+        pr = alpha * h + (alpha * dangling_pr) * tele + (1.0 - alpha) * tele
+        diff = np.abs(pr - old_pr).sum()
+        it += 1
+    return pr, it

@@ -231,3 +231,35 @@ def test_golden_parity(spark, name):
     worst = max(abs(mine[k] - v) for k, v in golden.items())
     assert worst <= TOL, f"{name}: worst |delta| {worst}"
     assert abs(sum(mine.values()) - ranksum) <= TOL
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    # PPR on a small graph with dangling vertices: mass flows to the
+    # seed set; NumPy replays the exact recurrence
+    import pytest
+
+    from tests.oracle_pagerank import ppr_oracle
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (4, 2), (5, 0)]  # 3 dangling-ish
+    S = [0, 4]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    res = pagerank(df, personalize=S)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    want, it = ppr_oracle(edges, S)
+    assert res.iterations == it
+    for i, exp in enumerate(want):
+        assert got[i] == pytest.approx(exp, abs=1e-9), f"vertex {i}"
+    # non-seed, non-reachable vertices hold ~no rank: 5 only links OUT
+    assert got[5] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_global_pagerank_unaffected_by_ppr_path(spark):
+    # personalize=None must produce byte-identical golden behavior
+    # (guards the shared-loop refactor)
+    edges = [(0, 1), (1, 0), (2, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = pagerank(df)
+    b = pagerank(df, personalize=None)
+    ra = sorted((r["id"], r["rank"]) for r in a.ranks.collect())
+    rb = sorted((r["id"], r["rank"]) for r in b.ranks.collect())
+    assert ra == rb and a.iterations == b.iterations
