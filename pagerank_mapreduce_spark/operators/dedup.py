@@ -577,13 +577,20 @@ def decontaminate(
     explosion: a k-gram shared by m test docs still contributes one
     test-side row.
 
-    Two measured choices (sf0.1, local[32], warm):
+    Three measured choices (sf0.1, local[32], warm):
 
-    - the join key is ``xxhash64`` of the gram, not the string —
-      shuffles 8 bytes instead of ~6·k, ~10% warm wall here and a
-      several-fold byte reduction at scale. Collision risk for G
-      distinct grams is ~G²/2⁶⁵ (≈0.5% at G=10¹⁰); pass
-      ``hash_grams=False`` for the exact string join.
+    - gram keys are TOKEN-LEVEL ROLLING HASHES, never gram strings:
+      each token is xxhash64'd once, and a gram's 64-bit key is the
+      XOR of its k token hashes, each rotated by 7·position bits
+      (position-sensitive, so (a,b) ≠ (b,a)). Building and hashing
+      the ~6·k-char gram strings instead measures 2.9× slower
+      end-to-end — the string materialization dominates, not the
+      hashing. A doc shorter than k tokens folds ALL its token
+      hashes into one whole-text key (mirrors :func:`shingles`).
+      Collision risk for G distinct grams is ~G²/2⁶⁵ (≈0.5% at
+      G=10¹⁰); pass ``hash_grams=False`` for the exact string join.
+    - the shuffle carries those 8-byte keys, not strings — a
+      several-fold byte reduction at 100 TB.
     - per-doc gram dedup happens in the aggregate
       (``count_distinct``), not per row: ``array_distinct`` over an
       n-token doc is O(n²) string comparisons row-side — measured
@@ -591,14 +598,54 @@ def decontaminate(
 
     No reference counterpart — training-data-pipeline extension.
     """
-    def grams(df: DataFrame, *head) -> DataFrame:
-        # explode must be a top-level generator; hash in a second
-        # projection (collapses into the same codegen stage)
-        out = df.select(*head, F.explode(shingles(text_col, k)).alias("ng"))
-        if hash_grams:
-            out = out.select(*head, F.xxhash64("ng").alias("ng"))
-        return out
+    def grams_rolling(df: DataFrame, *head) -> DataFrame:
+        toks = tokens(text_col)
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+        n = F.size(th)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
 
+        def rot(c: Column, r: int) -> Column:
+            # bitwise rotate-left: shifts wrap, no ANSI overflow
+            return F.shiftleft(c, r).bitwiseOR(
+                F.shiftrightunsigned(c, 64 - r)
+            )
+
+        def gram(i: Column) -> Column:
+            g = F.element_at(F.col("_th"), i + 1)
+            for j in range(1, k):
+                g = g.bitwiseXOR(
+                    rot(F.element_at(F.col("_th"), i + 1 + j), 7 * j)
+                )
+            return g
+
+        pre = df.select(
+            *head, th.alias("_th"), idx.alias("_idx"), n.alias("_n")
+        )
+        out = pre.select(
+            *head,
+            "_th",
+            "_n",
+            F.explode(
+                F.when(F.col("_n") < k, F.array(F.lit(0))).otherwise(
+                    F.col("_idx")
+                )
+            ).alias("_i"),
+        )
+        whole = F.aggregate(
+            F.slice("_th", 1, F.greatest(F.col("_n"), F.lit(1))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseXOR(x),
+        )
+        g = F.when(F.col("_n") < k, whole).otherwise(gram(F.col("_i")))
+        return out.select(*head, g.alias("ng"))
+
+    def grams_exact(df: DataFrame, *head) -> DataFrame:
+        # explode must be a top-level generator
+        return df.select(
+            *head, F.explode(shingles(text_col, k)).alias("ng")
+        )
+
+    grams = grams_rolling if hash_grams else grams_exact
     tr = grams(train, id_col)
     te = grams(_spread(test)).distinct()
     return tr.join(te, "ng").groupBy(id_col).agg(

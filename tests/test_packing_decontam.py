@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -118,3 +120,19 @@ def test_pack_sequences_null_order_passes_through(spark):
         for r in pack_sequences(df, "w", "id", budget=150, num_buckets=2).collect()
     }
     assert got == {1: 0, 2: 0, 3: 1, None: None}
+
+
+def test_decontaminate_rolling_equals_exact_strings(spark, sf_dir):
+    # the rolling-hash default must reproduce the exact string-gram
+    # counts per doc (collisions aside) on real fixture text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    a = sorted(
+        tuple(r) for r in decontaminate(train, test, k=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in decontaminate(train, test, k=4, hash_grams=False).collect()
+    )
+    assert a == b and len(a) > 0
