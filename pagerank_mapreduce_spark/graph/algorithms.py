@@ -198,19 +198,21 @@ def connected_components_star(
             mins = nbrs.groupBy("u").agg(
                 F.least(F.min("v"), F.first("u")).alias("m")
             )
-            # eager checkpoint, not persist: large has two consumers
-            # in the small-star plan (smins + the join), and the
-            # measured A/B (sf0.1, local[32]) has the two-job
-            # checkpoint round ~15% faster than a one-job persist
-            # round — materialized partitions beat cache-fed
-            # double-consumption here
+            # large feeds straight into the small-star plan — ONE
+            # fused job (and one checkpoint) per round. Measured A/B
+            # history (sf0.1, local[32], 10k-vertex graph): persist'd
+            # large lost to a checkpointed large by ~15% (cache-fed
+            # double-consumption), and the checkpointed two-job round
+            # in turn lost to this fused one-job round by ~3-6% warm
+            # and ~40% cold (half the jobs, half the JIT surface);
+            # outputs are identical. Catalyst handles large's two
+            # consumers (smins + the join) inside the fused plan.
             large = (
                 nbrs.join(mins, "u")
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint()
             )
             # small-star: edges already big→small, re-hang v and u on m
             smins = large.groupBy("u").agg(F.min("v").alias("m"))
