@@ -4071,6 +4071,65 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_funnel_stages",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN v ON v.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t1
+               AND e.ts <= v.t1 + INTERVAL 7 DAY
+             GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN c ON c.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2
+               AND e.ts <= c.t2 + INTERVAL 7 DAY
+             GROUP BY e.user_id)
+       SELECT * FROM (
+         SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+         UNION ALL
+         SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+         UNION ALL
+         SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p)""",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered conversion funnel: users whose first view precedes a
+    # click (within 7 days) that precedes a purchase (within 7 days
+    # of the click). Each stage is an aggregate of
+    # the previous stage's users — three narrow equi-joins on the
+    # user key, no window over the event stream, no sequence UDF; at
+    # scale each stage relation is per-user (tiny vs the event log).
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+        # 7-day conversion window per hop: interval arithmetic (not
+        # epoch-double) so the bound is exact at the boundary
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[-1]
+            e = e.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(pcol))
+                & (F.col("ts") <= F.col(pcol) + F.expr("INTERVAL 7 DAY"))
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    v = stage(None, "view", "t1")
+    c = stage(v, "click", "t2")
+    p = stage(c, "purchase", "t3")
+    counts = [
+        ("view", v),
+        ("view>click", c),
+        ("view>click>purchase", p),
+    ]
+    out = None
+    for label, df in counts:
+        row = df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@_q(
     "ts_cdc_snapshot",
     # NULLS LAST on both engines: Spark's desc() defaults to nulls
     # last, DuckDB's DESC to nulls first — spelled out so the oracle
