@@ -86,6 +86,8 @@ def pagerank_oracle_sql(
             f"                        + (1.0 - {a}) / (SELECT n FROM ws)"
         )
     else:
+        if not personalize:
+            raise ValueError("personalize must name at least one vertex")
         # personalized teleport: dangling + (1-a) mass goes to the
         # source set, weight 1/|S| each — the literal is repr()'d once
         # so Spark and DuckDB compare bit-identical doubles
@@ -201,6 +203,17 @@ def pagerank(
     n = num_vertices if num_vertices is not None else websize(edges)
     if n <= 0:
         raise ValueError("empty graph")
+    if personalize is not None:
+        seeds = set(personalize)
+        if not seeds:
+            raise ValueError("personalize must name at least one vertex")
+        bad = [i for i in seeds if not (0 <= int(i) < n)]
+        if bad:
+            # an all-out-of-range set would silently converge to the
+            # zero vector in one iteration — fail loudly instead
+            raise ValueError(
+                f"personalize ids outside [0, {n}): {sorted(bad)[:5]}"
+            )
 
     # Size the loop's shuffle to the graph, not the session default:
     # every iteration is join+agg+join over the same relations, so a

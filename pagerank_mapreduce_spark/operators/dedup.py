@@ -585,8 +585,8 @@ def decontaminate(
       (position-sensitive, so (a,b) ≠ (b,a)). Building and hashing
       the ~6·k-char gram strings instead measures 2.9× slower
       end-to-end — the string materialization dominates, not the
-      hashing. A doc shorter than k tokens folds ALL its token
-      hashes into one whole-text key (mirrors :func:`shingles`).
+      hashing. A doc shorter than k tokens hashes its joined token
+      string as one whole-text key (mirrors :func:`shingles`).
       Collision risk for G distinct grams is ~G²/2⁶⁵ (≈0.5% at
       G=10¹⁰); pass ``hash_grams=False`` for the exact string join.
     - the shuffle carries those 8-byte keys, not strings — a
@@ -618,25 +618,35 @@ def decontaminate(
                 )
             return g
 
+        # whole-text key for docs shorter than k: hash the JOINED
+        # token string, exactly mirroring shingles()' short-doc gram.
+        # An unrotated XOR fold of the token hashes here would be
+        # order-insensitive and self-canceling ("a b" = "b a",
+        # "ha ha" = "" = key 0) — structured collisions, not the
+        # random 2^-64 kind. CASE is per-row lazy, so the join cost
+        # is paid only by short docs.
+        whole = F.xxhash64(F.array_join(toks, " "))
         pre = df.select(
-            *head, th.alias("_th"), idx.alias("_idx"), n.alias("_n")
+            *head,
+            th.alias("_th"),
+            idx.alias("_idx"),
+            n.alias("_n"),
+            F.when(n < k, whole).alias("_wk"),
         )
         out = pre.select(
             *head,
             "_th",
             "_n",
+            "_wk",
             F.explode(
                 F.when(F.col("_n") < k, F.array(F.lit(0))).otherwise(
                     F.col("_idx")
                 )
             ).alias("_i"),
         )
-        whole = F.aggregate(
-            F.slice("_th", 1, F.greatest(F.col("_n"), F.lit(1))),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc.bitwiseXOR(x),
+        g = F.when(F.col("_n") < k, F.col("_wk")).otherwise(
+            gram(F.col("_i"))
         )
-        g = F.when(F.col("_n") < k, whole).otherwise(gram(F.col("_i")))
         return out.select(*head, g.alias("ng"))
 
     def grams_exact(df: DataFrame, *head) -> DataFrame:

@@ -97,6 +97,11 @@ def cap_per_group(
     moves at most ``n × num_input_partitions`` rows, not 10⁹. The
     plan pin lives in test_plan_audit.py.
     """
+    if not key_cols:
+        # without key columns the md5 is a constant and the order has
+        # no tiebreaker — the kept subset would depend on task layout,
+        # violating the determinism contract above
+        raise ValueError("cap_per_group needs at least one key column")
     order = F.md5(
         F.concat_ws(
             "-", *[F.col(c).cast("string") for c in key_cols]

@@ -238,3 +238,13 @@ def test_print_kv_typed_formats(spark):
     # invalid flags abort like mapreduce.cpp:1572-1573
     with pytest.raises(ValueError, match="Invalid print args"):
         M.print_kv(df, kflag=8)
+
+
+def test_cap_per_group_requires_key_cols(spark):
+    import pytest
+
+    from pagerank_mapreduce_spark.operators.sessions import cap_per_group
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, g string")
+    with pytest.raises(ValueError, match="key column"):
+        cap_per_group(df, "g", 1)

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import functions as F
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -136,3 +134,21 @@ def test_decontaminate_rolling_equals_exact_strings(spark, sf_dir):
         for r in decontaminate(train, test, k=4, hash_grams=False).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_decontaminate_short_docs_no_structured_collisions(spark):
+    # regression: an unrotated XOR fold made "ha ha" == "no no" == ""
+    # (repeated tokens cancel) and "a b" == "b a" (order-insensitive)
+    train = spark.createDataFrame(
+        [(1, "ha ha"), (2, "a b"), (3, "x y")],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [(9, "no no"), (10, "b a"), (11, "x y")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in decontaminate(train, test, k=5).collect()
+    }
+    assert got == {3: 1}

@@ -263,3 +263,18 @@ def test_global_pagerank_unaffected_by_ppr_path(spark):
     ra = sorted((r["id"], r["rank"]) for r in a.ranks.collect())
     rb = sorted((r["id"], r["rank"]) for r in b.ranks.collect())
     assert ra == rb and a.iterations == b.iterations
+
+
+def test_ppr_rejects_empty_or_out_of_range_seeds(spark):
+    import pytest
+
+    from pagerank_mapreduce_spark.graph import pagerank_oracle_sql
+
+    edges = [(0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="at least one"):
+        pagerank(df, personalize=[])
+    with pytest.raises(ValueError, match="outside"):
+        pagerank(df, personalize=[0, 99])
+    with pytest.raises(ValueError, match="at least one"):
+        pagerank_oracle_sql("SELECT 0 AS src, 1 AS dst", personalize=[])
