@@ -1,0 +1,219 @@
+"""Corpus-statistics text ranking: TF-IDF, BM25, n-gram LM scoring.
+
+Training-data curation needs corpus-relative signals, not just the
+per-document heuristics in ``functions/text.py``: which terms
+characterize a document (TF-IDF), which documents answer a query
+(BM25), and how "natural" a document's token sequence is under a
+language model trained on the corpus itself (CCNet-style bigram
+perplexity filtering). No reference counterpart — this is extension
+surface beyond SURVEY.md §2, same tier as dedup/similarity.
+
+Scale notes (100 TB / 1000 executors):
+
+- Everything is expression-only inside whole-stage codegen; the only
+  shuffles are the keyed aggregations themselves (term, (w1, w2)),
+  all algebraic → map-side partial aggregation bounds reducer input
+  by distinct keys per task, not token count.
+- Corpus scalars (N docs, avg length, vocab size) travel as 1-row
+  broadcast relations, never driver round-trips.
+- The model-to-corpus joins are plain equi-joins on the model key.
+  A vocabulary/bigram model can exceed broadcast size at corpus
+  scale, so the joins stay shuffle joins and let AQE downgrade to
+  broadcast when the model side is measured small.
+- Top-k-per-document is ``row_number() <= k``, which Spark compiles
+  to a map-side WindowGroupLimit prune (same property pinned for
+  ``cap_per_group`` in test_plan_audit.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pagerank_mapreduce_spark.functions import text as T
+
+__all__ = ["tfidf_topk", "bm25_score", "bigram_lm_score"]
+
+
+def _n_docs(docs: DataFrame, id_col: str) -> DataFrame:
+    """Corpus size as a 1-row broadcastable relation (no driver job)."""
+    return F.broadcast(docs.agg(F.count(id_col).alias("_n")))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF.
+
+    ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)`` (the smoothed-idf
+    formulation sklearn uses), over whitespace-lowercased tokens.
+    Ties are broken by term so the result is total-order deterministic.
+
+    Two shuffles: (doc, term) counts and term document frequencies —
+    both algebraic counts with map-side partials. The weight is a
+    single double product of integer-derived operands, so the DuckDB
+    oracle matches bit-for-bit before rounding.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfr, "term")
+        .crossJoin(_n_docs(docs, id_col))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                round_digits,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return w.withColumn("rk", rk).filter(F.col("rk") <= k).drop("rk")
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 retrieval: score every document against ``query_terms``,
+    return the ``top`` documents (score DESC, id ASC).
+
+    Standard Robertson/Sparck-Jones BM25:
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``,
+    ``score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*len/avglen))``.
+
+    The query-term set is tiny by construction, so the term filter
+    broadcasts; corpus scalars (N, avg length) ride a 1-row broadcast
+    relation. One shuffle for (doc, term) counts, one 1-row-keyed
+    reduction for the final per-doc sum. A degenerate stop-word query
+    term scores many docs but stays an algebraic sum — no pair blowup.
+    """
+    if not query_terms:
+        raise ValueError("bm25_score: query_terms must be non-empty")
+    qlit = [t.lower() for t in query_terms]
+    lens = docs.select(
+        F.col(id_col), T.token_count(text_col).cast("double").alias("dl")
+    )
+    stats = F.broadcast(
+        lens.agg(
+            F.count(id_col).alias("_n"), F.avg("dl").alias("_avgdl")
+        )
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
+        .filter(F.col("term").isin(qlit))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(dfr, "term")
+        .join(lens, id_col)
+        .crossJoin(stats)
+        .select(
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.round(F.sum("c"), round_digits).alias("bm25")
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top)
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-
+    smoothed bigram LM trained on the corpus itself (the CCNet /
+    Gopher "perplexity filter" shape: low scores flag unnatural token
+    sequences — boilerplate, word salad, OCR noise).
+
+    ``P(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V)`` with ``V`` the
+    unigram vocabulary size; a document scores
+    ``avg over its bigrams of ln P`` (docs with < 2 tokens score 0
+    with 0 bigrams, kept — filtering is the caller's policy).
+
+    Shape at scale: per-doc bigrams partial-aggregate to (doc, w1,
+    w2, m) before any shuffle; the corpus model is two algebraic
+    count relations keyed (w1, w2) and (w1); scoring is equi-joins on
+    those keys followed by a weighted-average reduction keyed by doc.
+    Token order is recovered with posexplode — no string
+    rematerialization of the document (the round-5 decontamination
+    lesson).
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "w")
+    )
+    nxt = toks.select(
+        F.col(id_col), (F.col("pos") + 1).alias("pos"), F.col("w").alias("w1")
+    )
+    big = (
+        toks.join(nxt, [id_col, "pos"])
+        .groupBy(id_col, "w1", F.col("w").alias("w2"))
+        .agg(F.count("*").alias("m"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.sum("m").alias("c1"))
+    vocab = F.broadcast(
+        toks.select("w").distinct().agg(F.count("*").alias("_v"))
+    )
+    logp = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(vocab)
+        .select(
+            id_col,
+            "m",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("_v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    scored = logp.groupBy(id_col).agg(
+        F.round(F.sum(F.col("m") * F.col("lp")) / F.sum("m"), round_digits)
+        .alias("lm_score"),
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+    )
+    # left join back so token-poor docs appear with n_bigrams = 0
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lm_score", F.lit(0.0)).alias("lm_score"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )

@@ -4203,6 +4203,102 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================== corpus-statistics ranking (round 6)
+# TF-IDF / BM25 / bigram-LM quality scoring — corpus-relative text
+# signals (operators/ranking.py). Extension surface, no reference
+# counterpart.
+
+_TOKS_CTE = """toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents)"""
+
+
+@_q(
+    "text_tfidf_topk",
+    f"""WITH {_TOKS_CTE},
+       term AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM term GROUP BY doc_id, term),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n FROM documents),
+       w AS (SELECT tf.doc_id, tf.term,
+                    round(tf.tf * (ln(((SELECT n FROM n) + 1.0)
+                                      / (dfr.df + 1.0)) + 1.0), 6) AS tfidf
+             FROM tf JOIN dfr USING (term)),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rk FROM w)
+       SELECT doc_id, term, tfidf FROM rk WHERE rk <= 5""",
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-5 characteristic terms per document by smoothed TF-IDF
+    from pagerank_mapreduce_spark.operators.ranking import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+@_q(
+    "text_bm25_search",
+    f"""WITH {_TOKS_CTE},
+       lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+       st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+       term AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM term
+              WHERE term IN ('spark', 'stream', 'window')
+              GROUP BY doc_id, term),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       contrib AS (
+         SELECT tf.doc_id,
+                ln(1.0 + ((SELECT n FROM st) - dfr.df + 0.5)
+                         / (dfr.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                         / (SELECT avgdl FROM st))) AS c
+         FROM tf JOIN dfr USING (term) JOIN lens USING (doc_id)),
+       scored AS (SELECT doc_id, round(sum(c), 6) AS bm25
+                  FROM contrib GROUP BY doc_id)
+       SELECT doc_id, bm25 FROM scored
+       ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 retrieval: top-20 documents for a 3-term query
+    from pagerank_mapreduce_spark.operators.ranking import bm25_score
+
+    return bm25_score(
+        _t(spark, sf_dir, "documents"), ["spark", "stream", "window"]
+    )
+
+
+@_q(
+    "text_lm_score",
+    f"""WITH {_TOKS_CTE},
+       pairs AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1,
+                        unnest(t[2:len(t)]) AS w2
+                 FROM toks WHERE len(t) >= 2),
+       big AS (SELECT doc_id, w1, w2, count(*) AS m
+               FROM pairs GROUP BY doc_id, w1, w2),
+       c2 AS (SELECT w1, w2, sum(m) AS c2 FROM big GROUP BY w1, w2),
+       c1 AS (SELECT w1, sum(m) AS c1 FROM big GROUP BY w1),
+       v AS (SELECT count(DISTINCT w) AS v
+             FROM (SELECT unnest(t) AS w FROM toks)),
+       lp AS (SELECT big.doc_id, big.m,
+                     ln((c2.c2 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
+              FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       scored AS (SELECT doc_id, round(sum(m * lp) / sum(m), 6) AS lm_score,
+                         CAST(sum(m) AS BIGINT) AS n_bigrams
+                  FROM lp GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(s.lm_score, 0.0) AS lm_score,
+              coalesce(s.n_bigrams, 0) AS n_bigrams
+       FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-trained bigram-LM mean log-probability per document
+    # (CCNet-style perplexity quality filter)
+    from pagerank_mapreduce_spark.operators.ranking import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

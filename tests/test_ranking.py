@@ -1,0 +1,102 @@
+"""Edge-case tests for corpus-statistics ranking (TF-IDF / BM25 /
+bigram LM). The catalog oracle parity test covers the fixture-scale
+happy path; these pin the boundary semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pagerank_mapreduce_spark.operators.ranking import (
+    bigram_lm_score,
+    bm25_score,
+    tfidf_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare"),
+            (2, "common common common"),
+            (3, "common other"),
+        ],
+    )
+    out = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tfidf_topk(docs, k=2).collect()
+    }
+    # doc 1: at equal tf, "rare" (df=1) must outrank "common" (df=3)
+    assert out[(1, "rare")] > out[(1, "common")]
+    # smoothed idf formula check: tf * (ln((N+1)/(df+1)) + 1)
+    assert out[(1, "rare")] == pytest.approx(
+        1 * (math.log(4 / 2) + 1), abs=1e-6
+    )
+
+
+def test_tfidf_k_bounds_and_tie_break(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h"), (2, "a b")])
+    rows = tfidf_topk(docs, k=3).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.term)
+    assert len(per_doc[1]) == 3
+    # all terms in doc 1 tie (tf=1; a,b have df=2, rest df=1) — the
+    # df=1 terms win, then term-lexicographic order breaks the tie
+    assert per_doc[1] == sorted(per_doc[1])
+
+
+def test_bm25_requires_query_terms(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        bm25_score(docs, [])
+
+
+def test_bm25_matches_manual_single_doc_corpus(spark):
+    # one doc, one query term appearing twice among 4 tokens
+    docs = _docs(spark, [(1, "q w q z")])
+    row = bm25_score(docs, ["q"]).collect()[0]
+    n, df, tf, dl, avgdl, k1, b = 1, 1, 2, 4.0, 4.0, 1.2, 0.75
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    expect = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert row.bm25 == pytest.approx(expect, abs=1e-6)
+
+
+def test_bm25_case_insensitive_query(spark):
+    docs = _docs(spark, [(1, "Spark spark"), (2, "other")])
+    rows = bm25_score(docs, ["SPARK"]).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
+def test_lm_score_short_docs_zero_bigrams(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a b a b")])
+    out = {r.doc_id: (r.lm_score, r.n_bigrams) for r in
+           bigram_lm_score(docs).collect()}
+    assert out[1] == (0.0, 0)
+    assert out[2] == (0.0, 0)
+    assert out[3][1] == 3
+
+
+def test_lm_score_repetitive_beats_novel(spark):
+    # a doc made of one repeated bigram scores higher than a doc of
+    # bigrams seen once each — the "word salad" signal
+    docs = _docs(
+        spark,
+        [(1, "x y x y x y x y"), (2, "p q r s t u v w")],
+    )
+    out = {r.doc_id: r.lm_score for r in bigram_lm_score(docs).collect()}
+    assert out[1] > out[2]
+
+
+def test_lm_score_manual_two_token_corpus(spark):
+    docs = _docs(spark, [(1, "a b")])
+    row = bigram_lm_score(docs).collect()[0]
+    # c2(a,b)=1, c1(a)=1, V=2 -> ln(2/3)
+    assert row.lm_score == pytest.approx(math.log(2 / 3), abs=1e-6)
+    assert row.n_bigrams == 1
