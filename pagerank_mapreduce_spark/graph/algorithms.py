@@ -628,3 +628,98 @@ def sssp_oracle_sql(edges_sql: str, source: int = 0, max_distance: int = 24) -> 
         WHERE walk.d + we.w <= {max_distance}
       )
       SELECT id, min(d) AS dist FROM walk GROUP BY id"""
+
+
+# ------------------------------------------------ k-core decomposition
+
+
+def kcore(
+    edges: DataFrame, k: int | None = None, max_iterations: int = 100
+) -> DataFrame:
+    """Vertices of the k-core: iteratively peel vertices whose degree
+    in the undirected simple graph falls below ``k`` until the
+    survivor set is stable. Returns ``(id, deg)`` with ``deg`` the
+    vertex's degree *inside* the core. ``k=None`` picks the
+    corpus-relative threshold ``ceil(avg degree)`` with exact integer
+    arithmetic (``(m + n - 1) // n``) so Spark and the DuckDB oracle
+    derive the identical k from the data.
+
+    Beyond-reference extension of the OINK graph suite (cc_find /
+    luby_find peers) — dense-core extraction is the standard
+    spam-farm / community-nucleus signal on web graphs.
+
+    Scale stance: each round is one degree aggregation plus two
+    semi-joins keyed on the endpoint — all algebraic, hubs partial-
+    aggregate map-side, the edge set only ever shrinks. Rounds are
+    bounded by the peel depth (<= max vertex degree, in practice tens
+    on power-law graphs); each round's survivor-edge count rides the
+    checkpoint job as an Observation, so the loop is one job per
+    round like the other fixed points in this module.
+    """
+    und = symmetrize(edges)
+    with _loop_confs(und):
+        cur = und.repartition("src").localCheckpoint()
+        if k is None:
+            row = cur.agg(
+                F.count("*").alias("m"),
+                F.count_distinct("src").alias("n"),
+            ).first()
+            if not row["n"]:
+                return cur.select(
+                    F.col("src").alias("id"), F.lit(0).alias("deg")
+                )
+            k = (int(row["m"]) + int(row["n"]) - 1) // int(row["n"])
+        prev_m = None
+        for rnd in range(max_iterations):
+            deg = cur.groupBy("src").agg(F.count("*").alias("d"))
+            surv = deg.filter(F.col("d") >= k).select("src")
+            nxt = cur.join(surv, "src", "leftsemi").join(
+                surv.select(F.col("src").alias("dst")), "dst", "leftsemi"
+            )
+            obs = Observation(f"kcore_round_{rnd}")
+            nxt = nxt.observe(obs, F.count("*").alias("m")).localCheckpoint()
+            m = obs.get["m"]
+            cur = nxt
+            # peeling only removes edges: equal count => equal set =>
+            # every survivor already has degree >= k
+            if m == prev_m or m == 0:
+                break
+            prev_m = m
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, max_iterations: int = 100) -> str:
+    """DuckDB oracle replaying :func:`kcore` (auto-k) round for round:
+    the recursive working table carries one generation of surviving
+    edges per peel round plus a ``stable`` flag set by the generation
+    that reproduced its predecessor exactly. A recursion that dies by
+    emptiness (the k-core is empty) leaves the last generation
+    unstable, so the final SELECT — which keeps only stable rows —
+    returns the empty relation, matching the Spark loop."""
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      und AS (SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)
+              WHERE src <> dst),
+      kk AS (SELECT (count(*) + count(DISTINCT src) - 1)
+                    // count(DISTINCT src) AS k FROM und),
+      t(it, src, dst, stable) AS (
+        SELECT 0, src, dst, FALSE FROM und
+        UNION ALL
+        (WITH cur AS (SELECT it, src, dst FROM t
+                      WHERE NOT stable AND it < {max_iterations}),
+         deg AS (SELECT src, count(*) AS d FROM cur GROUP BY src),
+         surv AS (SELECT src FROM deg WHERE d >= (SELECT k FROM kk)),
+         nxt AS (SELECT c.it, c.src, c.dst FROM cur c
+                 JOIN surv a ON a.src = c.src
+                 JOIN surv b ON b.src = c.dst),
+         chk AS (SELECT (SELECT count(*) FROM nxt)
+                      = (SELECT count(*) FROM cur) AS stable)
+         SELECT it + 1, src, dst, (SELECT stable FROM chk) FROM nxt)
+      )
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+      FROM t WHERE stable AND it = (SELECT max(it) FROM t)
+      GROUP BY src"""

@@ -4203,6 +4203,30 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =================================== k-core decomposition (round 6)
+
+
+def _kcore_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import kcore_oracle_sql
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    return kcore_oracle_sql(rmat_oracle_sql(scale=9, edge_factor=8, seed=42))
+
+
+@_q("graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense-core extraction on the portable R-MAT graph (power-law
+    # degrees — the orders-derived graph is too regular to have a
+    # proper core). k = ceil(avg degree), derived with exact integer
+    # arithmetic on both engines; the full peel fixed point replays
+    # in the oracle's recursive CTE.
+    from pagerank_mapreduce_spark.graph.algorithms import kcore
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    e = rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
+    return kcore(e)
+
+
 # ============================== corpus-statistics ranking (round 6)
 # TF-IDF / BM25 / bigram-LM quality scoring — corpus-relative text
 # signals (operators/ranking.py). Extension surface, no reference

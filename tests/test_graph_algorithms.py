@@ -190,3 +190,36 @@ def test_symmetrize_and_edge_upper(spark):
     assert sym == [(1, 2), (2, 1), (2, 5), (5, 2)]
     up = sorted(tuple(r) for r in GA.edge_upper(edges).collect())
     assert up == [(1, 2), (2, 5)]
+
+
+def test_kcore_known_graph(spark):
+    # K4 on {0,1,2,3} plus a pendant chain 3-4-5: the 3-core is
+    # exactly the K4 (every pendant peels), each with core degree 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    out = {r.id: r.deg for r in GA.kcore(edges, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascading_peel(spark):
+    # a chain has an empty 2-core: peeling must cascade end-to-end,
+    # not stop after removing the first endpoints
+    chain = [(i, i + 1) for i in range(20)]
+    edges = spark.createDataFrame(chain, "src bigint, dst bigint")
+    assert GA.kcore(edges, k=2).count() == 0
+    # ...while a cycle IS its own 2-core
+    cycle = chain + [(20, 0)]
+    edges = spark.createDataFrame(cycle, "src bigint, dst bigint")
+    out = GA.kcore(edges, k=2).collect()
+    assert len(out) == 21 and all(r.deg == 2 for r in out)
+
+
+def test_kcore_auto_k_matches_exact_formula(spark):
+    # auto-k = ceil(avg degree) with exact integer arithmetic:
+    # K5 has n=5, m=20 directed-sym edges -> k=4, core = whole K5
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges = spark.createDataFrame(k5, "src bigint, dst bigint")
+    out = GA.kcore(edges).collect()
+    assert len(out) == 5 and all(r.deg == 4 for r in out)
