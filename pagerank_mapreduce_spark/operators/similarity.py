@@ -264,3 +264,124 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _sqdist_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right accumulation, matching both Spark's
+    ``F.aggregate`` fold and DuckDB's ``list_sum`` so driver-side
+    lookup tables agree bit-for-bit with the SQL oracle."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += (x - y) * (x - y)
+    return d
+
+
+def pq_build(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization encode: split each vector into ``n_sub``
+    contiguous subspaces and store, per subspace, the index of the
+    nearest sub-codebook centroid — ``dim`` floats compress to
+    ``n_sub`` small ints (the classic Jegou/Douze/Schmid PQ layout).
+
+    Like :func:`ivf_sampled_build`, the codebook is *sampled*, not
+    learned: subspace ``s``'s centroids are the ``s``-th slices of the
+    ``n_centroids`` smallest-id vectors — fully deterministic and
+    replayable in plain SQL, so the DuckDB oracle re-derives codebook,
+    assignment, and query scoring exactly. Ties in the argmin go to
+    the lowest centroid id on both engines.
+
+    Returns ``(coded, codebook)``: ``coded`` is the input plus a
+    ``codes ARRAY<INT>`` column; ``codebook[s][c]`` is the centroid
+    subvector. Encoding is expression-only (slice + fold + argmin)
+    inside whole-stage codegen — at 100 TB the scan is the cost, and
+    the output (id + codes) is ~dim/4 smaller than the input, which
+    is the point: the coded relation is what a reranking pipeline
+    keeps hot."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"pq_build: {len(rows)} vectors < n_centroids={n_centroids}"
+        )
+    dim = len(rows[0][vec_col])
+    if dim % n_sub:
+        raise ValueError(f"pq_build: dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    codebook = [
+        [[float(x) for x in r[vec_col][s * sd : (s + 1) * sd]] for r in rows]
+        for s in range(n_sub)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s in range(n_sub):
+        sl = F.slice(v, s * sd + 1, sd)
+        dists = F.array(
+            *[
+                sqdist(sl, F.array(*[F.lit(x) for x in c]))
+                for c in codebook[s]
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return embeddings.withColumn("codes", F.array(*codes)), codebook
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebook: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes, with exact-
+    cosine refinement of the selected candidates.
+
+    The per-subspace lookup table (query subvector → each centroid,
+    squared L2) is computed once on the driver — ``n_sub *
+    n_centroids`` doubles — and scoring a vector is ``n_sub`` literal-
+    array lookups plus adds: no per-row distance over the full
+    vector, which is PQ's entire scale story (the scan reads codes,
+    not embeddings). Selection is ADC ascending (ties → id); the
+    reported ``cos`` is the exact cosine of the surviving k
+    candidates only — the standard PQ-then-rerank shape."""
+    n_sub = len(codebook)
+    sd = len(codebook[0][0])
+    if len(query) != n_sub * sd:
+        raise ValueError(
+            f"pq_topk: query dim {len(query)} != {n_sub * sd}"
+        )
+    adc = None
+    for s in range(n_sub):
+        qs = [float(x) for x in query[s * sd : (s + 1) * sd]]
+        table = [_sqdist_py(qs, c) for c in codebook[s]]
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in table]), F.col("codes")[s] + 1
+        )
+        adc = term if adc is None else adc + term
+    q = F.array(*[F.lit(float(x)) for x in query])
+    top = (
+        coded.select(F.col(id_col), F.round(adc, 6).alias("adc"), F.col(vec_col))
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k)
+    )
+    # exact-cosine refinement AFTER the limit: only the k survivors
+    # ever touch their full vector — scoring the whole corpus here
+    # would defeat the point of the codes
+    return top.select(
+        id_col,
+        "adc",
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 8).alias(
+            "cos"
+        ),
+    )

@@ -4203,6 +4203,67 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================= product quantization ANN (round 6)
+
+
+def _pq_oracle(n_sub: int = 8, sd: int = 8, n_cent: int = 8, k: int = 10) -> str:
+    """DuckDB mirror of the sampled-codebook PQ encode + ADC probe
+    (the approximate semantics checked exactly, like
+    ``_ivf_probe_oracle``): re-derive the per-subspace codebook from
+    the ``n_cent`` smallest-id vectors, assign each vector its
+    nearest centroid per subspace (ties → lowest centroid ordinal),
+    sum the query's per-subspace table entries, and rerank the top-k
+    by exact cosine. Sub-distances are ``list_sum`` over the same
+    (x-y)*(x-y) terms Spark folds left-to-right."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_cent})),
+    d AS (SELECT e.vec_id, s.range AS s, cb.cid,
+                 list_sum(list_transform(range({sd}),
+                   i -> (e.v[s.range*{sd} + i + 1] - cb.cv[s.range*{sd} + i + 1])
+                      * (e.v[s.range*{sd} + i + 1] - cb.cv[s.range*{sd} + i + 1])))
+                   AS d
+          FROM e CROSS JOIN range({n_sub}) s CROSS JOIN cb),
+    asg AS (SELECT vec_id, s, cid FROM (
+              SELECT vec_id, s, cid,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d, cid) AS rn
+              FROM d) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qd AS (SELECT s.range AS s, cb.cid,
+                  list_sum(list_transform(range({sd}),
+                    i -> (q.qv[s.range*{sd} + i + 1] - cb.cv[s.range*{sd} + i + 1])
+                       * (q.qv[s.range*{sd} + i + 1] - cb.cv[s.range*{sd} + i + 1])))
+                    AS qd
+           FROM range({n_sub}) s CROSS JOIN cb CROSS JOIN q),
+    adc AS (SELECT a.vec_id, round(sum(qd.qd), 6) AS adc
+            FROM asg a JOIN qd ON qd.s = a.s AND qd.cid = a.cid
+            GROUP BY a.vec_id)
+    SELECT adc.vec_id, adc.adc,
+           round(round(list_cosine_similarity(e.v, q.qv), 8), 6) AS cos
+    FROM adc JOIN e USING (vec_id), q
+    ORDER BY adc.adc, adc.vec_id LIMIT {k}"""
+
+
+@_q("sim_pq_topk", _pq_oracle())
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product quantization: 64-dim embeddings → 8 subspace codes from
+    # a sampled (SQL-replayable) codebook; ADC top-10 with exact-
+    # cosine rerank of the survivors. vec 0 is a codebook row, so its
+    # ADC to itself is exactly 0 — the invariant the unit test pins.
+    from pagerank_mapreduce_spark.operators.similarity import (
+        pq_build,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    coded, codebook = pq_build(emb, n_sub=8, n_centroids=8)
+    out = pq_topk(coded, codebook, query, k=10)
+    return out.select("vec_id", "adc", F.round("cos", 6).alias("cos"))
+
+
 # =================================== k-core decomposition (round 6)
 
 

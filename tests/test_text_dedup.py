@@ -302,3 +302,52 @@ def test_canonicalize_transitive_chain(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
     kept = sorted(k for k, v in got.items() if k == v)
     assert kept == [0, 1, 4]
+
+
+def test_pq_codebook_vector_has_zero_adc_to_itself(spark, sf_dir):
+    # vec 0 is the first codebook sample, so every subspace encodes
+    # it as itself and its ADC to its own query is exactly 0.0
+    from pagerank_mapreduce_spark.operators.similarity import pq_build, pq_topk
+    from pagerank_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    coded, cb = pq_build(emb, n_sub=8, n_centroids=8)
+    top = pq_topk(coded, cb, query, k=3).collect()
+    assert top[0].vec_id == 0 and top[0].adc == 0.0
+    assert top[0].cos == 1.0
+    # codes are within the codebook range
+    row = coded.filter(F.col("vec_id") == 0).first()
+    assert all(0 <= c < 8 for c in row.codes) and len(row.codes) == 8
+
+
+def test_pq_validates_shapes(spark):
+    from pagerank_mapreduce_spark.operators.similarity import pq_build, pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 6) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError):  # 6 not divisible by 4
+        pq_build(emb, n_sub=4, n_centroids=2)
+    with pytest.raises(ValueError):  # corpus smaller than codebook
+        pq_build(emb, n_sub=2, n_centroids=10)
+    coded, cb = pq_build(emb, n_sub=2, n_centroids=2)
+    with pytest.raises(ValueError):  # query dim mismatch
+        pq_topk(coded, cb, [0.0] * 4)
+
+
+def test_pq_separable_clusters_rank_correctly(spark):
+    # two well-separated clusters: ADC must rank the query's cluster
+    # first even through the lossy codes
+    from pagerank_mapreduce_spark.operators.similarity import pq_build, pq_topk
+
+    near = [(i, [0.1 + 0.01 * i] * 8) for i in range(5)]
+    far = [(i + 10, [9.0 + 0.01 * i] * 8) for i in range(5)]
+    emb = spark.createDataFrame(
+        near + far, "vec_id bigint, embedding array<double>"
+    )
+    coded, cb = pq_build(emb, n_sub=4, n_centroids=4)
+    top = pq_topk(coded, cb, [0.01] * 8, k=5).collect()
+    assert {r.vec_id for r in top} == {0, 1, 2, 3, 4}
