@@ -113,3 +113,58 @@ def cap_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    *key_cols: str,
+) -> DataFrame:
+    """Deterministic temperature-based corpus rebalancing: downsample
+    each group so the kept distribution follows ``n_g ** alpha``
+    (multilingual-sampling style — ``alpha=1`` keeps proportions,
+    ``alpha=0`` equalizes groups). The smallest group anchors at
+    keep-rate 1, so nothing is upsampled:
+    ``rate_g = (min_n / n_g) ** (1 - alpha)``.
+
+    Selection reuses the 16-bit md5 bucket of ``key_cols`` — the same
+    engine-portable, re-runnable choice as :func:`hash_bucket` /
+    :func:`stratified_sample`, compared against the per-group integer
+    threshold ``floor(rate * 65536)``. ``alpha=0.5`` routes through
+    ``sqrt`` (IEEE-exact in every engine) so oracles replay the
+    thresholds bit-for-bit; other alphas use ``pow``, whose last-ulp
+    rounding is *not* standardized — fine operationally, but prefer
+    0.5 when a cross-engine hash check matters.
+
+    Scale shape: one algebraic groupBy-count (tiny output: one row
+    per group), the minimum folded over that tiny relation, both
+    broadcast back onto the corpus — the fact table is touched once,
+    filtered map-side, never shuffled.
+    """
+    if not key_cols:
+        raise ValueError("temperature_resample needs at least one key column")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_resample: alpha {alpha} not in [0, 1]")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    mn = F.broadcast(counts.agg(F.min("_n").alias("_mn")))
+    ratio = F.col("_mn").cast("double") / F.col("_n")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = F.broadcast(
+        counts.crossJoin(mn).select(
+            group_col,
+            F.floor(rate * 65536).cast("bigint").alias("_thr"),
+        )
+    )
+    key = F.concat_ws(
+        "-", *[F.col(c).cast("string") for c in key_cols]
+    )
+    bucket16 = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint")
+    return (
+        df.join(thresholds, group_col)
+        .filter(bucket16 < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -4203,6 +4203,36 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================== temperature mixture resampling (round 6)
+
+
+@_q(
+    "text_temperature_mix",
+    """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       mn AS (SELECT min(n) AS mn FROM cnt),
+       rt AS (SELECT lang,
+                     CAST(floor(sqrt(CAST((SELECT mn FROM mn) AS DOUBLE) / n)
+                                * 65536) AS BIGINT) AS thr
+              FROM cnt)
+       SELECT d.doc_id, d.lang FROM documents d JOIN rt USING (lang)
+       WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) < rt.thr""",
+)
+def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alpha=0.5 temperature rebalancing across languages: the rarest
+    # language keeps everything, the dominant one downsamples toward
+    # sqrt proportions — per-row deterministic via the 16-bit md5
+    # bucket, thresholds replayed exactly (sqrt is IEEE-exact)
+    from pagerank_mapreduce_spark.operators.sessions import (
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(docs, "lang", 0.5, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 # ============================= product quantization ANN (round 6)
 
 

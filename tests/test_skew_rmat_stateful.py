@@ -298,3 +298,38 @@ def test_tws_batch_analogue(spark, sf_dir):
         F.round(F.sum("value"), 4).alias("t"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_temperature_resample_balances_groups(spark):
+    from pagerank_mapreduce_spark.operators.sessions import (
+        temperature_resample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = temperature_resample(df, "grp", 0.5, "doc_id")
+    got = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # smallest group anchors at rate 1 — kept whole
+    assert got["small"] == 100
+    # big group targets sqrt(100/900) = 1/3 of its rows (md5 noise)
+    assert 240 <= got["big"] <= 360
+    # alpha=1 keeps everything
+    assert temperature_resample(df, "grp", 1.0, "doc_id").count() == 1000
+
+
+def test_temperature_resample_validates(spark):
+    import pytest
+
+    from pagerank_mapreduce_spark.operators.sessions import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, grp string")
+    with pytest.raises(ValueError):
+        temperature_resample(df, "grp", 0.5)  # no key cols
+    with pytest.raises(ValueError):
+        temperature_resample(df, "grp", 1.5, "doc_id")
