@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "text_pack_sequences",
     "ts_cdc_snapshot",
+    # round-6 additions
+    "text_tfidf_topk",
+    "text_lm_score",
+    "graph_kcore",
+    "sim_pq_topk",
 ]
 
 
