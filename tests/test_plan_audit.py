@@ -181,3 +181,30 @@ def test_cap_per_group_prunes_map_side(spark, sf_dir):
     assert "Exchange" in tree, plan
     below_exchange = tree.split("Exchange", 1)[1]
     assert "WindowGroupLimit" in below_exchange, plan
+
+
+def test_tfidf_topk_prunes_map_side(spark, sf_dir):
+    # the per-doc top-k rank filter must compile to WindowGroupLimit
+    # below the exchange, same contract as cap_per_group
+    from pagerank_mapreduce_spark.operators.ranking import tfidf_topk
+    from pagerank_mapreduce_spark.plans.audit import _final_tree
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(tfidf_topk(docs, k=5))
+    tree = _final_tree(plan)
+    assert "Exchange" in tree, plan
+    assert "WindowGroupLimit" in tree.split("Exchange", 1)[1], plan
+
+
+def test_lm_score_has_no_positional_self_join(spark, sf_dir):
+    # bigrams come from zip_with over array slices — one scan, no
+    # (doc, pos) sort-merge self-join; the exchange budget pins the
+    # shape (8 with broadcastable model relations; a regression to
+    # the posexplode formulation measured 11)
+    from pagerank_mapreduce_spark.operators.ranking import bigram_lm_score
+    from pagerank_mapreduce_spark.plans.audit import exchange_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bigram_lm_score(docs)
+    assert exchange_count(df) <= 8, formatted_plan(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
