@@ -729,3 +729,81 @@ def kcore_oracle_sql(edges_sql: str, max_iterations: int = 100) -> str:
       SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
       FROM t WHERE stable AND it = (SELECT max(it) FROM t)
       GROUP BY src"""
+
+
+# ------------------------------------------------ label propagation
+
+
+def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection, made fully deterministic: every vertex
+    starts as its own label; each round adopts the most frequent
+    label among its neighbors, ties broken toward the smallest label.
+    Runs a FIXED number of rounds — synchronous LPA can oscillate, so
+    a fixed-round spec is the honest, replayable contract (and what
+    the DuckDB oracle mirrors generation for generation). Returns
+    (id, comm).
+
+    Beyond-reference extension of the OINK graph suite. Scale shape:
+    per round, one shuffle join (labels ⋈ cached edges) and two
+    algebraic aggregations — the per-(vertex, label) count, then the
+    winner via ``max(struct(n, -label))``, which partial-aggregates
+    map-side; no window, no per-vertex label list. Hubs are big
+    groups, not big rows."""
+    sym = symmetrize(edges)
+    with _loop_confs(sym):
+        adj = sym.repartition("src").persist()
+        labels = (
+            adj.select(F.col("src").alias("id"))
+            .unionAll(adj.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint()
+        )
+        for _ in range(rounds):
+            cnt = (
+                labels.alias("l")
+                .join(adj.alias("e"), F.col("l.id") == F.col("e.src"))
+                .groupBy(
+                    F.col("e.dst").alias("id"), F.col("l.lbl").alias("lbl")
+                )
+                .agg(F.count("*").alias("n"))
+            )
+            best = cnt.groupBy("id").agg(
+                F.max(F.struct(F.col("n"), (-F.col("lbl")).alias("nl"))).alias(
+                    "b"
+                )
+            )
+            labels = best.select(
+                "id", (-F.col("b.nl")).alias("lbl")
+            ).localCheckpoint()
+        adj.unpersist()
+    return labels.select("id", F.col("lbl").alias("comm"))
+
+
+def lpa_oracle_sql(edges_sql: str, rounds: int = 5) -> str:
+    """DuckDB oracle replaying :func:`label_propagation` generation
+    for generation; the winner per vertex is row_number over
+    (count DESC, label ASC) — the same total order as Spark's
+    ``max(struct(n, -label))``."""
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      sym AS (SELECT a, b FROM up UNION ALL SELECT b, a FROM up),
+      t(rnd, id, lbl) AS (
+        SELECT 0, a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION ALL
+        (WITH cur AS (SELECT rnd, id, lbl FROM t WHERE rnd < {rounds}),
+         cnt AS (SELECT c.rnd, s.b AS id, c.lbl, count(*) AS n
+                 FROM cur c JOIN sym s ON c.id = s.a
+                 GROUP BY c.rnd, s.b, c.lbl),
+         best AS (SELECT rnd, id, lbl FROM (
+                    SELECT rnd, id, lbl,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY n DESC, lbl) AS rn
+                    FROM cnt) WHERE rn = 1)
+         SELECT rnd + 1, id, lbl FROM best)
+      )
+      SELECT id, lbl AS comm FROM t WHERE rnd = {rounds}"""

@@ -4203,6 +4203,30 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================= label-propagation communities (round 6)
+
+
+def _lpa_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import lpa_oracle_sql
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    return lpa_oracle_sql(
+        rmat_oracle_sql(scale=9, edge_factor=8, seed=42), rounds=4
+    )
+
+
+@_q("graph_lpa", _lpa_oracle())
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synchronous label propagation (4 fixed rounds,
+    # majority label, ties -> smallest) on the portable R-MAT graph;
+    # the oracle replays every generation
+    from pagerank_mapreduce_spark.graph.algorithms import label_propagation
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    e = rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
+    return label_propagation(e, rounds=4)
+
+
 # ======================== temperature mixture resampling (round 6)
 
 

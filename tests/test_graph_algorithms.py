@@ -223,3 +223,24 @@ def test_kcore_auto_k_matches_exact_formula(spark):
     edges = spark.createDataFrame(k5, "src bigint, dst bigint")
     out = GA.kcore(edges).collect()
     assert len(out) == 5 and all(r.deg == 4 for r in out)
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: each clique converges
+    # to its own min-id label
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)], "src bigint, dst bigint"
+    )
+    out = {r.id: r.comm for r in GA.label_propagation(edges, rounds=5).collect()}
+    assert {out[i] for i in range(4)} == {0}
+    assert {out[i + 10] for i in range(4)} == {10}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # a path 0-1-2: after round 1, vertex 1 sees labels {0, 2} with
+    # equal counts and must adopt 0
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
+    out = {r.id: r.comm for r in GA.label_propagation(edges, rounds=1).collect()}
+    assert out[1] == 0
