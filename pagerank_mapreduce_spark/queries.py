@@ -4203,6 +4203,36 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================== streaming trending top-k (round 6)
+
+
+@_q(
+    "stream_topk_trending",
+    """WITH c AS (
+         SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+                count(*) AS cnt
+         FROM events GROUP BY ws, event_type),
+       r AS (
+         SELECT ws, event_type, cnt,
+                row_number() OVER (PARTITION BY ws
+                                   ORDER BY cnt DESC, event_type) AS rk
+         FROM c)
+       SELECT ws, event_type, cnt FROM r WHERE rk <= 3""",
+)
+def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trending detection: top-3 event types per hourly window. The
+    # count half is stream-safe (watermarked when streaming); the rank
+    # half is the foreachBatch / complete-sink step — real-stream
+    # parity in test_streaming.py::test_stream_trending_matches_batch.
+    from pagerank_mapreduce_spark.streaming.windows import (
+        topk_trending,
+        trending_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_trending(trending_counts(ev), k=3)
+
+
 # ======================= label-propagation communities (round 6)
 
 

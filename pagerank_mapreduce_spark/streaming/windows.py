@@ -159,3 +159,31 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-(1h window, event_type) counts — the stream-safe half of
+    trending-top-k. Works identically on a batch or streaming frame
+    (watermark applied only when streaming); the rank step lives in
+    :func:`topk_trending` because window functions cannot run inside
+    a streaming aggregation — apply it in ``foreachBatch`` or on the
+    complete-mode sink table, the standard two-stage trending shape."""
+    ev = events
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def topk_trending(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` event types per window by count (ties → type name) —
+    rank-filter compiles to a map-side WindowGroupLimit prune."""
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("ws").orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= k).drop("rk")

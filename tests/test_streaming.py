@@ -203,3 +203,15 @@ def test_late_data_dropped_with_watermark(spark, tmp_path):
     # late value=100 event must neither update it nor re-emit it
     ten = [t for h, t in rows if h == 10]
     assert ten == [1.0], f"late data leaked into finalized window: {rows}"
+
+
+def test_stream_trending_matches_batch(spark, sf_dir, events_batch):
+    # counts aggregate on the real stream (complete mode); the rank
+    # step runs on the sink table — the foreachBatch trending shape
+    stream = W.read_events_stream(spark, sf_dir)
+    counts = _drain(spark, W.trending_counts(stream), "t_trending")
+    got = W.topk_trending(counts, k=3)
+    want = W.topk_trending(W.trending_counts(events_batch), k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
