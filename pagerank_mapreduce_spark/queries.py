@@ -4203,6 +4203,65 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ====================== LM-score quality filtering (round 6)
+
+
+_TOKS_CTE = """toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents)"""
+
+
+
+@_q(
+    "pipeline_quality_filter",
+    f"""WITH {_TOKS_CTE},
+       pairs AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1,
+                        unnest(t[2:len(t)]) AS w2
+                 FROM toks WHERE len(t) >= 2),
+       big AS (SELECT doc_id, w1, w2, count(*) AS m
+               FROM pairs GROUP BY doc_id, w1, w2),
+       c2 AS (SELECT w1, w2, sum(m) AS c2 FROM big GROUP BY w1, w2),
+       c1 AS (SELECT w1, sum(m) AS c1 FROM big GROUP BY w1),
+       v AS (SELECT count(DISTINCT w) AS v
+             FROM (SELECT unnest(t) AS w FROM toks)),
+       lp AS (SELECT big.doc_id, big.m,
+                     ln((c2.c2 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
+              FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       scored AS (SELECT doc_id, round(sum(m * lp) / sum(m), 6) AS lm_score
+                  FROM lp GROUP BY doc_id),
+       d AS (SELECT s.doc_id, doc.lang, s.lm_score
+             FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id),
+       thr AS (SELECT lang, quantile_cont(lm_score, 0.5) AS med
+               FROM d GROUP BY lang)
+       SELECT d.doc_id, d.lang, d.lm_score
+       FROM d JOIN thr USING (lang) WHERE d.lm_score >= thr.med""",
+)
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style quality gate: keep documents scoring at or above
+    # their LANGUAGE's median bigram-LM score. The per-group median
+    # is a tiny grouped relation broadcast back onto the corpus (the
+    # rel_zscore_by_group pattern) — never a window partitioned by
+    # language. Membership at the boundary is engine-stable: an
+    # interpolated median lies strictly between two adjacent scores,
+    # where no document sits. Short docs (no bigrams) are excluded
+    # from both sides — no-signal docs are a policy question, not a
+    # score of 0 quality.
+    from pagerank_mapreduce_spark.operators.ranking import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_score(docs).filter(F.col("n_bigrams") > 0)
+    d = docs.select("doc_id", "lang").join(lm, "doc_id")
+    thr = d.groupBy("lang").agg(
+        F.percentile("lm_score", F.lit(0.5)).alias("med")
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.col("lm_score") >= F.col("med"))
+        .select("doc_id", "lang", "lm_score")
+    )
+
+
 # =========================== streaming trending top-k (round 6)
 
 
@@ -4376,12 +4435,6 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TF-IDF / BM25 / bigram-LM quality scoring — corpus-relative text
 # signals (operators/ranking.py). Extension surface, no reference
 # counterpart.
-
-_TOKS_CTE = """toks AS (
-         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                    x -> x <> '') AS t
-         FROM documents)"""
-
 
 @_q(
     "text_tfidf_topk",
