@@ -522,3 +522,76 @@ def range_join(
         F.col(f"_rp2.{c}").alias(f"{r_prefix}{c}") for c in right.columns
     ]
     return pairs.select(*out)
+
+
+def resample_carry_forward(
+    df: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    step: str = "1 hour",
+    *tiebreak_cols: str,
+) -> DataFrame:
+    """Resample an irregular time series onto a regular grid with
+    last-observation-carried-forward fill: per ``by`` key, emit one
+    row per ``step`` from ``date_trunc`` of the key's first
+    observation through its last, valued at the most recent
+    observation at-or-before the grid instant. The grid runs from
+    ``date_trunc`` of the first observation through one step past
+    ``date_trunc`` of the last, so every observation is represented
+    by at least one grid point; leading grid points before the first
+    observation are dropped rather than emitted NULL. Output:
+    (by, grid_ts, value).
+
+    Same family as :func:`asof_join` and shares its scale stance:
+    observations and grid points union into ONE relation, ONE shuffle
+    on the key, and a single window carry — never a grid×observation
+    pair join. The grid explode is bounded by span/step per key; a
+    key observed over years at 1-hour steps yields ~10⁴ rows, not a
+    join blowup. ``tiebreak_cols`` orders same-instant observations
+    (pass a unique id for determinism — the carry takes the LAST in
+    that order); observations sort before their exact-instant grid
+    point, so a reading at the grid boundary is included.
+    """
+    obs = df.select(
+        F.col(by),
+        F.col(on).alias("_t"),
+        F.col(value_col).alias("_v"),
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+    )
+    step_i = F.expr(f"interval {step}")
+    unit = step.split()[-1].rstrip("s")
+    grid = (
+        df.groupBy(by)
+        .agg(F.min(on).alias("_a"), F.max(on).alias("_b"))
+        .select(
+            F.col(by),
+            F.explode(
+                F.sequence(
+                    F.date_trunc(unit, "_a"),
+                    F.date_trunc(unit, "_b") + step_i,
+                    step_i,
+                )
+            ).alias("_t"),
+            F.lit(None).cast(df.schema[value_col].dataType).alias("_v"),
+            F.lit(1).alias("_src"),
+            *[
+                F.lit(None)
+                .cast(df.schema[c].dataType)
+                .alias(f"_tb_{c}")
+                for c in tiebreak_cols
+            ],
+        )
+    )
+    un = obs.unionByName(grid)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_t", "_src", *[f"_tb_{c}" for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        un.withColumn("_fill", F.last("_v", ignorenulls=True).over(w))
+        .filter((F.col("_src") == 1) & F.col("_fill").isNotNull())
+        .select(F.col(by), F.col("_t").alias("grid_ts"), F.col("_fill").alias(value_col))
+    )

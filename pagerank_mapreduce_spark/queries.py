@@ -4203,6 +4203,47 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===================== time-series grid resampling (round 6)
+
+
+@_q(
+    "ts_resample_hourly",
+    """WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
+       b AS (SELECT user_id, date_trunc('hour', min(ts)) AS a,
+                    date_trunc('hour', max(ts)) AS bb
+             FROM ev GROUP BY user_id),
+       grid AS (SELECT user_id,
+                       unnest(generate_series(a, bb + INTERVAL '1 hour',
+                                              INTERVAL '1 hour')) AS t
+                FROM b),
+       un AS (SELECT user_id, ts AS t, value AS v, 0 AS src, event_id FROM ev
+              UNION ALL SELECT user_id, t, NULL, 1, NULL FROM grid),
+       f AS (SELECT user_id, t, src,
+                    last_value(v IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY t, src, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS fill
+             FROM un)
+       SELECT user_id, t AS grid_ts, round(fill, 6) AS value
+       FROM f WHERE src = 1 AND fill IS NOT NULL""",
+)
+def q_ts_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # regularize each user's event series onto an hourly grid with
+    # last-observation-carried-forward fill — union + one window
+    # carry, never a grid x observation join
+    from pagerank_mapreduce_spark.operators.asof import (
+        resample_carry_forward,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_carry_forward(
+        ev, "ts", "user_id", "value", "1 hour", "event_id"
+    )
+    return out.select(
+        "user_id", "grid_ts", F.round("value", 6).alias("value")
+    )
+
+
 # ====================== LM-score quality filtering (round 6)
 
 

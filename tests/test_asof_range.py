@@ -399,3 +399,56 @@ def test_asof_on_type_mismatch_raises(spark):
     ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
     with pytest.raises(ValueError, match="type mismatch"):
         asof_join(left, right)
+
+
+def test_resample_carry_forward_known(spark):
+    from datetime import datetime
+
+    from pagerank_mapreduce_spark.operators.asof import (
+        resample_carry_forward,
+    )
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 30), 10.0, 1),
+        (1, datetime(2026, 1, 1, 2, 0), 20.0, 2),  # exactly on grid
+        (1, datetime(2026, 1, 1, 3, 45), 30.0, 3),
+        (2, datetime(2026, 1, 1, 5, 15), 7.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    out = {
+        (r.user_id, r.grid_ts.hour): r.value
+        for r in resample_carry_forward(
+            df, "ts", "user_id", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    # hour 0 grid point (00:00) precedes the first observation -> dropped
+    assert (1, 0) not in out
+    assert out[(1, 1)] == 10.0  # carried
+    assert out[(1, 2)] == 20.0  # boundary observation included
+    assert out[(1, 3)] == 20.0  # 3:00 before the 3:45 reading
+    assert out[(1, 4)] == 30.0  # trailing step covers the last reading
+    assert out[(2, 6)] == 7.0  # single-reading key still represented
+    assert (2, 5) not in out  # 5:00 precedes its first observation
+    assert len(out) == 5
+
+
+def test_resample_same_instant_tiebreak(spark):
+    from datetime import datetime
+
+    from pagerank_mapreduce_spark.operators.asof import (
+        resample_carry_forward,
+    )
+
+    t = datetime(2026, 1, 1, 1, 0)
+    df = spark.createDataFrame(
+        [(1, t, 5.0, 10), (1, t, 9.0, 11)],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    out = resample_carry_forward(
+        df, "ts", "user_id", "value", "1 hour", "event_id"
+    ).collect()
+    # the LAST observation in event_id order wins the carry, at the
+    # boundary grid point and the trailing one
+    assert len(out) == 2 and {r.value for r in out} == {9.0}
