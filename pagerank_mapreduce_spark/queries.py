@@ -4203,6 +4203,73 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================== event debouncing (round 6)
+
+
+@_q(
+    "ts_debounce",
+    """WITH o AS (
+         SELECT event_id, user_id, event_type, ts,
+                lag(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+         FROM events)
+       SELECT event_id, user_id, event_type, ts
+       FROM o WHERE prev IS NULL OR ts - prev >= INTERVAL '10 minutes'""",
+)
+def q_ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # debounce: drop an event when the same (user, type) fired within
+    # the previous 10 minutes — the duplicate-click / retry-storm
+    # filter. Interval arithmetic (never epoch doubles), event_id as
+    # the same-instant tiebreak. One shuffle on the window key.
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("_prev", prev)
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("ts") - F.col("_prev") >= F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# =================== degree assortativity (round 6)
+
+
+@_q(
+    "graph_degree_assortativity",
+    f"""WITH ed AS ({{edges}}),
+       und AS (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)
+               WHERE src <> dst),
+       deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src)
+       SELECT round(corr(a.d, b.d), 6) AS assortativity
+       FROM und JOIN deg a ON a.id = und.src JOIN deg b ON b.id = und.dst""".format(
+        edges="SELECT CAST(o_orderkey % 1000 AS BIGINT) AS src, "
+        "CAST(o_custkey % 1000 AS BIGINT) AS dst FROM orders"
+    ),
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree assortativity (Newman 2002): Pearson correlation of
+    # endpoint degrees over the undirected edge list — one scalar
+    # describing hub-to-hub vs hub-to-leaf wiring. Degrees broadcast
+    # back onto edges; corr is a single algebraic aggregate.
+    from pagerank_mapreduce_spark.graph.algorithms import symmetrize
+
+    und = symmetrize(derive_edges(spark, sf_dir, N_GRAPH))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    return (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("db")), "dst")
+        .agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+    )
+
+
 # ===================== time-series grid resampling (round 6)
 
 
