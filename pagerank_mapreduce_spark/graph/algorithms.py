@@ -672,7 +672,8 @@ def kcore(
             ).first()
             if not row["n"]:
                 return cur.select(
-                    F.col("src").alias("id"), F.lit(0).alias("deg")
+                    F.col("src").alias("id"),
+                    F.lit(0).cast("bigint").alias("deg"),
                 )
             k = (int(row["m"]) + int(row["n"]) - 1) // int(row["n"])
         prev_m = None

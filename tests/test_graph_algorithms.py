@@ -244,3 +244,10 @@ def test_lpa_tie_breaks_to_smallest_label(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
     out = {r.id: r.comm for r in GA.label_propagation(edges, rounds=1).collect()}
     assert out[1] == 0
+
+
+def test_kcore_empty_graph_schema_stable(spark):
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    out = GA.kcore(edges)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"id": "bigint", "deg": "bigint"}
