@@ -110,24 +110,27 @@ def bm25_score(
     if not query_terms:
         raise ValueError("bm25_score: query_terms must be non-empty")
     qlit = [t.lower() for t in query_terms]
-    lens = docs.select(
-        F.col(id_col), T.token_count(text_col).cast("double").alias("dl")
-    )
     stats = F.broadcast(
-        lens.agg(
-            F.count(id_col).alias("_n"), F.avg("dl").alias("_avgdl")
+        docs.select(T.token_count(text_col).cast("double").alias("dl")).agg(
+            F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
         )
     )
+    # dl rides the exploded rows (constant per doc, F.first recovers
+    # it) so the corpus is scanned once — a second lengths relation
+    # would re-scan and re-join the whole table for one column
     tf = (
-        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
+        docs.select(
+            F.col(id_col),
+            T.token_count(text_col).cast("double").alias("dl"),
+            F.explode(T.tokens(text_col)).alias("term"),
+        )
         .filter(F.col("term").isin(qlit))
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (
         tf.join(dfr, "term")
-        .join(lens, id_col)
         .crossJoin(stats)
         .select(
             id_col,
