@@ -552,7 +552,12 @@ def resample_carry_forward(
     (pass a unique id for determinism — the carry takes the LAST in
     that order); observations sort before their exact-instant grid
     point, so a reading at the grid boundary is included.
+
+    NULL timestamps are excluded up front (the module-wide as-of
+    convention): engines disagree on NULL placement in window orders,
+    and a NULL-instant observation has no defined carry position.
     """
+    df = df.filter(F.col(on).isNotNull())
     obs = df.select(
         F.col(by),
         F.col(on).alias("_t"),

@@ -452,3 +452,23 @@ def test_resample_same_instant_tiebreak(spark):
     # the LAST observation in event_id order wins the carry, at the
     # boundary grid point and the trailing one
     assert len(out) == 2 and {r.value for r in out} == {9.0}
+
+
+def test_resample_ignores_null_timestamps(spark):
+    from datetime import datetime
+
+    from pagerank_mapreduce_spark.operators.asof import (
+        resample_carry_forward,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 1, 30), 5.0, 1),
+            (1, None, 99.0, 2),
+        ],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    out = resample_carry_forward(
+        df, "ts", "user_id", "value", "1 hour", "event_id"
+    ).collect()
+    assert all(r.value == 5.0 for r in out) and len(out) == 1
