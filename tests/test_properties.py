@@ -214,3 +214,107 @@ def test_asof_bucketed_equals_plain(spark, lrows, rrows):
                 ).collect()
             }
             assert bucketed == plain, (direction, tol)
+
+
+@SPARK_SETTINGS
+@given(edges=edge_lists, k=st.integers(1, 4))
+def test_kcore_matches_python_peel(spark, edges, k):
+    from pagerank_mapreduce_spark.graph.algorithms import kcore
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        kill = [v for v, ns in adj.items() if len(ns) < k]
+        changed = bool(kill)
+        for v in kill:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+    want = {v: len(ns) for v, ns in adj.items()}
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.deg for r in kcore(df, k=k).collect()}
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(edges=edge_lists, rounds=st.integers(0, 3))
+def test_lpa_matches_python_simulation(spark, edges, rounds):
+    from collections import Counter
+
+    from pagerank_mapreduce_spark.graph.algorithms import label_propagation
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in adj.items():
+            c = Counter(lbl[u] for u in ns)
+            top = max(c.values())
+            nxt[v] = min(l for l, n in c.items() if n == top)
+        lbl = nxt
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.comm for r in label_propagation(df, rounds=rounds).collect()}
+    if adj:  # self-loop-only inputs yield an empty vertex set
+        assert got == lbl
+    else:
+        assert got == {}
+
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # key
+            st.integers(0, 10_000),  # seconds offset
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_resample_matches_python_carry(spark, rows):
+    from datetime import datetime, timedelta
+
+    from pagerank_mapreduce_spark.operators.asof import (
+        resample_carry_forward,
+    )
+
+    base = datetime(2026, 3, 1)
+    data = [
+        (k, base + timedelta(seconds=s), float(v), i)
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    got = {
+        (r.user_id, r.grid_ts): r.value
+        for r in resample_carry_forward(
+            df, "ts", "user_id", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    want = {}
+    bykey: dict[int, list] = {}
+    for k, t, v, i in data:
+        bykey.setdefault(k, []).append((t, i, v))
+    for k, obs in bykey.items():
+        obs.sort()
+        lo = obs[0][0].replace(minute=0, second=0, microsecond=0)
+        hi = obs[-1][0].replace(minute=0, second=0, microsecond=0) + timedelta(
+            hours=1
+        )
+        g = lo
+        while g <= hi:
+            carried = [v for t, i, v in obs if t <= g]
+            if carried:
+                want[(k, g)] = carried[-1]
+            g += timedelta(hours=1)
+    assert got == want
