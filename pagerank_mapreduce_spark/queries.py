@@ -4203,6 +4203,62 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================== corpus summary stats (round 6)
+
+
+_TOKS_CTE = """toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents)"""
+
+
+
+@_q(
+    "text_corpus_stats",
+    f"""WITH {_TOKS_CTE},
+       per AS (SELECT doc_id, len(t) AS n FROM toks),
+       v AS (SELECT count(DISTINCT w) AS vocab
+             FROM (SELECT unnest(t) AS w FROM toks))
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS total_tokens,
+              round(avg(n), 6) AS avg_tokens,
+              CAST((SELECT vocab FROM v) AS BIGINT) AS vocab_size,
+              CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_short
+       FROM per""",
+)
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus report card: sizes, token budget, vocabulary — the
+    # numbers every mixing/packing decision starts from. One scan for
+    # the per-doc lengths + one distinct-vocab aggregation, both
+    # reduced to a single row.
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(T.token_count("text").alias("n"))
+    vocab = F.broadcast(
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .distinct()
+        .agg(F.count("*").alias("vocab"))
+    )
+    return (
+        per.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n"), 6).alias("avg_tokens"),
+            F.sum((F.col("n") < 10).cast("int"))
+            .cast("bigint")
+            .alias("n_short"),
+        )
+        .crossJoin(vocab)
+        .select(
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            F.col("vocab").cast("bigint").alias("vocab_size"),
+            "n_short",
+        )
+    )
+
+
 # ======================== event debouncing (round 6)
 
 
@@ -4313,11 +4369,6 @@ def q_ts_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ====================== LM-score quality filtering (round 6)
 
-
-_TOKS_CTE = """toks AS (
-         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                    x -> x <> '') AS t
-         FROM documents)"""
 
 
 
