@@ -234,11 +234,29 @@ def minhash_lsh_candidates(
     drop count is published as an ``observe()`` metric (see
     :func:`_bucket_pairs`). ``None`` disables the cap.
     """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, sets=sets)
+    banded = band_buckets(sig, id_col, num_hashes, bands)
+    # Pair generation WITHIN buckets: one shuffle keyed on the bucket,
+    # then JVM-side combinatorics over the (sorted) member array. This
+    # computes the expensive signature pipeline exactly once — a
+    # self-join would recompute it for both sides — and the only data
+    # shuffled is (id, band, bucket). Hot buckets (boilerplate text)
+    # are the skew risk; the cap below bounds the quadratic blowup.
+    return _bucket_pairs(banded, id_col, max_bucket_size)
+
+
+def band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, sig) → (id, band, bucket): xxhash64 of each contiguous
+    signature band. Shared by the batch self-dedup and the
+    incremental ingest path — the banding MUST be identical for an
+    incremental run to land new docs in the same buckets a batch run
+    would."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, sets=sets)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -256,13 +274,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    # Pair generation WITHIN buckets: one shuffle keyed on the bucket,
-    # then JVM-side combinatorics over the (sorted) member array. This
-    # computes the expensive signature pipeline exactly once — a
-    # self-join would recompute it for both sides — and the only data
-    # shuffled is (id, band, bucket). Hot buckets (boilerplate text)
-    # are the skew risk; the cap below bounds the quadratic blowup.
-    return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
 def _hot_bucket_guard(
@@ -660,4 +671,82 @@ def decontaminate(
     te = grams(_spread(test)).distinct()
     return tr.join(te, "ng").groupBy(id_col).agg(
         F.count_distinct("ng").cast("bigint").alias("n_shared_ngrams")
+    )
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    is_new: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket_pairs: int | None = 4096,
+) -> DataFrame:
+    """Ingest-time dedup: for a corpus split into an existing INDEX
+    and a NEW batch (``is_new`` boolean column expression), emit
+    verified near-duplicate (a=index doc, b=new doc) pairs — "does
+    this incoming document duplicate what we already hold?". Output:
+    (a, b, jaccard), exact n-gram-Jaccard-verified at ``threshold``.
+
+    Shares :func:`band_buckets` with the batch path, so an
+    incremental run lands new docs in exactly the buckets a batch
+    re-run would. Pair space is index × new WITHIN buckets only: new
+    docs never pair with each other and the index never re-pairs
+    with itself — per ingest batch the candidate cost scales with
+    the batch, not the corpus. ``max_bucket_pairs`` caps the
+    per-bucket cross product (old·new), the incremental analogue of
+    the batch path's ``max_bucket_size``, published as an observe()
+    drop metric; capped members still meet through their other
+    bands.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    side = docs.select(F.col(id_col), is_new.alias("_new"))
+    banded = band_buckets(sig, id_col, num_hashes, bands).join(side, id_col)
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(~F.col("_new"), F.col(id_col)))
+            ).alias("old_ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_new"), F.col(id_col)))
+            ).alias("new_ids"),
+        )
+        .filter((F.size("old_ids") > 0) & (F.size("new_ids") > 0))
+    )
+    if max_bucket_pairs is not None:
+        npairs = F.size("old_ids") * F.size("new_ids")
+        name = f"hot_cross_buckets_{uuid4().hex[:8]}"
+        members = members.observe(
+            name,
+            F.sum(F.when(npairs > max_bucket_pairs, 1).otherwise(0)).alias(
+                "dropped_buckets"
+            ),
+            F.sum(
+                F.when(npairs > max_bucket_pairs, npairs).otherwise(0)
+            ).alias("dropped_pairs"),
+        ).filter(npairs <= max_bucket_pairs)
+    pairs = (
+        members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "old_ids",
+                        lambda o: F.transform(
+                            F.col("new_ids"),
+                            lambda n: F.struct(o.alias("a"), n.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+        .localCheckpoint()
+    )
+    return ngram_jaccard(pairs, docs, text_col, id_col, k).filter(
+        F.col("jaccard") >= threshold
     )

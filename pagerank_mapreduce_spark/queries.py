@@ -4203,6 +4203,61 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ========================= incremental ingest dedup (round 6)
+
+
+@_q(
+    "dedup_incremental",
+    # Exact cross-side all-pairs Jaccard >= 0.5: a = index doc (md5
+    # bucket < 90, the rel_train_test_split convention), b = incoming
+    # doc. Same recall argument as dedup_minhash_pairs: banded LSH
+    # (32x8) empirically recalls every true pair on the fixture, and
+    # cross-side pairs are a subset of all pairs — so the oracle is
+    # exact at the driver's scale and a recall-regression alarm.
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(len(t) - 2),
+                              i -> array_to_string(t[i+1:i+3], ' '))
+                  END) AS s
+         FROM toks),
+       split AS (
+         SELECT doc_id,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 100 < 90 AS is_index
+         FROM documents)
+       SELECT x.doc_id AS a, y.doc_id AS b,
+              round(len(list_intersect(x.s, y.s))
+                    / CAST(len(list_distinct(list_concat(x.s, y.s)))
+                           AS DOUBLE), 6) AS jaccard
+       FROM sh x JOIN split px ON px.doc_id = x.doc_id AND px.is_index
+       JOIN sh y ON y.doc_id <> x.doc_id
+       JOIN split py ON py.doc_id = y.doc_id AND NOT py.is_index
+       WHERE len(list_intersect(x.s, y.s))
+             / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+             >= 0.5""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-time dedup: does an incoming batch (md5 bucket >= 90)
+    # duplicate the existing index? Candidates are index x new within
+    # shared LSH buckets only — batch-sized cost, corpus-sized recall.
+    from pagerank_mapreduce_spark.operators.sessions import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.minhash_incremental_pairs(
+            d, hash_bucket("doc_id") >= 90, threshold=0.5
+        )
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
 # ======================== corpus summary stats (round 6)
 
 

@@ -351,3 +351,51 @@ def test_pq_separable_clusters_rank_correctly(spark):
     coded, cb = pq_build(emb, n_sub=4, n_centroids=4)
     top = pq_topk(coded, cb, [0.01] * 8, k=5).collect()
     assert {r.vec_id for r in top} == {0, 1, 2, 3, 4}
+
+
+def test_incremental_pairs_cross_side_only(spark):
+    from pyspark.sql import functions as F
+
+    # index: docs 1, 2 (near-identical); new batch: docs 11 (dup of
+    # 1/2), 12 (dup of 11 — but new-new must NOT pair), 13 (novel)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (11, base),
+            (12, base),
+            (13, "completely different text with nothing shared here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = D.minhash_incremental_pairs(
+        docs, F.col("doc_id") >= 10, threshold=0.5
+    ).collect()
+    pairs = {(r.a, r.b) for r in out}
+    # every pair is (index, new)
+    assert all(a < 10 <= b for a, b in pairs)
+    # both index docs match both duplicate newcomers; the novel doc
+    # and the new-new duplicate pair are absent
+    assert pairs == {(1, 11), (1, 12), (2, 11), (2, 12)}
+    assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_incremental_pair_cap_bounds_cross_product(spark):
+    from pyspark.sql import functions as F
+
+    # a boilerplate clique spanning both sides: uncapped would emit
+    # 10x10 pairs from one bucket; cap 16 drops the bucket whole
+    same = "identical boilerplate text repeated in every document here"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(10)] + [(100 + i, same) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    capped = D.minhash_incremental_pairs(
+        docs, F.col("doc_id") >= 100, threshold=0.5, max_bucket_pairs=16
+    )
+    assert capped.count() == 0
+    uncapped = D.minhash_incremental_pairs(
+        docs, F.col("doc_id") >= 100, threshold=0.5, max_bucket_pairs=None
+    )
+    assert uncapped.count() == 100
