@@ -168,3 +168,37 @@ def temperature_resample(
         .filter(bucket16 < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    *key_cols: str,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws the md5-derived
+    uniform u of its key columns and ranks by ``ln(u) / weight``
+    descending — the top ``n`` constitute an exact weighted sample,
+    computed distributed as a single top-n (TakeOrdered — no global
+    sort, no per-group state). Weights must be strictly positive.
+
+    The same engine-portability contract as :func:`hash_bucket`: u is
+    ``(bucket16 + 1) / 65537`` so it is never 0 or 1, and the rank
+    key is one ln + one divide on identical doubles — re-runnable,
+    join-stable, and replayable by a SQL oracle.
+    """
+    if not key_cols:
+        raise ValueError("weighted_sample needs at least one key column")
+    key = F.concat_ws(
+        "-", *[F.col(c).cast("string") for c in key_cols]
+    )
+    bucket16 = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint")
+    u = (bucket16 + 1) / F.lit(65537.0)
+    rank_key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_es_key", rank_key)
+        .orderBy(F.col("_es_key").desc(), *key_cols)
+        .limit(n)
+        .drop("_es_key")
+    )

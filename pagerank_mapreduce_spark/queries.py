@@ -4203,6 +4203,32 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===================== deterministic weighted sampling (round 6)
+
+
+@_q(
+    "rel_weighted_sample",
+    """WITH k AS (
+         SELECT o_orderkey, o_totalprice,
+                ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                             1, 4)) AS INTEGER) + 1)
+                   / 65537.0) / o_totalprice AS ek
+         FROM orders)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM k ORDER BY ek DESC, o_orderkey LIMIT 20""",
+)
+def q_rel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sampling: 20 orders, probability
+    # proportional to price, fully deterministic (md5 uniforms) —
+    # a TakeOrdered top-n, no global sort
+    from pagerank_mapreduce_spark.operators.sessions import weighted_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(o, "o_totalprice", 20, "o_orderkey").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
 # ========================= incremental ingest dedup (round 6)
 
 

@@ -333,3 +333,27 @@ def test_temperature_resample_validates(spark):
         temperature_resample(df, "grp", 0.5)  # no key cols
     with pytest.raises(ValueError):
         temperature_resample(df, "grp", 1.5, "doc_id")
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from pagerank_mapreduce_spark.operators.sessions import weighted_sample
+
+    # one row carries 1000x the weight of 99 others: across the md5
+    # randomness it must essentially always be sampled into the top 10
+    rows = [(i, 1.0) for i in range(99)] + [(999, 1000.0)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = {r.id for r in weighted_sample(df, "w", 10, "id").collect()}
+    assert 999 in got and len(got) == 10
+    # deterministic: identical on re-run
+    again = {r.id for r in weighted_sample(df, "w", 10, "id").collect()}
+    assert got == again
+
+
+def test_weighted_sample_validates(spark):
+    import pytest
+
+    from pagerank_mapreduce_spark.operators.sessions import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, w double")
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", 5)
