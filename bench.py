@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "text_lm_score",
     "graph_kcore",
     "sim_pq_topk",
+    "dedup_incremental",
+    "ts_resample_hourly",
 ]
 
 
