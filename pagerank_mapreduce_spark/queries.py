@@ -4641,8 +4641,11 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     coded, codebook = pq_build(emb, n_sub=8, n_centroids=8)
+    # the query (vec 0 = the smallest id) IS the first codebook
+    # sample — reassemble it from the subspace slices instead of a
+    # second driver action
+    query = [x for s in range(len(codebook)) for x in codebook[s][0]]
     out = pq_topk(coded, codebook, query, k=10)
     return out.select("vec_id", "adc", F.round("cos", 6).alias("cos"))
 
