@@ -163,10 +163,17 @@ def temperature_resample(
         "-", *[F.col(c).cast("string") for c in key_cols]
     )
     bucket16 = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint")
+    # null-safe equality: groupBy counts NULL as a group of its own,
+    # so a NULL-group row must meet its own threshold rather than
+    # silently vanishing through a plain inner join
+    thr = thresholds.withColumnRenamed(group_col, "_grp")
     return (
-        df.join(thresholds, group_col)
+        df.join(
+            thr,
+            F.col(group_col).eqNullSafe(F.col("_grp")),
+        )
         .filter(bucket16 < F.col("_thr"))
-        .drop("_thr")
+        .drop("_grp", "_thr")
     )
 
 

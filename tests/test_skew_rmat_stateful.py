@@ -357,3 +357,16 @@ def test_weighted_sample_validates(spark):
     df = spark.createDataFrame([(1, 1.0)], "id bigint, w double")
     with pytest.raises(ValueError):
         weighted_sample(df, "w", 5)
+
+
+def test_temperature_resample_null_group_kept(spark):
+    from pagerank_mapreduce_spark.operators.sessions import (
+        temperature_resample,
+    )
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = temperature_resample(df, "grp", 1.0, "doc_id")
+    # alpha=1 keeps every row — including the NULL group, which must
+    # not vanish through the threshold join
+    assert out.count() == 100
