@@ -60,6 +60,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 N_GRAPH = 1000  # vertex-space size of the fixture-derived graph
 _EDGES_SQL = derive_edges_sql(N_GRAPH)
 
+# whitespace-lowercase tokenization CTE shared by the text oracles
+_TOKS_CTE = """toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents)"""
+
 
 # ===================================================== graph track
 # The reference's own capability: PageRank and its building blocks
@@ -4203,6 +4209,36 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===================== hashing-trick TF features (round 6)
+
+
+@_q(
+    "text_hashing_tf",
+    f"""WITH {{t}},
+       term AS (SELECT doc_id, unnest(t) AS w FROM toks)
+       SELECT doc_id,
+              CAST(CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) % 64
+                   AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM term GROUP BY doc_id, bucket""".replace("{t}", _TOKS_CTE),
+)
+def q_text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the hashing trick: fixed-width term-frequency features with no
+    # vocabulary pass (Spark ML HashingTF's shape, but md5-bucketed so
+    # the oracle replays it engine-portably). One explode + one
+    # algebraic count keyed (doc, bucket) — the feature relation a
+    # linear quality classifier trains on.
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("int") % 64
+    )
+    return (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("doc_id", bucket.cast("bigint").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
 # ===================== deterministic weighted sampling (round 6)
 
 
@@ -4286,11 +4322,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ======================== corpus summary stats (round 6)
 
-
-_TOKS_CTE = """toks AS (
-         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                    x -> x <> '') AS t
-         FROM documents)"""
 
 
 
