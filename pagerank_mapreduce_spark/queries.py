@@ -4209,6 +4209,44 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================= character entropy (round 6)
+
+
+@_q(
+    "text_char_entropy",
+    """WITH ch AS (
+         SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+         FROM documents),
+       cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c)
+       SELECT doc_id,
+              round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+       FROM cnt GROUP BY doc_id""",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy of the character distribution — the classic
+    # gibberish/boilerplate quality heuristic. The identity
+    # H = ln(N) - (sum n*ln n)/N folds everything into one grouped
+    # aggregation chain: no per-doc total join, no window. Two
+    # algebraic shuffles keyed (doc, char) then (doc).
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit("(?s)."), F.lit(0))
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+            6,
+        ).alias("entropy")
+    )
+
+
 # ===================== hashing-trick TF features (round 6)
 
 
