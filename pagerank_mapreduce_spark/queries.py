@@ -4209,6 +4209,39 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================= rolling time-window average (round 6)
+
+
+@_q(
+    "ts_rolling_avg",
+    """SELECT event_id, user_id,
+              round(avg(value) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '24 hours' PRECEDING
+                          AND CURRENT ROW), 6) AS avg_24h
+       FROM events""",
+)
+def q_ts_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing 24h average per user: a RANGE frame over event time —
+    # same-instant peers all join the frame, so ties need no
+    # ordering tiebreak and the result is total-order deterministic.
+    # One shuffle on the window key; frame arithmetic in exact
+    # microseconds (the as-of module convention).
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_24h"),
+    )
+
+
 # ======================= character entropy (round 6)
 
 
