@@ -4890,6 +4890,11 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remove names to steer a query back out of (or into) the window.
 # _HASH_CHECKED_THROUGH_R04 is the subset that actually got a hash
 # verdict (the rest were "err": "no_oracle" rows-only records).
+# _DRIVER_CHECKED_R06 / _HASH_CHECKED_R06 extend the record with the
+# 50 names in the committed CORRECTNESS_r06.json (48 hash-green; the
+# 2 in the rows-only delta ran as "err": "no_oracle" rows-only, which
+# IS the strongest check those two support — both are irreducibly
+# rows-only by nature).
 _DRIVER_CHECKED_THROUGH_R04 = frozenset({
     "dedup_canonical_docs", "dedup_exact", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "graph_connected_components", "graph_dangling",
@@ -4930,17 +4935,51 @@ _HASH_CHECKED_THROUGH_R04 = _DRIVER_CHECKED_THROUGH_R04 - {
 }
 
 
+# The 50 names present in the committed CORRECTNESS_r06.json. All
+# hash-green except the two listed in the rows-only delta below.
+_DRIVER_CHECKED_R06 = frozenset({
+    "pagerank", "graph_ppr", "sim_ivf_topk", "sim_ivf_kmeans_topk",
+    "sim_embedding_near_dups", "mr_kv_stats_detail", "mr_print_kv",
+    "text_quality", "text_repetition", "pipeline_corpus_curation",
+    "text_fingerprint", "text_bpe_tokens", "dedup_ngram_jaccard",
+    "mm_media_stats", "mm_feature_extract", "mm_frame_sample",
+    "rel_q5_region_revenue", "rel_correlated_avg", "rel_pivot_status",
+    "rel_map_lookup", "rel_array_agg", "rel_union_distinct",
+    "graph_formatted_degrees", "rel_stats_agg", "rel_percentiles",
+    "rel_full_outer_join", "rel_cross_join", "rel_posexplode",
+    "rel_arg_minmax", "rel_in_subquery", "rel_having",
+    "rel_regexp_extract", "sim_vector_norm", "sim_knn_join",
+    "rel_q2_min_cost_supplier", "rel_q4_priority_exists",
+    "rel_q7_nation_volume", "rel_q16_supplier_cnt",
+    "rel_q19_disjunctive", "rel_q20_nested_semi", "rel_window_leadlag",
+    "skew_salted_join", "graph_rmat_degree_hist", "stream_tws_totals",
+    "text_winnow_shared", "rel_hash_sample", "rel_approx_percentile",
+    "mr_open_multi_add", "graph_cc_star", "graph_cc_sizes",
+})
+
+# r06 rows-only rows ("err": "no_oracle") — both irreducibly
+# rows-only (learned-KMeans codebook / per-partition histogram), so
+# the rows-only run is the strongest check their form supports.
+_HASH_CHECKED_R06 = _DRIVER_CHECKED_R06 - {
+    "sim_ivf_kmeans_topk",
+    "mr_kv_stats_detail",
+}
+
+_DRIVER_CHECKED = _DRIVER_CHECKED_THROUGH_R04 | _DRIVER_CHECKED_R06
+_HASH_CHECKED = _HASH_CHECKED_THROUGH_R04 | _HASH_CHECKED_R06
+
+
 def _is_checked(name: str) -> bool:
     """True if the entry has received the strongest check its CURRENT
     form supports: a hash verdict if it has an oracle, any driver
     verdict if it is irreducibly rows-only."""
     if CATALOG[name].oracle is not None:
-        return name in _HASH_CHECKED_THROUGH_R04
-    return name in _DRIVER_CHECKED_THROUGH_R04
+        return name in _HASH_CHECKED
+    return name in _DRIVER_CHECKED
 
 
 def _rotate_catalog_for_coverage() -> None:
-    unknown = _DRIVER_CHECKED_THROUGH_R04 - set(CATALOG)
+    unknown = _DRIVER_CHECKED - set(CATALOG)
     assert not unknown, f"checked-record names unknown queries: {unknown}"
     unchecked = [n for n in CATALOG if not _is_checked(n)]
     checked = [n for n in CATALOG if _is_checked(n)]
