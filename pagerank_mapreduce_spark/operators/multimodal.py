@@ -52,9 +52,62 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+_HAS_PIL = _pil_available()
+
+
+def _pil_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Real image decode kernel, auto-selected when Pillow is
+    importable: grayscale, resize to (dim, dim), emit per-row pixel
+    means scaled to [0, 1]. Imported lazily so the module loads in
+    containers without the lib."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    data = list(img.getdata())
+    return [
+        sum(data[r * dim : (r + 1) * dim]) / dim / 255.0 for r in range(dim)
+    ]
+
+
+def _resolve_decoder(
+    decoder: Callable[[bytes], list[float]] | str | None,
+) -> Callable[[bytes], list[float]]:
+    """``"auto"`` (the default) picks the real PIL kernel when the lib
+    is importable and the deterministic fake otherwise — the operator
+    becomes real the day the container gains the dependency, with no
+    caller change. ``"fake"`` / ``"pil"`` pin a kernel explicitly (the
+    catalog's oracle-replayed queries pin ``"fake"``); a callable is
+    used as-is."""
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return _fake_decode
+    if decoder == "pil":
+        if not _HAS_PIL:
+            raise ImportError(
+                "decoder='pil' requested but Pillow is not importable; "
+                "install it or use decoder='fake'/'auto'"
+            )
+        return _pil_decode
+    if decoder in (None, "auto"):
+        return _pil_decode if _HAS_PIL else _fake_decode
+    raise ValueError(f"unknown decoder: {decoder!r}")
+
+
 def extract_features(
     media: DataFrame,
-    decoder: Callable[[bytes], list[float]] | None = None,
+    decoder: Callable[[bytes], list[float]] | str | None = "auto",
     batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract over binary payloads.
@@ -64,7 +117,7 @@ def extract_features(
     supports it). Failures surface as decode_ok=False rows rather
     than task failures — at 100 TB a poison payload must not kill the
     stage."""
-    decode = decoder or _fake_decode
+    decode = _resolve_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,32 +143,57 @@ def extract_features(
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — Spark plumbing real, pixel kernel stubbed.
+    """Image resize stage — Spark plumbing real; the pixel kernel is
+    the real Pillow resize when the lib is importable (payloads
+    re-encoded as PNG, n_bytes refreshed), else a per-row
+    NotImplementedError stub. Kept separate from extract_features so
+    the stub boundary is explicit and greppable."""
 
-    Raises NotImplementedError from the kernel (per-row) unless a real
-    imaging library is installed; the deterministic fake path is
-    ``extract_features``. Kept separate so the stub boundary is
-    explicit and greppable."""
+    if _HAS_PIL:
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            raise NotImplementedError(
-                "image resize requires an imaging library not present in "
-                "this container; inject a kernel or use extract_features"
-            )
-            yield pdf  # pragma: no cover
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                payloads = []
+                for payload in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(payload))).resize(
+                        (width, height)
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
+                out = pdf.copy()
+                out["payload"] = payloads
+                out["n_bytes"] = [len(p) for p in payloads]
+                yield out
+
+    else:
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                raise NotImplementedError(
+                    "image resize requires an imaging library not present "
+                    "in this container; inject a kernel or use "
+                    "extract_features"
+                )
+                yield pdf  # pragma: no cover
 
     return media.mapInPandas(run, media.schema)
 
 
 def sample_frames(
-    media: DataFrame, every_n: int = 10, decoder: Callable | None = None
+    media: DataFrame,
+    every_n: int = 10,
+    decoder: Callable[[bytes], list[float]] | str | None = "auto",
 ) -> DataFrame:
     """Video frame-sampling stage: emits (media_id, frame_no, feature)
     rows — a one-to-many mapInPandas (the UDTF shape). Frame decode is
     stubbed with a deterministic fake deriving ``n_frames`` from the
     payload size (1 frame per 64 bytes)."""
-    decode = decoder or _fake_decode
+    decode = _resolve_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

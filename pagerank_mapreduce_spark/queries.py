@@ -1464,7 +1464,10 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas decode stage; f0 = first feature dim (float32 in the
     # engine → rounded to 5 where float32 vs float64 agree exactly)
     media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
-    feats = MM.extract_features(media)
+    # decoder pinned to the deterministic fake: the oracle replays its
+    # sha256 arithmetic, which decoder="auto" would break the day the
+    # container gains Pillow (text payloads are not decodable images)
+    feats = MM.extract_features(media, decoder="fake")
     return feats.select(
         "media_id",
         "n_bytes",
@@ -1483,7 +1486,9 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-to-many frame sampling (UDTF-shaped mapInPandas)
     media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
-    return MM.sample_frames(media, every_n=10).select("media_id", "frame_no")
+    return MM.sample_frames(media, every_n=10, decoder="fake").select(
+        "media_id", "frame_no"
+    )
 
 
 # ============================================== relational (cont.)

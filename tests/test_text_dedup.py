@@ -143,6 +143,32 @@ def test_ivf_sampled_full_probe_equals_bruteforce(spark, sf_dir):
     assert own == 3
 
 
+def test_ivf_kmeans_narrow_probe_recall_floor(spark, sf_dir):
+    # sim_ivf_kmeans_topk can never have an exact oracle (learned
+    # codebook), so pin its approximate regime instead: at
+    # nprobe=2 < n_lists=8 (the catalog entry's exact configuration)
+    # top-10 overlap vs brute force must clear a fixed floor. Measured
+    # recall@10 across sf0.001/0.01/0.1 is 0.4-0.6 on the synthetic
+    # embeddings (near-uniform vectors are IVF's hardest case); the
+    # floor 0.3 fails on any real regression (broken assignment or
+    # probe selection lands near k/n ≈ 0.02) without flaking on
+    # codebook sensitivity to scale.
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.ivf_build(emb, n_lists=8)
+    approx = {
+        r["vec_id"]
+        for r in S.ivf_topk(assigned, centroids, query, k=10, nprobe=2).collect()
+    }
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, query, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.3
+    # deterministic anchor: the query's own vector lives in the
+    # closest centroid's list, which a 2-probe always visits
+    assert 0 in approx
+
+
 def test_multimodal_feature_extraction(docs):
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media)
@@ -166,6 +192,46 @@ def test_multimodal_poison_payload_does_not_kill_stage(docs):
     rows = MM.extract_features(media, decoder=picky).collect()
     bad = [r for r in rows if not r["decode_ok"]]
     assert len(bad) == 1 and bad[0]["media_id"] == 4
+
+
+def test_decoder_resolution():
+    # "auto" (the operator default) selects the real PIL kernel when
+    # the lib is importable, the deterministic fake otherwise — the
+    # operator becomes real the day the container gains the dep
+    expected = MM._pil_decode if MM._HAS_PIL else MM._fake_decode
+    assert MM._resolve_decoder("auto") is expected
+    assert MM._resolve_decoder(None) is expected
+    assert MM._resolve_decoder("fake") is MM._fake_decode
+    custom = lambda payload: [0.0]  # noqa: E731
+    assert MM._resolve_decoder(custom) is custom
+    if not MM._HAS_PIL:
+        with pytest.raises(ImportError):
+            MM._resolve_decoder("pil")
+    with pytest.raises(ValueError):
+        MM._resolve_decoder("jpeg2000")
+
+
+@pytest.mark.skipif(not MM._HAS_PIL, reason="Pillow not installed")
+def test_multimodal_real_pil_path(spark):
+    # exercised automatically once the container gains Pillow: a real
+    # 2x2 PNG flows through decode + resize end-to-end
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (2, 2), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", buf.getvalue(), "image/png", len(buf.getvalue()))],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.extract_features(media, decoder="pil").first()
+    assert row["decode_ok"] and len(row["feature"]) == 8
+    assert all(abs(v - 128 / 255) < 1e-6 for v in row["feature"])
+    resized = MM.resize_images(media, 4, 4).first()
+    img = Image.open(io.BytesIO(bytes(resized["payload"])))
+    assert img.size == (4, 4)
+    assert resized["n_bytes"] == len(bytes(resized["payload"]))
 
 
 def test_frame_sampling_shape(docs):
