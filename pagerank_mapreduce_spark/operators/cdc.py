@@ -54,6 +54,55 @@ def apply_changelog(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history: collapse a per-key
+    ordered event stream into validity intervals — one row per run of
+    consecutive identical ``state_col`` values, with ``valid_from`` =
+    the run's first order value and ``valid_to`` = the next run's
+    ``valid_from`` (NULL for the current/open run). The standard
+    dimension-history build of a warehouse load.
+
+    Two window passes over ONE shuffle on the key (both windows share
+    the partitioning, so Catalyst plans a single exchange): a lag()
+    marks run starts (run-length encoding — consecutive duplicates
+    collapse before any further work), then a lead() over the
+    surviving run-start rows closes each interval. Per-key state is
+    one row per *run*, never the full event list, so hot keys cost
+    their own change count only — same skew posture as
+    :func:`apply_changelog`.
+
+    ``order_cols`` must be a deterministic total order per key
+    (include a tie-breaker id alongside the timestamp — ties
+    otherwise make both the run boundaries and ``valid_to``
+    engine-dependent).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = (
+        df.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | ~F.col("_prev").eqNullSafe(F.col(state_col))
+        )
+        .drop("_prev")
+    )
+    first_order, *rest_order = order_cols
+    return (
+        changed.withColumnRenamed(first_order, "valid_from")
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy(*key_cols).orderBy("valid_from", *rest_order)
+            ),
+        )
+        .select(*key_cols, state_col, "valid_from", "valid_to")
+    )
+
+
 def merge_snapshot(
     base: DataFrame,
     changes: DataFrame,

@@ -674,6 +674,104 @@ def decontaminate(
     )
 
 
+def dup_span_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the signal behind
+    substring-level training-data dedup (Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*, ACL'22): a token
+    position is "covered" when some word ``n``-gram through it also
+    appears in at least one OTHER document. Returns one row per doc:
+    ``(doc_id, n_tokens, dup_ngrams, covered_tokens, dup_ratio)`` —
+    a pipeline thresholds ``dup_ratio`` to drop boilerplate-heavy
+    docs or routes covered spans to a cut pass.
+
+    Shape: explode to (doc, start, gram-key) rows; grams duplicated
+    across ≥2 docs are found with one algebraic groupBy on the key
+    (count_distinct partial-aggregates map-side, so a boilerplate
+    gram in 10⁶ docs is skew-safe); covered positions are the UNION
+    of the [s, s+n) intervals of the doc's duplicated starts —
+    computed by exploding each start into its n positions and
+    count_distinct-ing per doc, which keeps the whole thing
+    algebraic aggregation instead of a per-doc interval-merge fold.
+    The explode factor is n× the *duplicated* starts only, not the
+    corpus.
+
+    Gram keys are :func:`portable_hash60` of the joined gram string
+    (md5-based) so the DuckDB oracle replays them bit-for-bit; a
+    production run at 100 TB would swap in the rolling xxhash64 key
+    of :func:`decontaminate` (measured 2.9× faster there) — the
+    semantics are identical, only cross-engine replayability is
+    lost. Shuffles carry the 8-byte key either way, never gram
+    strings.
+
+    No reference counterpart — training-data-pipeline extension.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("n_tokens")
+    )
+    # docs shorter than n contribute no grams (sequence() would count
+    # backwards on a negative span) but keep their zero-coverage row
+    # via the final left join
+    grams = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda s: portable_hash60(
+                        F.array_join(F.slice("_t", s + 1, n), " ")
+                    ),
+                )
+            ).alias("s", "gk"),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("gk")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gk")
+    )
+    dup_starts = grams.join(dup_grams, "gk", "left_semi")
+    # dup_ngrams via the p == s flag, NOT a second count_distinct:
+    # each start contributes exactly one offset-0 position row, so
+    # summing the flag counts starts — a double distinct would plan
+    # an Expand (2× the exploded rows through the shuffle), while a
+    # single distinct plans as a plain two-phase HashAggregate
+    per_doc = (
+        dup_starts.select(
+            id_col,
+            "s",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("p") == F.col("s"), 1).otherwise(0)).alias(
+                "dup_ngrams"
+            ),
+            F.count_distinct("p").alias("covered_tokens"),
+        )
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            )
+        )
+        .alias("dup_ratio"),
+    )
+
+
 def minhash_incremental_pairs(
     docs: DataFrame,
     is_new: Column,

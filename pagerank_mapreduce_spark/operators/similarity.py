@@ -266,6 +266,72 @@ def embedding_near_dups(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space, then drop near-duplicates *within* each
+    cluster — cross-cluster pairs are never scored, which is the
+    entire scale story (k clusters turn an O(N²) pair space into
+    O(N²/k) with k chosen so clusters fit an executor).
+
+    Returns the DROP decisions: ``(vec_id, kept_with, cos)`` — one
+    row per dropped vector, where ``kept_with`` is the smallest
+    same-cluster partner that witnessed a cosine ≥ ``threshold`` and
+    ``cos`` the largest such cosine. Survivors = corpus ∖ result.
+    The drop rule is deterministic and pairwise ("drop the greater
+    id of any over-threshold pair"), matching the paper's
+    keep-one-per-ε-group intent without an iterative chain.
+
+    Clustering is :func:`ivf_sampled_build`'s deterministic sampled
+    codebook, so the whole pipeline — codebook, assignment, pair
+    scoring, drop rule — replays in plain SQL and the catalog entry
+    is hash-checked exactly (an honest oracle for an approximate
+    operator, like ``sim_ivf_topk``). Swap in :func:`ivf_build`'s
+    KMeans codebook for the quality path at real scale, and scale
+    ``n_clusters`` with the corpus (the paper uses N/k ≈ 10⁴ per
+    cluster); ``max_cluster_size`` is the same capped-bucket guard
+    as every other pair generator (``hot_bucket_guard`` — oversize
+    clusters are dropped whole with an observe() metric rather than
+    exploding quadratically).
+
+    No reference counterpart — training-data-pipeline extension.
+    """
+    from pagerank_mapreduce_spark.operators.dedup import (
+        explode_member_pairs,
+        hot_bucket_guard,
+    )
+
+    assigned, _ = ivf_sampled_build(
+        embeddings, n_lists=n_clusters, vec_col=vec_col, id_col=id_col
+    )
+    members = (
+        assigned.groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    members = hot_bucket_guard(members, max_cluster_size, "ids")
+    # one cluster per vector → in-cluster pairs are already distinct
+    pairs = explode_member_pairs(members, "ids")
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    scored = (
+        pairs.join(vecs.select(F.col(id_col).alias("a"), F.col("_v").alias("_va")), "a")
+        .join(vecs.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb")), "b")
+        .select("a", "b", F.round(cosine(F.col("_va"), F.col("_vb")), 8).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return scored.groupBy(F.col("b").alias(id_col)).agg(
+        F.min("a").alias("kept_with"), F.max("cos").alias("cos")
+    )
+
+
 def _sqdist_py(a: list[float], b: list[float]) -> float:
     """Left-to-right accumulation, matching both Spark's
     ``F.aggregate`` fold and DuckDB's ``list_sum`` so driver-side

@@ -4871,6 +4871,143 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+# ===================================== semantic dedup stack (round 7)
+# SemDeDup, substring-span duplication, SCD2 history, distribution
+# windows — extension surface, no reference counterpart.
+
+
+def _semdedup_oracle(n_clusters: int = 16, threshold: float = 0.4) -> str:
+    """Full SQL replay of the SemDeDup pipeline: sampled codebook
+    (first ``n_clusters`` vectors), nearest-centroid assignment (ties
+    → lowest cluster id, matching ``ivf_sampled_build``'s argmin),
+    in-cluster pair scoring, pairwise drop rule. Same honest-oracle
+    stance as ``_ivf_probe_oracle``: the *approximate* semantics are
+    checked exactly."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_clusters}),
+    a AS (SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, c.cv), c.cid)
+                   AS rn
+          FROM e CROSS JOIN c),
+    asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+    p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_cosine_similarity(x.v, y.v), 8) AS cos
+          FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+    SELECT b AS vec_id, min(a) AS kept_with, max(cos) AS cos
+    FROM p WHERE cos >= {threshold} GROUP BY b"""
+
+
+@_q("sim_semdedup", _semdedup_oracle())
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semantic dedup (SemDeDup): cluster with the SQL-replayable
+    # sampled codebook, drop the greater id of any in-cluster pair
+    # with cosine >= 0.4 (fixture-scaled — the corpus has no true
+    # near-dups; production uses ~0.95 and a KMeans codebook).
+    return S.semdedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.4
+    )
+
+
+def _span_coverage_oracle(n: int = 8) -> str:
+    return f"""
+    WITH {_TOKS_CTE},
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                   range(0, greatest(n_tokens - {n} + 1, 0)),
+                   s -> struct_pack(
+                     s := s,
+                     gk := ('0x' || substr(md5(
+                              array_to_string(t[s+1:s+{n}], ' ')), 1, 15)
+                           )::BIGINT)))
+                   AS u
+          FROM base),
+    g2 AS (SELECT doc_id, u.s AS s, u.gk AS gk FROM g),
+    dup AS (SELECT gk FROM g2 GROUP BY gk
+            HAVING count(DISTINCT doc_id) >= 2),
+    ds AS (SELECT doc_id, s FROM g2 WHERE gk IN (SELECT gk FROM dup)),
+    pos AS (SELECT doc_id, s, unnest(range(s, s + {n})) AS p FROM ds),
+    agg AS (SELECT doc_id, count(DISTINCT s) AS dup_ngrams,
+                   count(DISTINCT p) AS covered_tokens
+            FROM pos GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(a.dup_ngrams, 0) AS dup_ngrams,
+           coalesce(a.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN b.n_tokens = 0 THEN 0.0
+                ELSE round(coalesce(a.covered_tokens, 0) / b.n_tokens, 6)
+           END AS dup_ratio
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id"""
+
+
+@_q("dedup_span_coverage", _span_coverage_oracle())
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # substring-dedup signal (Lee et al. ACL'22): fraction of each
+    # doc's token positions covered by an 8-gram shared with another
+    # doc; gram keys are the portable md5-60 hash so the oracle
+    # replays them exactly.
+    return D.dup_span_coverage(_t(spark, sf_dir, "documents"), n=8)
+
+
+@_q(
+    "ts_scd2_history",
+    """WITH o AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       ch AS (SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM o WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id, event_type, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from, event_id)
+                AS valid_to
+       FROM ch""",
+)
+def q_ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD Type-2 dimension history: each user's event_type stream
+    # run-length-collapses to validity intervals (valid_to NULL for
+    # the open run). event_id is the deterministic tie-breaker.
+    from pagerank_mapreduce_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(ev, ["user_id"], "event_type", ["ts", "event_id"])
+
+
+@_q(
+    "rel_window_cume",
+    """WITH w AS (
+         SELECT o_orderkey, o_orderpriority,
+                round(percent_rank() OVER win, 8) AS pr,
+                round(cume_dist() OVER win, 8) AS cd
+         FROM orders
+         WINDOW win AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice))
+       SELECT * FROM w WHERE o_orderkey % 100 = 0""",
+)
+def q_rel_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution window functions: percent_rank + cume_dist are
+    # tie-stable (equal order values share the value), so the result
+    # is deterministic without a tiebreak column; the filter runs
+    # AFTER the window so ranks see the full partition.
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(win), 8).alias("pr"),
+            F.round(F.cume_dist().over(win), 8).alias("cd"),
+        )
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

@@ -111,3 +111,91 @@ def test_merge_rejects_mismatched_base_columns(spark):
     changes = spark.createDataFrame([(1, 1, 11.0, "U")], CH_SCHEMA)
     with pytest.raises(ValueError, match="payload"):
         merge_snapshot(base, changes, ["k"], ["seq"])
+
+
+# ----------------------------------------- SCD Type-2 (round 7)
+
+
+def test_scd2_run_length_collapse(spark):
+    from pagerank_mapreduce_spark.operators.cdc import scd2_history
+
+    rows = [
+        (1, "A", 10, 100),
+        (1, "A", 20, 101),  # same state → collapses into the A run
+        (1, "B", 30, 102),
+        (1, "A", 40, 103),  # state returns → NEW interval, not merged
+        (2, "X", 15, 104),  # single event → one open interval
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s string, t bigint, e bigint")
+    out = sorted(
+        (
+            (r["k"], r["s"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(df, ["k"], "s", ["t", "e"]).collect()
+        )
+    )
+    assert out == [
+        (1, "A", 10, 30),
+        (1, "A", 40, None),
+        (1, "B", 30, 40),
+        (2, "X", 15, None),
+    ]
+
+
+def test_scd2_same_ts_ties_break_on_id(spark):
+    from pagerank_mapreduce_spark.operators.cdc import scd2_history
+
+    # two changes at the same timestamp: event_id orders them, the
+    # first becomes a zero-length interval [30, 30)
+    rows = [(1, "A", 10, 1), (1, "B", 30, 2), (1, "C", 30, 3)]
+    df = spark.createDataFrame(rows, "k bigint, s string, t bigint, e bigint")
+    out = sorted(
+        (
+            (r["s"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(df, ["k"], "s", ["t", "e"]).collect()
+        )
+    )
+    assert out == [("A", 10, 30), ("B", 30, 30), ("C", 30, None)]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # key
+            st.sampled_from(["A", "B", "C"]),  # state
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SPARK_SETTINGS
+def test_scd2_intervals_tile_and_reconstruct(spark, events):
+    from pagerank_mapreduce_spark.operators.cdc import scd2_history
+
+    # distinct timestamps per key (ties are covered by the unit test
+    # above; the reconstruction property needs a total event order)
+    rows = [(k, s, 10 * i, i) for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k bigint, s string, t bigint, e bigint")
+    hist = scd2_history(df, ["k"], "s", ["t", "e"]).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        # intervals tile: each closes exactly where the next opens;
+        # only the last is open-ended
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["s"] != b["s"]  # consecutive runs always differ
+        assert ivs[-1]["valid_to"] is None
+        # reconstruction: every event falls in exactly the interval
+        # carrying its state
+        for kk, s, t, _ in rows:
+            if kk != k:
+                continue
+            covering = [
+                r
+                for r in ivs
+                if r["valid_from"] <= t
+                and (r["valid_to"] is None or t < r["valid_to"])
+            ]
+            assert len(covering) == 1 and covering[0]["s"] == s

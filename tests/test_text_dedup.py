@@ -465,3 +465,77 @@ def test_incremental_pair_cap_bounds_cross_product(spark):
         docs, F.col("doc_id") >= 100, threshold=0.5, max_bucket_pairs=None
     )
     assert uncapped.count() == 100
+
+
+# ------------------------------------------ semdedup (round 7)
+
+
+def test_semdedup_drops_in_cluster_near_dups(spark):
+    # codebook = 2 smallest ids ([1,0,0,0] and [0,1,0,0]); 4/5 are
+    # near/exact dups of vec 0 in cluster 0, 6 of vec 1 in cluster 1
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.71, 0.70, 0.0, 0.0]),  # cluster 0 (boundary)
+        (3, [0.70, 0.71, 0.0, 0.0]),  # cluster 1 (boundary)
+        (4, [1.0, 0.01, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),  # exact copy of 0
+        (6, [0.0, 1.0, 0.01, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["kept_with"], r["cos"])
+        for r in S.semdedup(emb, n_clusters=2, threshold=0.95).collect()
+    }
+    assert set(out) == {4, 5, 6}
+    assert out[5] == (0, 1.0)  # exact copy: kept with the original
+    assert out[4][0] == 0 and out[4][1] >= 0.9999
+    assert out[6][0] == 1
+    # 2 and 3 are near-identical (cos ~0.99997) but land in DIFFERENT
+    # clusters — semdedup is blind to cross-cluster pairs by design
+    # (the recall/scale trade the paper makes); neither is dropped
+
+
+def test_semdedup_cap_drops_oversize_cluster_whole(spark):
+    rows = [(i, [1.0, 0.0 + i * 1e-6]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # every vector lands in one cluster of 10 > cap=5 → dropped whole
+    out = S.semdedup(emb, n_clusters=2, threshold=0.5, max_cluster_size=5)
+    assert out.count() == 0
+
+
+# ------------------------------- duplicated-span coverage (round 7)
+
+
+def test_span_coverage_interval_union(spark):
+    # d0/d1 share the 5-token run "a b c d e" → two dup 4-grams each,
+    # whose [s, s+4) intervals OVERLAP: covered = 5 positions, not 8
+    rows = [
+        (0, "a b c d e u1 u2 u3"),
+        (1, "z1 a b c d e z2"),
+        (2, "p q r s t v w"),
+        (3, "x y"),  # shorter than n → zero-coverage row, not dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r for r in D.dup_span_coverage(docs, n=4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0]["dup_ngrams"], out[0]["covered_tokens"]) == (2, 5)
+    assert out[0]["dup_ratio"] == round(5 / 8, 6)
+    assert (out[1]["dup_ngrams"], out[1]["covered_tokens"]) == (2, 5)
+    assert out[1]["dup_ratio"] == round(5 / 7, 6)
+    assert out[2]["covered_tokens"] == 0 and out[2]["dup_ratio"] == 0.0
+    assert out[3]["n_tokens"] == 2 and out[3]["covered_tokens"] == 0
+
+
+def test_span_coverage_within_doc_repeat_not_counted(spark):
+    # the same 4-gram repeated INSIDE one doc is not a cross-doc dup
+    rows = [
+        (0, "a b c d a b c d"),
+        (1, "q r s t u v w x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in D.dup_span_coverage(docs, n=4).collect()}
+    assert out[0]["covered_tokens"] == 0
+    assert out[1]["covered_tokens"] == 0
