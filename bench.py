@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "sim_pq_topk",
     "dedup_incremental",
     "ts_resample_hourly",
+    # round-7 additions
+    "sim_semdedup",
+    "dedup_span_coverage",
+    "ts_scd2_history",
 ]
 
 

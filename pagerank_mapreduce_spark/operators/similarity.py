@@ -22,7 +22,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pagerank_mapreduce_spark.functions.vectors import cosine, dot, sqdist
+from pagerank_mapreduce_spark.functions.vectors import (
+    array_lit,
+    cosine,
+    dot,
+    matrix_lit,
+    norm,
+    sqdist,
+)
 
 
 def cosine_topk(
@@ -35,7 +42,7 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query``.
 
     Ties broken by id for determinism. Output: (id, cos DOUBLE)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = array_lit(query)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 8).alias("cos"),
@@ -49,13 +56,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
-    """Sign-bit bucket id for a vector column against fixed planes."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(F.col(vec_col).cast("array<double>"), p) >= 0, 1).otherwise(0)
-        bucket = bucket + bit * (1 << i)
-    return bucket
+    """Sign-bit bucket id for a vector column against fixed planes.
+
+    The planes ship as ONE matrix literal and the sign test appears
+    once (inside a transform lambda), not once per plane — same
+    driver-side argument as ``array_lit``: per-plane F.lit trees
+    made the analyzer the bottleneck, not the executors."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = F.transform(
+        matrix_lit(planes),
+        lambda p: F.when(dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    weights = array_lit([float(1 << i) for i in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(bits, weights, lambda b, w: b * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("int")
 
 
 def lsh_bucketize(
@@ -90,7 +107,7 @@ def lsh_topk(
     candidates = bucketed.filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbits))) <= probe_hamming
     )
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = array_lit(query)
     scored = candidates.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 8).alias("cos"),
@@ -159,15 +176,8 @@ def ivf_sampled_build(
             f"ivf_sampled_build: {len(rows)} vectors < n_lists={n_lists}"
         )
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
-    dists = F.array(
-        *[
-            sqdist(
-                F.col(vec_col).cast("array<double>"),
-                F.array(*[F.lit(x) for x in c]),
-            )
-            for c in centroids
-        ]
-    )
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.transform(matrix_lit(centroids), lambda c: sqdist(v, c))
     list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     assigned = embeddings.withColumn("list_id", list_id)
     return assigned, centroids
@@ -192,7 +202,7 @@ def ivf_topk(
         key=lambda i: float(np.linalg.norm(np.asarray(centroids[i]) - q)),
     )
     probe = order[:nprobe]
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = array_lit(query)
     scored = assigned.filter(F.col("list_id").isin(probe)).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 8).alias("cos"),
@@ -318,13 +328,43 @@ def semdedup(
     members = hot_bucket_guard(members, max_cluster_size, "ids")
     # one cluster per vector → in-cluster pairs are already distinct
     pairs = explode_member_pairs(members, "ids")
+    # norms hoisted to the per-VECTOR projection: a vector in a
+    # 10⁴-member cluster is scored against 10⁴ partners, so paying
+    # norm() per pair is ~3× the fold work of dot() alone. The
+    # arithmetic below (dot / (na · nb)) is operation-for-operation
+    # what cosine() computes, just with the norm factors evaluated
+    # earlier — bitwise-identical results, so the rounded oracle
+    # comparison is unaffected.
+    v = F.col(vec_col).cast("array<double>")
     vecs = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col), v.alias("_v"), norm(v).alias("_n")
     )
     scored = (
-        pairs.join(vecs.select(F.col(id_col).alias("a"), F.col("_v").alias("_va")), "a")
-        .join(vecs.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb")), "b")
-        .select("a", "b", F.round(cosine(F.col("_va"), F.col("_vb")), 8).alias("cos"))
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                8,
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
     return scored.groupBy(F.col("b").alias(id_col)).agg(
@@ -390,12 +430,7 @@ def pq_build(
     codes = []
     for s in range(n_sub):
         sl = F.slice(v, s * sd + 1, sd)
-        dists = F.array(
-            *[
-                sqdist(sl, F.array(*[F.lit(x) for x in c]))
-                for c in codebook[s]
-            ]
-        )
+        dists = F.transform(matrix_lit(codebook[s]), lambda c: sqdist(sl, c))
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -431,11 +466,9 @@ def pq_topk(
     for s in range(n_sub):
         qs = [float(x) for x in query[s * sd : (s + 1) * sd]]
         table = [_sqdist_py(qs, c) for c in codebook[s]]
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in table]), F.col("codes")[s] + 1
-        )
+        term = F.element_at(array_lit(table), F.col("codes")[s] + 1)
         adc = term if adc is None else adc + term
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = array_lit(query)
     top = (
         coded.select(F.col(id_col), F.round(adc, 6).alias("adc"), F.col(vec_col))
         .orderBy(F.col("adc").asc(), F.col(id_col))

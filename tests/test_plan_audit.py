@@ -208,3 +208,33 @@ def test_lm_score_has_no_positional_self_join(spark, sf_dir):
     df = bigram_lm_score(docs)
     assert exchange_count(df) <= 8, formatted_plan(df)
     assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    # both window passes (lag run-marking, lead interval-closing)
+    # partition on the same key, so Catalyst must plan exactly ONE
+    # shuffle — a second exchange means the windows stopped sharing
+    # their partitioning
+    df = _q(spark, sf_dir, "ts_scd2_history")
+    plan = formatted_plan(df)
+    assert exchange_count(plan) == 1, plan
+
+
+def test_span_coverage_plans_no_expand(spark, sf_dir):
+    # dup_ngrams rides the p == s flag through the SINGLE-distinct
+    # aggregate; a second count_distinct would plan an Expand that
+    # doubles the exploded position rows through the shuffle
+    df = _q(spark, sf_dir, "dedup_span_coverage")
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+
+
+def test_semdedup_plan_is_equi_join_only(spark, sf_dir):
+    # pair generation must stay bucketed: cluster members explode
+    # JVM-side and vectors join back by id — any
+    # BroadcastNestedLoopJoin/CartesianProduct means the cross join
+    # came back
+    df = _q(spark, sf_dir, "sim_semdedup")
+    js = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in js, js
+    assert "CartesianProduct" not in js, js
