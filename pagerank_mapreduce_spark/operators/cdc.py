@@ -54,6 +54,49 @@ def apply_changelog(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Inverse of :func:`merge_snapshot`: diff two key-unique
+    snapshots into the minimal changelog that transforms ``old`` into
+    ``new`` — one row per changed key with ``op`` ∈ {'I','U','D'} and
+    the NEW payload ('D' rows carry NULL payload; unchanged keys are
+    absent). ``merge_snapshot(old, snapshot_diff(old, new, k), k,
+    [])`` reconstructs ``new`` exactly — the round-trip property the
+    tests pin. The table-diff primitive under incremental
+    re-publication: ship the diff, not the snapshot.
+
+    Scale shape: ONE full-outer shuffle join on the key (both sides
+    hash-partition; no window, no driver state). Payload equality is
+    a null-safe struct comparison — a single JVM expression
+    regardless of column count.
+    """
+    payload = [c for c in old.columns if c not in key_cols]
+    if [c for c in new.columns if c not in key_cols] != payload:
+        raise ValueError(
+            f"snapshot payloads differ: {old.columns} vs {new.columns}"
+        )
+    o = old.select(*key_cols, F.struct(*payload).alias("_old"))
+    n = new.select(*key_cols, F.struct(*payload).alias("_new"))
+    j = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_old").isNull(), "I")
+        .when(F.col("_new").isNull(), "D")
+        .otherwise("U")
+    )
+    return (
+        j.filter(~F.col("_old").eqNullSafe(F.col("_new")))
+        .select(
+            *key_cols,
+            op.alias(op_col),
+            *[F.col(f"_new.{c}").alias(c) for c in payload],
+        )
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: list[str],

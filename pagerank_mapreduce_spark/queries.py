@@ -5008,6 +5008,50 @@ def q_rel_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_snapshot_diff",
+    """WITH o AS (SELECT c_custkey AS user_id,
+                         round(CAST(c_acctbal AS DOUBLE), 6) AS value
+                  FROM customer),
+       n0 AS (SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rk
+              FROM events),
+       n AS (SELECT user_id, round(value, 6) AS value FROM n0 WHERE rk = 1)
+       SELECT coalesce(o.user_id, n.user_id) AS user_id,
+              CASE WHEN o.user_id IS NULL THEN 'I'
+                   WHEN n.user_id IS NULL THEN 'D'
+                   ELSE 'U' END AS op,
+              n.value AS value
+       FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+       WHERE o.user_id IS NULL OR n.user_id IS NULL
+          OR o.value IS DISTINCT FROM n.value""",
+)
+def q_ts_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # table diff (inverse of MERGE): old = customer balances, new =
+    # each user's last event value; emit the minimal I/U/D changelog
+    # that republishes old as new. merge_snapshot(old, diff) == new
+    # is the round-trip property test_cdc.py pins.
+    from pagerank_mapreduce_spark.operators.cdc import snapshot_diff
+    from pyspark.sql.window import Window
+
+    old = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.round(F.col("c_acctbal").cast("double"), 6).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    new = (
+        _t(spark, sf_dir, "events")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", F.round("value", 6).alias("value"))
+    )
+    return snapshot_diff(old, new, ["user_id"])
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

@@ -199,3 +199,51 @@ def test_scd2_intervals_tile_and_reconstruct(spark, events):
                 and (r["valid_to"] is None or t < r["valid_to"])
             ]
             assert len(covering) == 1 and covering[0]["s"] == s
+
+
+# ----------------------------------------- snapshot diff (round 7)
+
+
+def test_snapshot_diff_classifies_ops(spark):
+    from pagerank_mapreduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k bigint, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, None), (5, 50.0)], "k bigint, v double"
+    )
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 unchanged, 3 unchanged (NULL == NULL null-safely) → absent
+    assert got == {2: ("U", 21.0), 4: ("D", None), 5: ("I", 50.0)}
+
+
+@given(
+    st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=8),
+    st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=8),
+)
+@SPARK_SETTINGS
+def test_snapshot_diff_merge_round_trip(spark, old_d, new_d):
+    from pagerank_mapreduce_spark.operators.cdc import (
+        merge_snapshot,
+        snapshot_diff,
+    )
+
+    schema = "k bigint, v bigint"
+    old = spark.createDataFrame(list(old_d.items()) or [], schema)
+    new = spark.createDataFrame(list(new_d.items()) or [], schema)
+    diff = snapshot_diff(old, new, ["k"])
+    rebuilt = merge_snapshot(old, diff, ["k"], [])
+    assert {
+        (r["k"], r["v"]) for r in rebuilt.collect()
+    } == set(new_d.items())
+    # and the diff is minimal: no row for keys with unchanged values
+    assert all(
+        r["k"] not in old_d
+        or r["k"] not in new_d
+        or old_d[r["k"]] != new_d[r["k"]]
+        for r in diff.collect()
+    )
