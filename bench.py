@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "sim_semdedup",
     "dedup_span_coverage",
     "ts_scd2_history",
+    "ts_snapshot_diff",
 ]
 
 
