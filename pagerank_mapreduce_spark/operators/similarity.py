@@ -283,6 +283,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int | None = 4096,
+    codebook: str = "sampled",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     the embedding space, then drop near-duplicates *within* each
@@ -298,17 +299,22 @@ def semdedup(
     id of any over-threshold pair"), matching the paper's
     keep-one-per-ε-group intent without an iterative chain.
 
-    Clustering is :func:`ivf_sampled_build`'s deterministic sampled
-    codebook, so the whole pipeline — codebook, assignment, pair
-    scoring, drop rule — replays in plain SQL and the catalog entry
-    is hash-checked exactly (an honest oracle for an approximate
-    operator, like ``sim_ivf_topk``). Swap in :func:`ivf_build`'s
-    KMeans codebook for the quality path at real scale, and scale
-    ``n_clusters`` with the corpus (the paper uses N/k ≈ 10⁴ per
-    cluster); ``max_cluster_size`` is the same capped-bucket guard
-    as every other pair generator (``hot_bucket_guard`` — oversize
-    clusters are dropped whole with an observe() metric rather than
-    exploding quadratically).
+    Two clustering modes (``codebook=``):
+
+    - ``"sampled"`` (default): :func:`ivf_sampled_build`'s
+      deterministic sampled codebook — the whole pipeline (codebook,
+      assignment, pair scoring, drop rule) replays in plain SQL and
+      the catalog entry is hash-checked exactly (an honest oracle
+      for an approximate operator, like ``sim_ivf_topk``).
+    - ``"kmeans"``: :func:`ivf_build`'s Lloyd-refined codebook — the
+      quality path at real scale (better-balanced clusters → better
+      recall at the same ``n_clusters``); rows-only verifiable.
+
+    Scale ``n_clusters`` with the corpus (the paper uses N/k ≈ 10⁴
+    per cluster); ``max_cluster_size`` is the same capped-bucket
+    guard as every other pair generator (``hot_bucket_guard`` —
+    oversize clusters are dropped whole with an observe() metric
+    rather than exploding quadratically).
 
     No reference counterpart — training-data-pipeline extension.
     """
@@ -317,9 +323,18 @@ def semdedup(
         hot_bucket_guard,
     )
 
-    assigned, _ = ivf_sampled_build(
-        embeddings, n_lists=n_clusters, vec_col=vec_col, id_col=id_col
-    )
+    if codebook == "sampled":
+        assigned, _ = ivf_sampled_build(
+            embeddings, n_lists=n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    elif codebook == "kmeans":
+        assigned, _ = ivf_build(
+            embeddings, n_lists=n_clusters, vec_col=vec_col
+        )
+    else:
+        raise ValueError(
+            f"codebook must be sampled|kmeans, got {codebook!r}"
+        )
     members = (
         assigned.groupBy("list_id")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

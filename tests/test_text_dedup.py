@@ -539,3 +539,50 @@ def test_span_coverage_within_doc_repeat_not_counted(spark):
     out = {r["doc_id"]: r for r in D.dup_span_coverage(docs, n=4).collect()}
     assert out[0]["covered_tokens"] == 0
     assert out[1]["covered_tokens"] == 0
+
+
+def test_semdedup_kmeans_codebook_drops_exact_dup(spark):
+    # identical vectors always co-cluster whatever the codebook, so
+    # the quality path must still drop the planted copy
+    rows = [(i, [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2),
+                 float(i % 4 == 3)]) for i in range(8)]
+    rows.append((8, rows[0][1]))  # exact copy of vec 0
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r["kept_with"]
+           for r in S.semdedup(emb, n_clusters=4, threshold=0.99,
+                               codebook="kmeans").collect()}
+    assert out.get(8) is not None  # the copy is dropped...
+    # ...and kept with an identical-vector partner (0 or 4)
+    assert out[8] in (0, 4)
+
+
+def test_semdedup_rejects_unknown_codebook(spark):
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="codebook"):
+        S.semdedup(emb, codebook="nope")
+
+
+def test_span_coverage_fast_key_matches_portable(spark, sf_dir):
+    # the rolling-xxhash64 production key and the portable md5 key
+    # must produce identical coverage on a collision-free corpus —
+    # both the hand corpus and the fixture documents
+    rows = [
+        (0, "a b c d e u1 u2 u3"),
+        (1, "z1 a b c d e z2"),
+        (2, "p q r s t v w"),
+        (3, "x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, D.dup_span_coverage(docs, n=4).collect()))
+    b = sorted(map(tuple, D.dup_span_coverage(docs, n=4, gram_key="fast").collect()))
+    assert a == b
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fa = sorted(map(tuple, D.dup_span_coverage(fixture, n=8).collect()))
+    fb = sorted(map(tuple, D.dup_span_coverage(fixture, n=8, gram_key="fast").collect()))
+    assert fa == fb
+
+
+def test_span_coverage_rejects_unknown_key_mode(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="gram_key"):
+        D.dup_span_coverage(docs, gram_key="nope")
