@@ -4663,6 +4663,29 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e, rounds=4)
 
 
+# ============================== HITS hubs & authorities (round 7)
+
+
+def _hits_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.hits import hits_oracle_sql
+
+    return hits_oracle_sql(_EDGES_SQL, iterations=20)
+
+
+@_q("graph_hits", _hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kleinberg hubs & authorities on the same directed fixture graph
+    # PageRank runs on — 20 fixed L1-normalized power-iteration rounds,
+    # every generation replayed by the recursive-CTE oracle
+    from pagerank_mapreduce_spark.graph.hits import hits
+
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    res = hits(edges, iterations=20)
+    return res.select(
+        "id", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
 # ======================== temperature mixture resampling (round 6)
 
 

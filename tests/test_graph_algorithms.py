@@ -251,3 +251,52 @@ def test_kcore_empty_graph_schema_stable(spark):
     out = GA.kcore(edges)
     assert out.count() == 0
     assert dict(out.dtypes) == {"id": "bigint", "deg": "bigint"}
+
+
+# ------------------------------------------------------------- HITS
+
+
+def test_hits_star_graph(spark):
+    # all spokes point at the hub vertex 0: auth concentrates fully on
+    # 0, hub mass splits evenly over the spokes, from round 1 onward
+    from pagerank_mapreduce_spark.graph.hits import hits
+
+    edges = _edges(spark, [(1, 0), (2, 0), (3, 0), (4, 0)])
+    out = {r["id"]: (r["hub"], r["auth"]) for r in hits(edges, 3).collect()}
+    assert out[0][1] == pytest.approx(1.0)
+    assert out[0][0] == pytest.approx(0.0)
+    for i in (1, 2, 3, 4):
+        assert out[i][0] == pytest.approx(0.25)
+        assert out[i][1] == pytest.approx(0.0)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    # golden model: the exact L1-normalized half-steps in NumPy on the
+    # shared fixture graph (duplicate edges contribute multiply)
+    import numpy as np
+
+    from pagerank_mapreduce_spark.graph.hits import hits
+
+    n = 10
+    A = np.zeros((n, n))
+    for s, d in PAIRS:
+        A[s, d] += 1.0
+    h = np.ones(n)
+    for _ in range(7):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    out = {r["id"]: (r["hub"], r["auth"]) for r in hits(_edges(spark, PAIRS), 7).collect()}
+    assert set(out) == set(range(n))
+    for i in range(n):
+        assert out[i][0] == pytest.approx(h[i], abs=1e-12)
+        assert out[i][1] == pytest.approx(a[i], abs=1e-12)
+
+
+def test_hits_empty_edges_raises(spark):
+    from pagerank_mapreduce_spark.graph.hits import hits
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        hits(edges, 2, num_vertices=4)
