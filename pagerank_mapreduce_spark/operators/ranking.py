@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from pagerank_mapreduce_spark.functions import text as T
 
-__all__ = ["tfidf_topk", "bm25_score", "bigram_lm_score"]
+__all__ = ["tfidf_topk", "bm25_score", "bigram_lm_score", "nb_classify"]
 
 
 def _n_docs(docs: DataFrame, id_col: str) -> DataFrame:
@@ -227,5 +227,90 @@ def bigram_lm_score(
             id_col,
             F.coalesce("lm_score", F.lit(0.0)).alias("lm_score"),
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes classifier self-trained on the corpus
+    (the fastText-style "train a cheap linear classifier on your own
+    labels, score everything" curation pattern — e.g. language-ID or
+    quality-domain routing over a partially-labeled crawl).
+
+    Train: add-one-smoothed class-conditional token likelihoods
+    ``P(w|L) = (c(L, w) + 1) / (n_L + V)`` plus document-count priors.
+    Score: ``score(d, L) = ln(prior_L) + sum_w tf(d, w) * ln P(w|L)``;
+    predict the argmax (ties broken by label ASC — deterministic).
+    Returns (id, pred, nb_score), one row per document.
+
+    Shape at scale: training is two algebraic keyed aggregations
+    ((label, token) counts and their label totals); scoring crosses
+    per-doc token counts with the tiny label set (a broadcast — the
+    deliberate |labels|-factor blowup of the standard formulation)
+    and equi-joins the model on (label, token), letting AQE broadcast
+    the model side when it measures small. Vocabulary size and the
+    corpus doc count travel as 1-row broadcast relations. Everything
+    else is whole-stage-codegen expressions; the final argmax is a
+    per-doc row_number (map-side WindowGroupLimit prune).
+    """
+    t = T.tokens(text_col)
+    toks = docs.select(
+        F.col(id_col), F.col(label_col).alias("_lab"), F.explode(t).alias("w")
+    )
+    # model: class-conditional token counts + per-class token totals
+    ct = toks.groupBy("_lab", "w").agg(F.count("*").alias("c"))
+    nl = ct.groupBy("_lab").agg(F.sum("c").alias("n_l"))
+    vocab = F.broadcast(
+        toks.select("w").distinct().agg(F.count("*").alias("_v"))
+    )
+    lab = docs.groupBy(F.col(label_col).alias("_lab")).agg(
+        F.count("*").alias("nd")
+    )
+    ndocs = _n_docs(docs, id_col)
+    # score: per-doc token counts x every candidate label
+    dt = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    sc = (
+        dt.crossJoin(F.broadcast(lab))
+        .join(ct, ["_lab", "w"], "left")
+        .join(nl, "_lab")
+        .crossJoin(vocab)
+        .select(
+            id_col,
+            "_lab",
+            "nd",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n_l") + F.col("_v"))
+                )
+            ).alias("lp"),
+        )
+        .groupBy(id_col, "_lab", "nd")
+        .agg(F.sum("lp").alias("ll"))
+        .crossJoin(ndocs)
+        .select(
+            id_col,
+            "_lab",
+            (F.log(F.col("nd").cast("double") / F.col("_n")) + F.col("ll"))
+            .alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("_lab"))
+    )
+    return (
+        sc.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col,
+            F.col("_lab").alias("pred"),
+            F.round("score", round_digits).alias("nb_score"),
         )
     )

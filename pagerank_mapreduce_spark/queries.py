@@ -5075,6 +5075,71 @@ def q_ts_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["user_id"])
 
 
+# ========================= Naive Bayes corpus classifier (round 7)
+# fastText-style cheap linear classifier, self-trained on the corpus
+# labels (here: language-ID) — training AND scoring are pure keyed
+# aggregations + equi-joins, so the whole model replays in SQL.
+
+_NB_CTES = f"""{_TOKS_CTE},
+       tk AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       ct AS (SELECT d.lang AS lab, x.w, count(*) AS c
+              FROM documents d JOIN tk x USING (doc_id)
+              GROUP BY d.lang, x.w),
+       nl AS (SELECT lab, sum(c) AS n_l FROM ct GROUP BY lab),
+       vc AS (SELECT count(DISTINCT w) AS v FROM tk),
+       lb AS (SELECT lang AS lab, count(*) AS nd FROM documents
+              GROUP BY lang),
+       nn AS (SELECT count(*) AS n FROM documents),
+       dt AS (SELECT doc_id, w, count(*) AS tf FROM tk
+              GROUP BY doc_id, w),
+       sc AS (SELECT dt.doc_id, l.lab,
+                     ln(CAST(l.nd AS DOUBLE) / (SELECT n FROM nn))
+                     + sum(dt.tf * ln((coalesce(ct.c, 0) + 1.0)
+                                      / (nl.n_l + (SELECT v FROM vc))))
+                       AS score
+              FROM dt CROSS JOIN lb l
+              LEFT JOIN ct ON ct.lab = l.lab AND ct.w = dt.w
+              JOIN nl ON nl.lab = l.lab
+              GROUP BY dt.doc_id, l.lab, l.nd),
+       pr AS (SELECT doc_id, lab AS pred, score FROM sc
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lab ASC) = 1)"""
+
+
+@_q(
+    "text_nb_predict",
+    f"""WITH {_NB_CTES}
+       SELECT doc_id, pred, round(score, 6) AS nb_score FROM pr""",
+)
+def q_text_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # add-one multinomial NB over whitespace tokens, lang as the class;
+    # the oracle replays train + score + argmax term for term
+    from pagerank_mapreduce_spark.operators.ranking import nb_classify
+
+    return nb_classify(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_nb_confusion",
+    f"""WITH {_NB_CTES}
+       SELECT d.lang, p.pred, count(*) AS n
+       FROM pr p JOIN documents d USING (doc_id)
+       GROUP BY d.lang, p.pred""",
+)
+def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-classification confusion matrix — the "how separable are my
+    # labels" curation diagnostic riding the same trained model
+    from pagerank_mapreduce_spark.operators.ranking import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        nb_classify(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

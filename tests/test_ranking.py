@@ -100,3 +100,70 @@ def test_lm_score_manual_two_token_corpus(spark):
     # c2(a,b)=1, c1(a)=1, V=2 -> ln(2/3)
     assert row.lm_score == pytest.approx(math.log(2 / 3), abs=1e-6)
     assert row.n_bigrams == 1
+
+
+# ------------------------------------------------------ Naive Bayes
+
+
+def _ldocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+
+
+def test_nb_classify_separable_vocab(spark):
+    # disjoint vocabularies: every doc must classify to its own label
+    from pagerank_mapreduce_spark.operators.ranking import nb_classify
+
+    docs = _ldocs(
+        spark,
+        [
+            (1, "aa bb aa", "x"),
+            (2, "bb aa aa aa", "x"),
+            (3, "cc dd cc", "y"),
+            (4, "dd dd cc", "y"),
+        ],
+    )
+    out = {r.doc_id: r.pred for r in nb_classify(docs).collect()}
+    assert out == {1: "x", 2: "x", 3: "y", 4: "y"}
+
+
+def test_nb_classify_manual_formula(spark):
+    # one doc, two labels — hand-check the smoothed log-likelihood
+    import math
+
+    from pagerank_mapreduce_spark.operators.ranking import nb_classify
+
+    docs = _ldocs(
+        spark,
+        [
+            (1, "w w v", "x"),
+            (2, "u u u", "y"),
+        ],
+    )
+    row = [r for r in nb_classify(docs).collect() if r.doc_id == 1][0]
+    # vocab {w, v, u} => V=3; label x: n_l=3, c(x,w)=2, c(x,v)=1
+    expect = (
+        math.log(1 / 2)
+        + 2 * math.log((2 + 1.0) / (3 + 3))
+        + 1 * math.log((1 + 1.0) / (3 + 3))
+    )
+    assert row.pred == "x"
+    assert row.nb_score == pytest.approx(expect, abs=1e-6)
+
+
+def test_nb_classify_tie_breaks_to_smallest_label(spark):
+    # perfectly symmetric corpus: identical priors, identical token
+    # counts per label — every score ties across labels and must
+    # resolve to the lexicographically smallest label
+    from pagerank_mapreduce_spark.operators.ranking import nb_classify
+
+    docs = _ldocs(
+        spark,
+        [
+            (1, "aa", "x"),
+            (2, "aa", "y"),
+        ],
+    )
+    out = {r.doc_id: r.pred for r in nb_classify(docs).collect()}
+    assert out == {1: "x", 2: "x"}
