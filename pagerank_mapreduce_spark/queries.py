@@ -4686,6 +4686,28 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================= deterministic random walks (round 7)
+
+
+def _walks_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.walks import random_walks_oracle_sql
+
+    return random_walks_oracle_sql(
+        _EDGES_SQL, walk_length=6, walks_per_vertex=2, seed=42
+    )
+
+
+@_q("graph_walks", _walks_oracle())
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DeepWalk-style corpus generation: 2 walks of length 6 from every
+    # non-dangling vertex, md5-coin successor picks — the oracle
+    # replays every step of every walk
+    from pagerank_mapreduce_spark.graph.walks import random_walks
+
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return random_walks(edges, walk_length=6, walks_per_vertex=2, seed=42)
+
+
 # ======================== temperature mixture resampling (round 6)
 
 

@@ -300,3 +300,48 @@ def test_hits_empty_edges_raises(spark):
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     with pytest.raises(ValueError):
         hits(edges, 2, num_vertices=4)
+
+
+# ----------------------------------------------------- random walks
+
+
+def test_random_walks_paths_are_real_edges(spark):
+    from pagerank_mapreduce_spark.graph.walks import random_walks
+
+    edges = _edges(spark, PAIRS)
+    dedup = {(s, d) for s, d in PAIRS}
+    rows = random_walks(edges, walk_length=5, walks_per_vertex=2).collect()
+    # one walk per (non-dangling vertex, replica)
+    starts = {s for s, _ in dedup}
+    assert len(rows) == 2 * len(starts)
+    for r in rows:
+        path = [int(x) for x in r.path.split(",")]
+        assert path[0] == r.walk_id // 2
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in dedup
+        # a walk shorter than walk_length+1 must have parked at a
+        # vertex with no out-edges
+        if len(path) < 6:
+            assert path[-1] not in starts
+
+
+def test_random_walks_deterministic_and_seed_sensitive(spark):
+    from pagerank_mapreduce_spark.graph.walks import random_walks
+
+    edges = _edges(spark, PAIRS)
+    a = {r.walk_id: r.path for r in random_walks(edges, 4, 1, seed=1).collect()}
+    b = {r.walk_id: r.path for r in random_walks(edges, 4, 1, seed=1).collect()}
+    c = {r.walk_id: r.path for r in random_walks(edges, 4, 1, seed=2).collect()}
+    assert a == b
+    assert set(a) == set(c)
+    assert a != c  # at least one walk must diverge under a new seed
+
+
+def test_random_walks_single_successor_chain(spark):
+    # a pure chain has exactly one choice per step: the full walk is
+    # forced regardless of coins, and parks at the chain's end
+    from pagerank_mapreduce_spark.graph.walks import random_walks
+
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    out = {r.walk_id: r.path for r in random_walks(edges, 10, 1).collect()}
+    assert out == {0: "0,1,2,3", 1: "1,2,3", 2: "2,3"}
