@@ -260,21 +260,31 @@ def nb_classify(
     per-doc row_number (map-side WindowGroupLimit prune).
     """
     t = T.tokens(text_col)
-    toks = docs.select(
-        F.col(id_col), F.col(label_col).alias("_lab"), F.explode(t).alias("w")
+    # ONE token-explosion pass: (doc, label, token) counts — the label
+    # is constant per doc so it rides the aggregation key for free —
+    # and the model (class-conditional counts, class totals, vocab)
+    # plus the scoring relation all derive from this partial aggregate
+    # instead of re-scanning the corpus three times.
+    dtw = (
+        docs.select(
+            F.col(id_col),
+            F.col(label_col).alias("_lab"),
+            F.explode(t).alias("w"),
+        )
+        .groupBy(id_col, "_lab", "w")
+        .agg(F.count("*").alias("tf"))
     )
-    # model: class-conditional token counts + per-class token totals
-    ct = toks.groupBy("_lab", "w").agg(F.count("*").alias("c"))
+    ct = dtw.groupBy("_lab", "w").agg(F.sum("tf").alias("c"))
     nl = ct.groupBy("_lab").agg(F.sum("c").alias("n_l"))
     vocab = F.broadcast(
-        toks.select("w").distinct().agg(F.count("*").alias("_v"))
+        ct.select("w").distinct().agg(F.count("*").alias("_v"))
     )
     lab = docs.groupBy(F.col(label_col).alias("_lab")).agg(
         F.count("*").alias("nd")
     )
     ndocs = _n_docs(docs, id_col)
     # score: per-doc token counts x every candidate label
-    dt = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dt = dtw.select(id_col, "w", "tf")
     sc = (
         dt.crossJoin(F.broadcast(lab))
         .join(ct, ["_lab", "w"], "left")
