@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "dedup_span_coverage",
     "ts_scd2_history",
     "ts_snapshot_diff",
+    "graph_hits",
+    "graph_walks",
+    "text_nb_predict",
 ]
 
 

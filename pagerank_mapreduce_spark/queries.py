@@ -5162,6 +5162,149 @@ def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ====================== PMI phrase mining / robust stats (round 7)
+
+
+@_q(
+    "text_phrase_pmi",
+    f"""WITH {_TOKS_CTE},
+       tk AS (SELECT unnest(t) AS w FROM toks),
+       uni AS (SELECT w, count(*) AS u FROM tk GROUP BY w),
+       tt AS (SELECT sum(u) AS t FROM uni),
+       bg AS (SELECT doc_id,
+                     unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+              FROM toks WHERE len(t) >= 2),
+       big AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+               FROM bg GROUP BY p[1], p[2]),
+       nb AS (SELECT sum(c2) AS n FROM big)
+       SELECT b.w1, b.w2, b.c2,
+              round(ln((b.c2 / (SELECT n FROM nb))
+                       / ((u1.u / (SELECT t FROM tt))
+                          * (u2.u / (SELECT t FROM tt)))), 6) AS pmi
+       FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+       WHERE b.c2 >= 5
+       ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 50""",
+)
+def q_text_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word2vec-style phrase detection: top-50 bigrams by pointwise
+    # mutual information, min support 5 — collocations like "new york"
+    # that should become single tokens before embedding training.
+    # Same zip_with bigram shape as the LM (no positional self-join);
+    # unigram/bigram totals ride 1-row broadcasts.
+    from pagerank_mapreduce_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    uni = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    tt = F.broadcast(uni.agg(F.sum("u").alias("t")))
+    pair = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    big = (
+        docs.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    nb = F.broadcast(big.agg(F.sum("c2").alias("n")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
+    return (
+        big.filter(F.col("c2") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(nb)
+        .crossJoin(tt)
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("n"))
+                    / ((F.col("u1") / F.col("t")) * (F.col("u2") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+@_q(
+    "rel_winsorized_stats",
+    """WITH q AS (SELECT lang,
+                        quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+                        quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+                 FROM documents GROUP BY lang)
+       SELECT d.lang,
+              round(avg(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo),
+                              q.hi)), 6) AS wmean,
+              count(*) AS n
+       FROM documents d JOIN q USING (lang)
+       GROUP BY d.lang""",
+)
+def q_rel_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust per-group statistics: clamp to the exact [p5, p95]
+    # interpolated percentiles, then average — the outlier-insensitive
+    # moment for per-language length gates. Grouped percentiles are a
+    # tiny relation broadcast back onto the corpus (never a giant
+    # per-row window), corpus scanned twice, both scans pruned to two
+    # columns.
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .select(
+            "lang",
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("lo")),
+                F.col("hi"),
+            ).alias("v"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("v"), 6).alias("wmean"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "rel_window_ntile",
+    """SELECT o_orderkey, o_orderpriority,
+              ntile(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+                AS quartile
+       FROM orders""",
+)
+def q_rel_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile quartiles within a partition under a total order (price
+    # DESC, key ASC tiebreak makes the bucketing deterministic)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
