@@ -60,6 +60,29 @@ def _coin(walk_id, step: int, seed: int):
     return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int")
 
 
+def _walk_step(live: DataFrame, succ: DataFrame, step: int, seed: int) -> DataFrame:
+    """One frontier advance: equi-join the live walks to their picked
+    successor on ``(cur, pick) = (src, idx)`` — factored out so the
+    plan audit can pin that this stays a two-key hash join (never a
+    join-all-successors fan-out)."""
+    pick = _coin(F.col("walk_id"), step, seed) % F.col("d_cur")
+    return (
+        live.withColumn("pick", pick)
+        .join(
+            succ,
+            (F.col("cur") == F.col("src")) & (F.col("pick") == F.col("idx")),
+        )
+        .select(
+            "walk_id",
+            F.col("dst").alias("cur"),
+            F.col("d_dst").alias("d_cur"),
+            F.concat(
+                F.col("path"), F.lit(","), F.col("dst").cast("string")
+            ).alias("path"),
+        )
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 8,
@@ -115,23 +138,7 @@ def random_walks(
         for s in range(walk_length):
             live = state.filter(F.col("d_cur") > 0)
             parked = state.filter(F.col("d_cur") == 0)
-            pick = _coin(F.col("walk_id"), s, seed) % F.col("d_cur")
-            stepped = (
-                live.withColumn("pick", pick)
-                .join(
-                    succ,
-                    (F.col("cur") == F.col("src"))
-                    & (F.col("pick") == F.col("idx")),
-                )
-                .select(
-                    "walk_id",
-                    F.col("dst").alias("cur"),
-                    F.col("d_dst").alias("d_cur"),
-                    F.concat(
-                        F.col("path"), F.lit(","), F.col("dst").cast("string")
-                    ).alias("path"),
-                )
-            )
+            stepped = _walk_step(live, succ, s, seed)
             state = stepped.unionByName(parked).localCheckpoint()
     finally:
         succ.unpersist()

@@ -238,3 +238,46 @@ def test_semdedup_plan_is_equi_join_only(spark, sf_dir):
     js = join_strategies(df)
     assert "BroadcastNestedLoopJoin" not in js, js
     assert "CartesianProduct" not in js, js
+
+
+def test_walk_step_is_two_key_equi_join(spark, sf_dir):
+    # a walk step must probe exactly the picked successor — an equi
+    # hash/merge join on (cur, pick) = (src, idx). A nested-loop or
+    # cartesian plan would match every successor of a hub and filter
+    # after, turning one probe into deg(hub) matched rows per walk.
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.graph.walks import _walk_step
+
+    live = spark.createDataFrame(
+        [(0, 1, 2, "1")], "walk_id bigint, cur bigint, d_cur bigint, path string"
+    )
+    succ = spark.createDataFrame(
+        [(1, 0, 2, 1), (1, 1, 3, 0)],
+        "src bigint, idx int, dst bigint, d_dst bigint",
+    )
+    df = _walk_step(live, succ, 0, 42)
+    js = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in js, js
+    assert "CartesianProduct" not in js, js
+
+
+def test_nb_predict_argmax_prunes_map_side(spark, sf_dir):
+    # the per-doc argmax must compile to a WindowGroupLimit (map-side
+    # top-1 prune), and the only nested-loop joins allowed are the
+    # broadcast scalar/label relations — never a CartesianProduct
+    df = _q(spark, sf_dir, "text_nb_predict")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+
+
+def test_phrase_pmi_topk_avoids_global_sort(spark, sf_dir):
+    # ORDER BY pmi LIMIT 50 must plan as TakeOrderedAndProject
+    # (per-partition heap + driver merge), not a full Sort exchange
+    df = _q(spark, sf_dir, "text_phrase_pmi")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
