@@ -5305,6 +5305,31 @@ def q_rel_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ================================ Z-order curve values (round 7)
+
+
+def _zorder_oracle() -> str:
+    from pagerank_mapreduce_spark.sources.zorder import z_value_sql
+
+    za = "(user_id % 65536)"
+    zb = "(CAST(floor(abs(value)) AS BIGINT) % 65536)"
+    return f"SELECT event_id, ({z_value_sql(za, zb)}) AS z FROM events"
+
+
+@_q("rel_zorder_values", _zorder_oracle())
+def q_rel_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Morton interleave behind the Z-ordered layout
+    # (sources/zorder.py): pure bit arithmetic, replayed term for term
+    # by the oracle — the layout writer itself is exercised by
+    # test_zorder.py (write -> box query -> directory pruning)
+    from pagerank_mapreduce_spark.sources.zorder import z_value
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 65536
+    b = F.floor(F.abs(F.col("value"))).cast("bigint") % 65536
+    return ev.select("event_id", z_value(a, b).alias("z"))
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
