@@ -5330,6 +5330,66 @@ def q_rel_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", z_value(a, b).alias("z"))
 
 
+# ============================= data-quality expectations (round 7)
+
+
+@_q(
+    "rel_expectations",
+    """WITH t AS (SELECT count(*) AS total FROM orders),
+       rep AS (
+         SELECT 'not_null(o_custkey)' AS chk,
+                (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                  AS violations
+         UNION ALL
+         SELECT 'in_range(o_totalprice,0,600000)',
+                (SELECT count(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice < 0
+                    OR o_totalprice > 600000)
+         UNION ALL
+         SELECT 'accepted_values(o_orderstatus)',
+                (SELECT count(*) FROM orders
+                 WHERE o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P'))
+         UNION ALL
+         SELECT 'unique(o_orderkey)',
+                (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+         UNION ALL
+         SELECT 'foreign_key(o_custkey->c_custkey)',
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)))
+       SELECT chk AS "check", violations, (SELECT total FROM t) AS total,
+              violations = 0 AS passed
+       FROM rep""",
+)
+def q_rel_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-gate constraint report (Deequ/dbt-test shape): all
+    # row-level checks + uniqueness ride ONE aggregation pass; the FK
+    # containment is a left-anti join against the parent keys
+    from pagerank_mapreduce_spark.operators.expectations import (
+        accepted_values,
+        expect,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return expect(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 600000),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            unique("o_orderkey"),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
