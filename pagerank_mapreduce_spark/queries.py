@@ -5390,6 +5390,64 @@ def q_rel_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ========================== linear-interpolation resample (round 7)
+
+
+@_q(
+    "ts_interpolate_hourly",
+    """WITH ev AS (SELECT user_id, ts, value, event_id FROM events
+                  WHERE ts IS NOT NULL AND value IS NOT NULL),
+       b AS (SELECT user_id, date_trunc('hour', min(ts)) AS a,
+                    date_trunc('hour', max(ts)) AS bb
+             FROM ev GROUP BY user_id),
+       grid AS (SELECT user_id,
+                       unnest(generate_series(a, bb + INTERVAL '1 hour',
+                                              INTERVAL '1 hour')) AS t
+                FROM b),
+       un AS (SELECT user_id, ts AS t, value AS v, 0 AS src, event_id
+              FROM ev
+              UNION ALL SELECT user_id, t, NULL, 1, NULL FROM grid),
+       f AS (SELECT user_id, t, src,
+               last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS)
+                 OVER wf AS pt,
+               last_value(CASE WHEN src = 0 THEN v END IGNORE NULLS)
+                 OVER wf AS pv,
+               first_value(CASE WHEN src = 0 THEN t END IGNORE NULLS)
+                 OVER wb AS nt,
+               first_value(CASE WHEN src = 0 THEN v END IGNORE NULLS)
+                 OVER wb AS nv
+             FROM un
+             WINDOW wf AS (PARTITION BY user_id ORDER BY t, src, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                    wb AS (PARTITION BY user_id ORDER BY t, src, event_id
+                           ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING))
+       SELECT user_id, t AS grid_ts,
+              round(CASE WHEN epoch_us(t) = epoch_us(pt) THEN pv
+                    ELSE pv + (nv - pv)
+                         * (CAST(epoch_us(t) - epoch_us(pt) AS DOUBLE)
+                            / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+                    END, 6) AS value
+       FROM f
+       WHERE src = 1 AND pt IS NOT NULL
+         AND (nt IS NOT NULL OR epoch_us(t) = epoch_us(pt))""",
+)
+def q_ts_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hourly grid with linear interpolation between surrounding
+    # observations (exact-microsecond factor arithmetic) — the
+    # gap-fill companion to ts_resample_hourly's step fill
+    from pagerank_mapreduce_spark.operators.asof import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_interpolate(
+        ev, "ts", "user_id", "value", "1 hour", "event_id"
+    )
+    return out.select(
+        "user_id", "grid_ts", F.round("value", 6).alias("value")
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

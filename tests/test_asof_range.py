@@ -472,3 +472,56 @@ def test_resample_ignores_null_timestamps(spark):
         df, "ts", "user_id", "value", "1 hour", "event_id"
     ).collect()
     assert all(r.value == 5.0 for r in out) and len(out) == 1
+
+
+def test_resample_interpolate_known(spark):
+    from datetime import datetime
+
+    from pagerank_mapreduce_spark.operators.asof import resample_interpolate
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 30), 10.0, 1),
+        (1, datetime(2026, 1, 1, 2, 0), 20.0, 2),   # exactly on grid
+        (1, datetime(2026, 1, 1, 3, 0), 50.0, 3),   # exactly on grid
+        (2, datetime(2026, 1, 1, 5, 15), 7.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    out = {
+        (r.user_id, r.grid_ts.hour): r.value
+        for r in resample_interpolate(
+            df, "ts", "user_id", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    # 01:00 lies 30/90 of the way from 00:30(10) to 02:00(20)
+    assert abs(out[(1, 1)] - (10.0 + 10.0 * (30 / 90))) < 1e-9
+    assert out[(1, 2)] == 20.0  # exact observation instant
+    assert out[(1, 3)] == 50.0  # exact observation instant (last obs)
+    # 00:00 precedes the first obs; 04:00 follows the last -> dropped
+    assert (1, 0) not in out and (1, 4) not in out
+    # single-reading key: no grid instant coincides with 05:15 -> empty
+    assert not any(u == 2 for u, _ in out)
+
+
+def test_resample_interpolate_same_instant_ties_use_last(spark):
+    from datetime import datetime
+
+    from pagerank_mapreduce_spark.operators.asof import resample_interpolate
+
+    rows = [
+        (1, datetime(2026, 1, 1, 1, 0), 5.0, 1),
+        (1, datetime(2026, 1, 1, 1, 0), 9.0, 2),  # same instant, later id
+        (1, datetime(2026, 1, 1, 2, 0), 19.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    out = {
+        r.grid_ts.hour: r.value
+        for r in resample_interpolate(
+            df, "ts", "user_id", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    assert out[1] == 9.0  # exact instant takes the tiebreak-last value
+    assert out[2] == 19.0
