@@ -5448,6 +5448,98 @@ def q_ts_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==== incremental aggregate maintenance / co-purchase (round 7)
+
+
+@_q(
+    "rel_incremental_agg",
+    # the oracle is the FULL RECOMPUTE — merge(state(old), state(new))
+    # must equal state(all), which is the materialized-view contract
+    # avg divides the ROUNDED sum: the raw merged sum and the full
+    # recompute differ by an ulp, and cents-valued data puts raw
+    # quotients exactly on round-6 boundaries — rounding the sum first
+    # (cents sums are ~1e-12 from a 2-decimal value, 5e-7 from any
+    # 6-digit boundary) makes both engines divide identical doubles
+    """SELECT user_id, count(value) AS cnt, round(sum(value), 6) AS sm,
+              min(value) AS mn, max(value) AS mx,
+              round(round(sum(value), 6) / count(value), 6) AS avg
+       FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+)
+def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split history at a cutoff, build each side's algebraic state
+    # independently, merge — cost O(batch + keys), never O(history)
+    from pagerank_mapreduce_spark.operators.incremental import (
+        agg_state,
+        finalize_state,
+        merge_agg_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    state = agg_state(ev.filter(F.col("ts") < cutoff), ["user_id"], "value")
+    delta = agg_state(ev.filter(F.col("ts") >= cutoff), ["user_id"], "value")
+    merged = merge_agg_states(state, delta, ["user_id"])
+    rounded = merged.withColumn("sm", F.round("sm", 6))
+    return finalize_state(rounded).select(
+        "user_id",
+        "cnt",
+        "sm",
+        "mn",
+        "mx",
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+@_q(
+    "rel_copurchase",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       capped AS (SELECT l_orderkey, l_partkey FROM li
+                  QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                             ORDER BY l_partkey) <= 10),
+       pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM capped a JOIN capped b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+       SELECT p1, p2, count(*) AS n FROM pr GROUP BY p1, p2
+       HAVING count(*) >= 2
+       ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 50""",
+)
+def q_rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-basket co-occurrence: parts bought together in one order,
+    # min support 2, top-50. The per-basket cap (10, deterministic by
+    # partkey) bounds the in-order self-join quadratically at the cap
+    # — the pathological mega-basket can cost 45 pairs, never deg² —
+    # and the join itself stays a single equi-join on the order key.
+    from pyspark.sql.window import Window
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        li.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .drop("_rk")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
+        .limit(50)
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
