@@ -1,0 +1,80 @@
+"""Continuous ingest dedup: batch kernel semantics + real-stream run
+with a growing index (batch-vs-stream parity)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pagerank_mapreduce_spark.streaming.dedup_ingest import (
+    ingest_batch,
+    start_dedup_ingest,
+)
+
+SEED = [(1, "the quick brown fox jumps over the lazy dog")]
+B1 = [
+    (10, "the quick brown fox jumps over the lazy dog today"),  # ~index
+    (11, "completely different words about spark streaming pipelines"),
+    (12, "completely different words about spark streaming pipelines extra"),
+]
+B2 = [
+    (20, "completely different words about spark streaming pipelines again"),
+    (21, "unique second batch content entirely novel tokens here"),
+]
+SCHEMA = "doc_id bigint, text string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_ingest_batch_rejects_index_and_sibling_dups(spark):
+    out = ingest_batch(_df(spark, B1), _df(spark, SEED))
+    assert sorted(r.doc_id for r in out.collect()) == [11]
+
+
+def test_ingest_batch_empty_index_keeps_first_sibling(spark):
+    out = ingest_batch(_df(spark, B1), _df(spark, []))
+    # no index: 10 is unique, 11 beats its larger-id near-copy 12
+    assert sorted(r.doc_id for r in out.collect()) == [10, 11]
+
+
+def test_stream_ingest_grows_index_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    import time
+
+    pd.DataFrame(B1, columns=["doc_id", "text"]).to_parquet(src / "b1.parquet")
+    pd.DataFrame(B2, columns=["doc_id", "text"]).to_parquet(src / "b2.parquet")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_dedup_ingest(
+        stream,
+        _df(spark, SEED),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    )
+    # 10 dups the seed; 12 dups sibling 11; 20 dups the batch-1
+    # ACCEPTED doc 11 (the growing-index property); 21 is novel
+    assert got == [11, 21]
+
+    # kappa parity: the same two batches driven as plain batch calls
+    acc1 = ingest_batch(_df(spark, B1), _df(spark, SEED))
+    idx2 = _df(spark, SEED).unionByName(acc1.select("doc_id", "text"))
+    acc2 = ingest_batch(_df(spark, B2), idx2)
+    batch_got = sorted(
+        r.doc_id for r in acc1.unionByName(acc2).collect()
+    )
+    assert batch_got == got
