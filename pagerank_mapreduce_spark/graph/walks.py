@@ -95,6 +95,32 @@ def random_walks(
     if walks_per_vertex < 1:
         raise ValueError("walks_per_vertex must be >= 1")
 
+    # loop confs (the graph-suite discipline): AQE off + shuffle
+    # partitions sized to the edge relation while stepping, restored
+    # on exit — per-step plans are tiny and fixed-shape, AQE re-plan
+    # latency dominates them at every scale below huge
+    spark = edges.sparkSession
+    conf = spark.conf
+    saved = {
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        m = edges.count()
+        loop_partitions = max(
+            4, min(int(saved["spark.sql.shuffle.partitions"]), m // 250_000 + 1)
+        )
+        conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        return _walks_loop(edges, walk_length, walks_per_vertex, seed)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def _walks_loop(
+    edges: DataFrame, walk_length: int, walks_per_vertex: int, seed: int
+) -> DataFrame:
     e = edges.select("src", "dst").distinct()
     w = Window.partitionBy("src").orderBy("dst")
     deg = e.groupBy("src").agg(F.count("*").alias("d"))

@@ -4669,18 +4669,20 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_oracle() -> str:
     from pagerank_mapreduce_spark.graph.hits import hits_oracle_sql
 
-    return hits_oracle_sql(_EDGES_SQL, iterations=20)
+    return hits_oracle_sql(_EDGES_SQL, iterations=10)
 
 
 @_q("graph_hits", _hits_oracle())
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Kleinberg hubs & authorities on the same directed fixture graph
-    # PageRank runs on — 20 fixed L1-normalized power-iteration rounds,
-    # every generation replayed by the recursive-CTE oracle
+    # PageRank runs on — 10 fixed L1-normalized power-iteration rounds
+    # (about what the damped PageRank fixed point needs on this graph;
+    # each round is one fused job and replay exactness, not round
+    # count, is the point), every generation replayed by the oracle
     from pagerank_mapreduce_spark.graph.hits import hits
 
     edges = derive_edges(spark, sf_dir, N_GRAPH)
-    res = hits(edges, iterations=20)
+    res = hits(edges, iterations=10)
     return res.select(
         "id", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
     )

@@ -283,10 +283,11 @@ def test_hits_matches_numpy_power_iteration(spark):
         A[s, d] += 1.0
     h = np.ones(n)
     for _ in range(7):
-        a = A.T @ h
-        a = a / a.sum()
-        h = A @ a
-        h = h / h.sum()
+        ar = A.T @ h
+        hr = A @ ar
+        h = hr / hr.sum()
+    a = A.T @ h
+    a = a / a.sum()
     out = {r["id"]: (r["hub"], r["auth"]) for r in hits(_edges(spark, PAIRS), 7).collect()}
     assert set(out) == set(range(n))
     for i in range(n):
