@@ -5596,6 +5596,101 @@ def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ================== deterministic sketches: CMS / Bloom (round 7)
+
+
+@_q(
+    "rel_cms_user_counts",
+    """WITH rws AS (SELECT unnest(generate_series(0, 3)) AS rw),
+       cnt AS (SELECT r.rw,
+                      CAST(concat('0x', substr(md5(concat(
+                             CAST(r.rw AS VARCHAR), ':',
+                             CAST(e.user_id AS VARCHAR))), 1, 4))
+                           AS INTEGER) % 256 AS bucket,
+                      count(*) AS c
+               FROM events e CROSS JOIN rws r GROUP BY 1, 2),
+       probes AS (SELECT DISTINCT user_id FROM events),
+       est AS (SELECT p.user_id, min(coalesce(c.c, 0)) AS est
+               FROM probes p CROSS JOIN rws r
+               LEFT JOIN cnt c ON c.rw = r.rw
+                AND c.bucket = CAST(concat('0x', substr(md5(concat(
+                        CAST(r.rw AS VARCHAR), ':',
+                        CAST(p.user_id AS VARCHAR))), 1, 4))
+                      AS INTEGER) % 256
+               GROUP BY p.user_id),
+       ex AS (SELECT user_id, count(*) AS exact_n FROM events
+              GROUP BY user_id)
+       SELECT e.user_id, e.est, x.exact_n
+       FROM est e JOIN ex x USING (user_id)""",
+)
+def q_rel_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-min frequency estimates vs exact counts, per user — the
+    # sketch (4x256 counters) broadcasts; overcounts are deterministic
+    # md5 collisions the oracle reproduces exactly
+    from pagerank_mapreduce_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id")
+    probes = ev.select("user_id").distinct()
+    est = cms_estimate(cms, probes, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return est.join(exact, "user_id").select("user_id", "est", "exact_n")
+
+
+@_q(
+    "rel_bloom_prune",
+    """WITH neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+       occ AS (SELECT DISTINCT
+                 CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':',
+                        CAST(c_custkey AS VARCHAR))), 1, 4))
+                      AS INTEGER) % 1024 AS pos
+               FROM neg CROSS JOIN
+                    (SELECT unnest(generate_series(0, 2)) AS i)),
+       probes AS (SELECT DISTINCT o_custkey FROM orders),
+       pp AS (SELECT p.o_custkey,
+                     CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR),
+                            ':', CAST(p.o_custkey AS VARCHAR))), 1, 4))
+                          AS INTEGER) % 1024 AS pos
+              FROM probes p CROSS JOIN
+                   (SELECT unnest(generate_series(0, 2)) AS i)),
+       maybe AS (SELECT pp.o_custkey FROM pp
+                 LEFT JOIN occ ON pp.pos = occ.pos
+                 GROUP BY pp.o_custkey
+                 HAVING max(CASE WHEN occ.pos IS NULL
+                                 THEN 1 ELSE 0 END) = 0),
+       tru AS (SELECT p.o_custkey FROM probes p
+               WHERE EXISTS (SELECT 1 FROM neg n
+                             WHERE n.c_custkey = p.o_custkey))
+       SELECT (SELECT count(*) FROM maybe) AS maybe_cnt,
+              (SELECT count(*) FROM tru) AS true_cnt""",
+)
+def q_rel_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom semi-join prefilter: the kilobyte filter of the rare
+    # build side (negative-balance customers) ships to the probe side
+    # instead of shuffling the orders key column; the false-positive
+    # excess (maybe_cnt - true_cnt) is deterministic and replayed
+    from pagerank_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    neg = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    bloom = bloom_build(neg, "c_custkey")
+    probes = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    maybe = bloom_maybe_contains(probes, bloom, "o_custkey")
+    tru = probes.join(
+        neg.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "semi"
+    )
+    return (
+        maybe.agg(F.count("*").alias("maybe_cnt"))
+        .crossJoin(tru.agg(F.count("*").alias("true_cnt")))
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
