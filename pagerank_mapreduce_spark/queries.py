@@ -4699,6 +4699,27 @@ def _walks_oracle() -> str:
     )
 
 
+def _node2vec_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.walks import node2vec_oracle_sql
+
+    return node2vec_oracle_sql(
+        _EDGES_SQL, walk_length=5, walks_per_vertex=1, seed=42, p=0.5, q=2.0
+    )
+
+
+@_q("graph_node2vec", _node2vec_oracle())
+def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # second-order biased walks (return-favoring p=0.5, exploration-
+    # damping q=2.0) — weights, cumulative sums and the pick interval
+    # replay exactly in the oracle
+    from pagerank_mapreduce_spark.graph.walks import node2vec_walks
+
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    return node2vec_walks(
+        edges, walk_length=5, walks_per_vertex=1, seed=42, p=0.5, q=2.0
+    )
+
+
 @_q("graph_walks", _walks_oracle())
 def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DeepWalk-style corpus generation: 2 walks of length 6 from every

@@ -346,3 +346,62 @@ def test_random_walks_single_successor_chain(spark):
     edges = _edges(spark, [(0, 1), (1, 2), (2, 3)])
     out = {r.walk_id: r.path for r in random_walks(edges, 10, 1).collect()}
     assert out == {0: "0,1,2,3", 1: "1,2,3", 2: "2,3"}
+
+
+def test_node2vec_matches_python_model(spark):
+    # full replay of the biased sampler in pure Python — weights,
+    # dst-ordered float cumsum, half-open pick interval, md5 coins
+    import hashlib
+
+    from pagerank_mapreduce_spark.graph.walks import node2vec_walks
+
+    P, Q, SEED, L = 0.5, 2.0, 7, 5
+    dedup = sorted({(s, d) for s, d in PAIRS})
+    succ = {}
+    for s, d in dedup:
+        succ.setdefault(s, []).append(d)
+    for s in succ:
+        succ[s].sort()
+
+    def coin(walk_id, step):
+        h = hashlib.md5(f"{SEED}:{walk_id}:{step}".encode()).hexdigest()
+        return int(h[:4], 16) / 65536.0
+
+    expected = {}
+    for start in sorted(succ):
+        walk_id = start
+        prev, cur, path = None, start, [start]
+        for step in range(L):
+            if cur not in succ:
+                break
+            ws = []
+            for dst in succ[cur]:
+                if prev is None:
+                    w = 1.0
+                elif dst == prev:
+                    w = 1.0 / P
+                elif (prev, dst) in set(dedup):
+                    w = 1.0
+                else:
+                    w = 1.0 / Q
+                ws.append(w)
+            tot = 0.0
+            cums = []
+            for w in ws:
+                tot += w
+                cums.append(tot)
+            t = coin(walk_id, step) * cums[-1]
+            for i, c in enumerate(cums):
+                if (c - ws[i]) <= t < c:
+                    prev, cur = cur, succ[cur][i]
+                    break
+            path.append(cur)
+        expected[walk_id] = ",".join(map(str, path))
+
+    got = {
+        r.walk_id: r.path
+        for r in node2vec_walks(
+            _edges(spark, PAIRS), L, 1, seed=SEED, p=P, q=Q
+        ).collect()
+    }
+    assert got == expected
