@@ -56,6 +56,7 @@ def pagerank_oracle_sql(
     max_iterations: int = MAX_ITERATIONS,
     round_digits: int = 8,
     personalize: list[int] | None = None,
+    weighted: bool = False,
 ) -> str:
     """DuckDB oracle replaying the full :func:`pagerank` fixed point as
     a recursive CTE — iteration for iteration, scalar for scalar.
@@ -102,11 +103,13 @@ def pagerank_oracle_sql(
             f"+ {a} * s.dangling * {tele}\n"
             f"                        + (1.0 - {a}) * {tele}"
         )
+    deg_agg = "sum(w)" if weighted else "count(*)"
+    contrib_expr = "c.rank * e.w / v.deg" if weighted else "c.rank / v.deg"
     return f"""
       WITH RECURSIVE
       ed AS ({edges_sql}),
       ws AS (SELECT greatest(max(src), max(dst)) + 1 AS n FROM ed),
-      deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+      deg AS (SELECT src AS id, CAST({deg_agg} AS DOUBLE) AS deg
               FROM ed GROUP BY src),
       verts AS (SELECT u.id, coalesce(d.deg, 0.0) AS deg
                 FROM (SELECT unnest(generate_series(0, (SELECT n FROM ws) - 1))
@@ -122,7 +125,7 @@ def pagerank_oracle_sql(
                        sum(CASE WHEN v.deg = 0 THEN c.rank ELSE 0.0 END)
                          AS dangling
                 FROM cur c JOIN verts v ON c.id = v.id),
-         contrib AS (SELECT e.dst AS id, sum(c.rank / v.deg) AS h_raw
+         contrib AS (SELECT e.dst AS id, sum({contrib_expr}) AS h_raw
                      FROM cur c
                      JOIN ed e ON c.id = e.src
                      JOIN verts v ON c.id = v.id
@@ -189,6 +192,7 @@ def pagerank(
     max_iterations: int = MAX_ITERATIONS,
     num_vertices: int | None = None,
     personalize: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run the reference PageRank fixed point; returns distributed ranks.
 
@@ -234,7 +238,8 @@ def pagerank(
     conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _pagerank_loop(
-            spark, edges, n, alpha, convergence, max_iterations, personalize
+            spark, edges, n, alpha, convergence, max_iterations, personalize,
+            weight_col,
         )
     finally:
         for k, v in saved.items():
@@ -249,15 +254,27 @@ def _pagerank_loop(
     convergence: float,
     max_iterations: int,
     personalize: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     tele_ids = sorted(set(personalize)) if personalize is not None else None
     tele_w = 1.0 / len(tele_ids) if tele_ids else 0.0
-    deg = out_degrees(edges)
+    if weight_col is None:
+        deg = out_degrees(edges)
+        link_cols = ["src", "dst", "deg"]
+    else:
+        # weighted variant (beyond the reference): deg is the source's
+        # total outgoing weight; contributions scale by w/deg. Weights
+        # must be positive — a zero-weight-sum source would divide by
+        # zero exactly like a phantom dangling vertex.
+        deg = edges.groupBy("src").agg(
+            F.sum(F.col(weight_col).cast("double")).alias("deg")
+        )
+        link_cols = ["src", "dst", F.col(weight_col).cast("double").alias("w"), "deg"]
     # Edge relation with the degree of its source attached, cached and
     # pre-partitioned on the per-iteration join key.
     links = (
         edges.join(deg, "src")
-        .select("src", "dst", "deg")
+        .select(*link_cols)
         .repartition("src")
         .persist()
     )
@@ -334,11 +351,16 @@ def _pagerank_loop(
         # scalar, so it is applied after the aggregate (h_raw / norm).
         # Qualified aliases throughout: contribs is derived from pr, so
         # the merge below is a self-join from the analyzer's view.
+        if weight_col is None:
+            _contrib = F.col("p.rank") / F.col("l.deg")
+        else:
+            # association mirrors the oracle: rank * w / deg
+            _contrib = F.col("p.rank") * F.col("l.w") / F.col("l.deg")
         contribs = (
             pr.alias("p")
             .join(links.alias("l"), F.col("p.id") == F.col("l.src"))
             .groupBy(F.col("l.dst").alias("cid"))
-            .agg(F.sum(F.col("p.rank") / F.col("l.deg")).alias("h_raw"))
+            .agg(F.sum(_contrib).alias("h_raw"))
         )
         merged = (
             pr.alias("q")

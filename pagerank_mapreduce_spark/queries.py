@@ -4688,6 +4688,31 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================== weighted PageRank (round 7)
+
+
+def _wpr_oracle() -> str:
+    wsql = (
+        f"SELECT src, dst, CAST((src * 7 + dst * 13) % 9 + 1 AS DOUBLE) AS w "
+        f"FROM ({_EDGES_SQL})"
+    )
+    return pagerank_oracle_sql(wsql, max_iterations=100, weighted=True)
+
+
+@_q("graph_pagerank_weighted", _wpr_oracle())
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # beyond-reference: rank mass splits by edge weight (w / total
+    # outgoing weight) instead of uniformly — deterministic OINK-style
+    # weights, full fixed point replayed by the weighted recursive CTE
+    from pagerank_mapreduce_spark.graph.algorithms import edge_weight_expr
+
+    edges = derive_edges(spark, sf_dir, N_GRAPH).withColumn(
+        "w", edge_weight_expr().cast("double")
+    )
+    res = pagerank(edges, max_iterations=100, weight_col="w")
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
 # ======================= deterministic random walks (round 7)
 
 
