@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "graph_hits",
     "graph_walks",
     "text_nb_predict",
+    "graph_node2vec",
+    "rel_cms_user_counts",
 ]
 
 

@@ -5737,6 +5737,74 @@ def q_rel_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================== training-mixture planning (round 7)
+
+
+@_q(
+    "text_mixture_plan",
+    f"""WITH {_TOKS_CTE},
+       tt AS (SELECT d.source, sum(len(x.t)) AS toks
+              FROM documents d JOIN toks x ON d.doc_id = x.doc_id
+              GROUP BY d.source),
+       z AS (SELECT sum(sqrt(CAST(toks AS DOUBLE))) AS z FROM tt)
+       SELECT source, toks,
+              round(sqrt(CAST(toks AS DOUBLE)) / (SELECT z FROM z), 6)
+                AS share,
+              round(sqrt(CAST(toks AS DOUBLE)) / (SELECT z FROM z)
+                    * 1000000.0 / toks, 6) AS epochs
+       FROM tt""",
+)
+def q_text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixture planning for a token budget: per-source token counts,
+    # temperature-0.5 sampling shares (sqrt is IEEE-exact cross-
+    # engine), and the implied epoch multiplier against a 1M-token
+    # budget — the "how many passes over each source" table a
+    # training run starts from
+    from pagerank_mapreduce_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    tt = docs.groupBy("source").agg(
+        F.sum(T.token_count("text")).alias("toks")
+    )
+    z = F.broadcast(
+        tt.agg(F.sum(F.sqrt(F.col("toks").cast("double"))).alias("z"))
+    )
+    share = F.sqrt(F.col("toks").cast("double")) / F.col("z")
+    return tt.crossJoin(z).select(
+        "source",
+        "toks",
+        F.round(share, 6).alias("share"),
+        F.round(share * 1000000.0 / F.col("toks"), 6).alias("epochs"),
+    )
+
+
+@_q(
+    "rel_topk_with_ties",
+    # rank() (not row_number) keeps ALL rows tied at the boundary —
+    # the dense result is deterministic without a tiebreak column
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                rank() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_custkey % 10 DESC) AS rnk
+         FROM orders)
+       WHERE rnk <= 3""",
+)
+def q_rel_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WITH TIES semantics: a coarse sort key (custkey mod 10) ties
+    # heavily, and every boundary-tied row must survive
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.col("o_custkey") % 10)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

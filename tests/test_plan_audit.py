@@ -281,3 +281,21 @@ def test_phrase_pmi_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     js = join_strategies(df)
     assert "CartesianProduct" not in js, js
+
+
+def test_bloom_probe_side_does_not_shuffle(spark, sf_dir):
+    # the whole point of the Bloom prefilter: the kilobyte position
+    # relation broadcasts; the probe side must never hash-exchange
+    # for the membership join
+    df = _q(spark, sf_dir, "rel_bloom_prune")
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    assert "CartesianProduct" not in js, js
+
+
+def test_cms_sketch_broadcasts(spark, sf_dir):
+    # estimate side: probes join the (<= depth*width row) sketch via
+    # broadcast — frequency lookup without shuffling the probe relation
+    df = _q(spark, sf_dir, "rel_cms_user_counts")
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
