@@ -18,7 +18,7 @@ import hashlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -210,4 +210,62 @@ def sample_frames(
 
     return media.mapInPandas(
         run, "media_id bigint, frame_no int, feature array<float>"
+    )
+
+
+# ------------------------- header metadata, pure expressions (r7)
+# Real decode needs PIL/libav (auto-selected when present, stubbed
+# otherwise — see _resolve_decoder). Container HEADERS do not: the
+# fixed-offset fields parse with substring+hex+conv expressions,
+# JVM-side inside codegen, no Python round-trip. At 100 TB this is
+# the difference between "touch 24 bytes per file" and "ship every
+# payload through a Python worker to learn its width". Formats:
+#
+# - PNG: IHDR is mandatory-first; width/height are big-endian uint32
+#   at byte offsets 16 and 20 (0-based) of the file.
+# - WAV (canonical RIFF): sample rate is little-endian uint32 at
+#   offset 24, channels little-endian uint16 at 22.
+
+
+def _be_u32(col: Column, pos: int) -> Column:
+    """Big-endian uint32 at 0-based byte offset ``pos`` (substring is
+    1-based)."""
+    return F.conv(F.hex(F.substring(col, pos + 1, 4)), 16, 10).cast("bigint")
+
+
+def _le_uint(col: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int: reverse the bytes' hex pairs, then
+    one conv."""
+    parts = [
+        F.hex(F.substring(col, pos + i, 1)) for i in range(nbytes, 0, -1)
+    ]
+    return F.conv(F.concat(*parts), 16, 10).cast("bigint")
+
+
+def png_dimensions(payload: Column | str) -> Column:
+    """(width, height) struct from a PNG payload's IHDR, or NULL when
+    the 8-byte PNG signature is absent (never a crash on junk)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    sig = F.hex(F.substring(c, 1, 8)) == F.lit("89504E470D0A1A0A")
+    return F.when(
+        sig,
+        F.struct(
+            _be_u32(c, 16).alias("width"), _be_u32(c, 20).alias("height")
+        ),
+    )
+
+
+def wav_audio_meta(payload: Column | str) -> Column:
+    """(sample_rate, channels) struct from a canonical RIFF/WAVE
+    header, NULL unless both the RIFF and WAVE magics match."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_wav = (F.hex(F.substring(c, 1, 4)) == F.lit("52494646")) & (
+        F.hex(F.substring(c, 9, 4)) == F.lit("57415645")
+    )
+    return F.when(
+        is_wav,
+        F.struct(
+            _le_uint(c, 24, 4).alias("sample_rate"),
+            _le_uint(c, 22, 2).alias("channels"),
+        ),
     )

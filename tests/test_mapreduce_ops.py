@@ -248,3 +248,57 @@ def test_cap_per_group_requires_key_cols(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, g string")
     with pytest.raises(ValueError, match="key column"):
         cap_per_group(df, "g", 1)
+
+
+def test_png_dimensions_real_header(spark):
+    # a genuine 1-pixel PNG (signature + IHDR), plus junk: the parser
+    # reads 24 bytes of header, never decodes, never crashes
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.multimodal import png_dimensions
+
+    def png(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+
+    rows = [(1, png(640, 480)), (2, png(1, 1)), (3, b"not a png at all")]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    out = {
+        r.id: (r.m.width, r.m.height) if r.m else None
+        for r in df.select("id", png_dimensions("payload").alias("m")).collect()
+    }
+    assert out == {1: (640, 480), 2: (1, 1), 3: None}
+
+
+def test_wav_audio_meta_real_header(spark):
+    import struct
+
+    from pagerank_mapreduce_spark.operators.multimodal import wav_audio_meta
+
+    def wav(rate, ch):
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + fmt
+        )
+
+    rows = [(1, wav(44100, 2)), (2, wav(16000, 1)), (3, b"RIFFxxxxJUNK")]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    out = {
+        r.id: (r.m.sample_rate, r.m.channels) if r.m else None
+        for r in df.select("id", wav_audio_meta("payload").alias("m")).collect()
+    }
+    assert out == {1: (44100, 2), 2: (16000, 1), 3: None}
