@@ -5588,6 +5588,48 @@ def q_rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ================= multi-source eccentricity probe (round 7)
+
+
+def _ecc_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import sssp_oracle_sql
+
+    parts = [
+        f"SELECT {s} AS source, id, dist FROM ("
+        + sssp_oracle_sql(_EDGES_SQL, source=s, max_distance=24)
+        + ")"
+        for s in (0, 7, 42)
+    ]
+    return (
+        "WITH d AS (" + " UNION ALL ".join(parts) + ") "
+        "SELECT source, max(dist) AS ecc, count(*) AS n_reached "
+        "FROM d GROUP BY source"
+    )
+
+
+@_q("graph_eccentricity", _ecc_oracle())
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted eccentricity from 3 probe sources (max shortest-path
+    # distance + reach count) — the sampled diameter lower bound; one
+    # Bellman-Ford fixed point per source, exact oracle per source
+    from pagerank_mapreduce_spark.graph.algorithms import sssp
+
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    outs = []
+    for s in (0, 7, 42):
+        d = sssp(edges, source=s, max_distance=24)
+        outs.append(
+            d.agg(
+                F.max("dist").alias("ecc"),
+                F.count("*").alias("n_reached"),
+            ).select(F.lit(s).cast("int").alias("source"), "ecc", "n_reached")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # ============================ MAD anomaly detection (round 7)
 
 
