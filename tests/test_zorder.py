@@ -85,3 +85,39 @@ def test_zorder_schema_roundtrip(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 1
     assert set(out.columns) == {"id", "a", "b", "tag"}
+
+
+def test_zorder_random_boxes_property(spark, tmp_path):
+    # randomized boxes: the pruned box query must equal the brute
+    # filter for every box, including empty and full-plane ones
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randrange(1 << 16), rng.randrange(1 << 16)) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a bigint, b bigint")
+    path = str(tmp_path / "zprop")
+    write_zordered(df, path, "a", "b")
+    boxes = [
+        ((0, (1 << 16) - 1), (0, (1 << 16) - 1)),  # full plane
+        ((70000, 70001), (0, 10)),                  # empty (a out of data range is fine)
+        ((0, 0), (0, 0)),                           # point
+    ] + [
+        (
+            tuple(sorted((rng.randrange(1 << 16), rng.randrange(1 << 16)))),
+            tuple(sorted((rng.randrange(1 << 16), rng.randrange(1 << 16)))),
+        )
+        for _ in range(5)
+    ]
+    for a_range, b_range in boxes:
+        got = sorted(
+            r.id
+            for r in read_zorder_box(
+                spark, path, "a", "b", a_range, b_range
+            ).collect()
+        )
+        want = sorted(
+            i
+            for i, a, b in rows
+            if a_range[0] <= a <= a_range[1] and b_range[0] <= b <= b_range[1]
+        )
+        assert got == want, (a_range, b_range)
