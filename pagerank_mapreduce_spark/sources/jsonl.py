@@ -73,3 +73,20 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return clean, bad
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write line-delimited JSON — the corpus EXPORT face of this
+    module; ``read_jsonl(write_jsonl(df))`` round-trips exactly
+    (JSON string escaping keeps embedded newlines/quotes one line per
+    record). Spark's native json writer streams row-by-row JVM-side;
+    ``max_records_per_file`` is the small-files/giant-files dial
+    (sources/compact.py exists for when it was set wrong)."""
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)

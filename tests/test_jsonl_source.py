@@ -60,3 +60,25 @@ def test_partial_schema_prunes_columns(spark, jsonl_path):
     clean, _ = split_corrupt(df)
     assert clean.columns == ["doc_id", "lang"]
     assert {r.doc_id for r in clean.collect()} >= {1, 2, 4}
+
+
+def test_jsonl_write_read_round_trip(spark, tmp_path):
+    from pagerank_mapreduce_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, 'line with "quotes" and a\nnewline', "en"),
+        (2, "unicode: ümläut 中文", "de"),
+        (3, None, "fr"),  # NULL field must survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    p = str(tmp_path / "out.jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "doc_id bigint, text string, lang string")
+    clean, bad = split_corrupt(back)
+    assert bad.count() == 0
+    got = sorted(map(tuple, clean.collect()))
+    assert got == sorted(rows, key=lambda r: r[0])
