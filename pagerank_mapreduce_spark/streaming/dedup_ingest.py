@@ -99,9 +99,17 @@ def start_dedup_ingest(
     schema = stream.schema
 
     def _once(batch_df: DataFrame, batch_id: int) -> None:
+        # only a MISSING accepted dir (first batch) may fall back to
+        # empty — a permission/IO failure must abort the batch, or
+        # the index silently shrinks and duplicates get re-admitted
+        from pyspark.errors import AnalysisException
+
         try:
             prior = spark.read.schema(schema).parquet(accepted_path)
-        except Exception:
+            prior.schema  # force path resolution
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             prior = spark.createDataFrame([], schema)
         index = seed_index.select(id_col, text_col).unionByName(
             prior.select(id_col, text_col)
