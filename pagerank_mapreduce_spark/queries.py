@@ -4745,6 +4745,53 @@ def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skipgram_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.walks import random_walks_oracle_sql
+
+    inner = random_walks_oracle_sql(
+        _EDGES_SQL, walk_length=6, walks_per_vertex=2, seed=42
+    )
+    # window-2 skip-gram pairs over each walk sequence: (center,
+    # context) for every |i - j| <= 2, i != j — the training pairs a
+    # skip-gram embedding consumes
+    return f"""
+      WITH wk AS ({inner}),
+      tok AS (SELECT walk_id, g.i AS pos,
+                     CAST(string_split(path, ',')[g.i] AS BIGINT) AS v
+              FROM wk CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1,
+                         len(string_split(path, ',')))) AS i) g)
+      SELECT a.v AS center, b.v AS context, count(*) AS n
+      FROM tok a JOIN tok b
+        ON a.walk_id = b.walk_id
+       AND abs(a.pos - b.pos) <= 2 AND a.pos <> b.pos
+      GROUP BY a.v, b.v"""
+
+
+@_q("graph_walk_skipgrams", _skipgram_oracle())
+def q_graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the walks become an embedding-training corpus: window-2
+    # skip-gram (center, context) pair counts. The pair join is
+    # per-walk positional with a +-2 band — bounded fan-out (<= 4
+    # contexts per token), equi-join on walk_id
+    from pagerank_mapreduce_spark.graph.walks import random_walks
+
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    wk = random_walks(edges, walk_length=6, walks_per_vertex=2, seed=42)
+    tok = wk.select(
+        "walk_id",
+        F.posexplode(F.split("path", ",")).alias("pos", "vs"),
+    ).select("walk_id", "pos", F.col("vs").cast("bigint").alias("v"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (F.abs(F.col("a.pos") - F.col("b.pos")) <= 2)
+        & (F.col("a.pos") != F.col("b.pos")),
+    ).select(F.col("a.v").alias("center"), F.col("b.v").alias("context"))
+    return pairs.groupBy("center", "context").agg(F.count("*").alias("n"))
+
+
 @_q("graph_walks", _walks_oracle())
 def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DeepWalk-style corpus generation: 2 walks of length 6 from every
