@@ -868,3 +868,173 @@ def lpa_oracle_sql(edges_sql: str, rounds: int = 5) -> str:
          SELECT rnd + 1, id, lbl FROM best)
       )
       SELECT id, lbl AS comm FROM t WHERE rnd = {rounds}"""
+
+
+# --------------------------------------- strongly connected components
+
+
+def scc(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph — the
+    coloring algorithm (Orzan; the FW-BW family): per outer round,
+
+    1. forward min-label fixed point: ``color(v) = min id that
+       reaches v`` (including itself);
+    2. vertices with ``color(v) == v`` are roots; the SCC of root
+       ``r`` is confirmed by BACKWARD propagation restricted to the
+       color class (a vertex on any cycle through ``r`` must have
+       color exactly ``r`` — a smaller color would also reach ``r``
+       and contradict ``r``'s rootness);
+    3. confirmed SCCs are emitted (``scc`` = root id = min member)
+       and removed; the loop repeats on the remainder, which shrinks
+       by at least every root SCC per round.
+
+    Returns (id, scc) over edge-endpoint vertices (self-loops dropped
+    first, like :func:`connected_components`'s conventions; vertices
+    that end up edge-free are their own singleton SCCs).
+
+    Scale stance: every step is the house iterative shape — equi-join
+    frontier to the cached edge relation + algebraic min / exists
+    aggregation, one fused job per inner round via observed
+    localCheckpoints; never an adjacency list, never a transitive
+    closure (the ORACLE does closure — O(n·reach) — precisely because
+    the engine must not). Round counts: forward coloring is bounded
+    by remaining diameter, confirmation by SCC diameter, outer rounds
+    by the condensation's depth — the same multi-round regime as
+    cc_star, job-latency-bound at toy scale and data-bound at real
+    scale.
+    """
+    e0 = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    with _loop_confs(e0) as E:
+        spark = E.sparkSession
+        V = (
+            E.select(F.col("src").alias("id"))
+            .unionAll(E.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        results = []
+        for _outer in range(max_iterations):
+            if E.rdd.isEmpty():
+                results.append(
+                    V.select("id", F.col("id").alias("scc"))
+                )
+                break
+            # 1. forward min-label fixed point
+            c = V.select("id", F.col("id").alias("c"))
+            for _ in range(max_iterations):
+                upd = (
+                    c.alias("s")
+                    .join(E.alias("e"), F.col("s.id") == F.col("e.src"))
+                    .groupBy(F.col("e.dst").alias("id"))
+                    .agg(F.min(F.col("s.c")).alias("cin"))
+                )
+                obs = Observation()
+                c2 = (
+                    c.alias("x")
+                    .join(upd.alias("u"), "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("c"), F.coalesce("cin", F.col("c"))
+                        ).alias("c"),
+                        (F.coalesce("cin", F.col("c")) < F.col("c")).alias(
+                            "_chg"
+                        ),
+                    )
+                )
+                c2 = c2.observe(
+                    obs, F.sum(F.col("_chg").cast("long")).alias("n")
+                ).localCheckpoint()
+                changed = obs.get["n"]
+                c = c2.select("id", "c")
+                if not changed:
+                    break
+            # 2. backward confirmation within color classes
+            st = c.select("id", "c", (F.col("id") == F.col("c")).alias("m"))
+            st = st.localCheckpoint()
+            while True:
+                newly = (
+                    E.alias("e")
+                    .join(
+                        st.alias("d"),
+                        (F.col("e.dst") == F.col("d.id")) & F.col("d.m"),
+                    )
+                    .join(
+                        st.alias("s"),
+                        (F.col("e.src") == F.col("s.id"))
+                        & ~F.col("s.m")
+                        & (F.col("s.c") == F.col("d.c")),
+                    )
+                    .select(F.col("s.id").alias("id"))
+                    .distinct()
+                )
+                obs = Observation()
+                st2 = (
+                    st.alias("x")
+                    .join(
+                        newly.withColumn("_n", F.lit(True)).alias("u"),
+                        "id",
+                        "left",
+                    )
+                    .select(
+                        "id",
+                        "c",
+                        (F.col("m") | F.coalesce("_n", F.lit(False))).alias(
+                            "m"
+                        ),
+                        F.coalesce("_n", F.lit(False)).alias("_chg"),
+                    )
+                )
+                st2 = st2.observe(
+                    obs, F.sum(F.col("_chg").cast("long")).alias("n")
+                ).localCheckpoint()
+                grew = obs.get["n"]
+                st = st2.select("id", "c", "m")
+                if not grew:
+                    break
+            found = st.filter(F.col("m")).select(
+                "id", F.col("c").alias("scc")
+            )
+            results.append(found.localCheckpoint())
+            V = st.filter(~F.col("m")).select("id").localCheckpoint()
+            E = (
+                E.join(V.withColumnRenamed("id", "src"), "src", "semi")
+                .join(V.withColumnRenamed("id", "dst"), "dst", "semi")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            if V.rdd.isEmpty():
+                break
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        return out
+
+
+def scc_oracle_sql(edges_sql: str) -> str:
+    """DuckDB oracle: ``scc(u) = min({u} ∪ {v : u ->* v AND
+    v ->* u})`` over the deduped reachability closure — the O(n·m)
+    formulation the distributed algorithm exists to avoid, exact at
+    fixture scale."""
+    return f"""
+      WITH RECURSIVE
+      ed AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+             WHERE src <> dst),
+      verts AS (SELECT DISTINCT v FROM
+                (SELECT src AS v FROM ed UNION ALL
+                 SELECT dst AS v FROM ed)),
+      reach(u, v) AS (
+        SELECT src, dst FROM ed
+        UNION
+        SELECT r.u, e.dst FROM reach r JOIN ed e ON r.v = e.src
+      )
+      SELECT u AS id, min(m) AS scc FROM (
+        SELECT v AS u, v AS m FROM verts
+        UNION ALL
+        SELECT a.u, a.v AS m
+        FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+      ) GROUP BY u"""

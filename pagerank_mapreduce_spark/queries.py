@@ -4713,6 +4713,28 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
+# ================= strongly connected components (round 7)
+
+
+def _scc_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import scc_oracle_sql
+
+    return scc_oracle_sql(_EDGES_SQL)
+
+
+@_q("graph_scc", _scc_oracle())
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DIRECTED components (CC's harder sibling): coloring/FW-BW
+    # algorithm — forward min fixed point, backward confirmation
+    # inside color classes, peel and repeat. The oracle computes the
+    # doubly-reachable closure (exact at the fixture's fixed
+    # 1000-vertex universe; the distributed algorithm exists so the
+    # engine never has to)
+    from pagerank_mapreduce_spark.graph.algorithms import scc
+
+    return scc(derive_edges(spark, sf_dir, N_GRAPH))
+
+
 # ======================= deterministic random walks (round 7)
 
 

@@ -405,3 +405,38 @@ def test_node2vec_matches_python_model(spark):
         ).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------------- SCC
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    edges = _edges(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    )
+    out = {r.id: r.scc for r in GA.scc(edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_scc_dag_is_all_singletons(spark):
+    edges = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    out = {r.id: r.scc for r in GA.scc(edges).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_scc_shared_vertex_merges_cycles(spark):
+    # the PAIRS triangles are directed cycles sharing vertex 2, so
+    # {0,1,2,4,5} is ONE component; 6/7/8/9 are singletons; 3 has
+    # only a self-loop and is dropped with it
+    out = {r.id: r.scc for r in GA.scc(_edges(spark, PAIRS)).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 4: 0, 5: 0, 6: 6, 7: 7, 8: 8, 9: 9}
+
+
+def test_scc_oracle_agrees_on_fixture_pairs(spark):
+    import duckdb
+
+    rows = ", ".join(f"({a}, {b})" for a, b in PAIRS)
+    sql = GA.scc_oracle_sql(f"SELECT * FROM (VALUES {rows}) AS v(src, dst)")
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    want = {r.id: r.scc for r in GA.scc(_edges(spark, PAIRS)).collect()}
+    assert got == want
