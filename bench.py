@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "text_nb_predict",
     "graph_node2vec",
     "rel_cms_user_counts",
+    "graph_scc",
 ]
 
 

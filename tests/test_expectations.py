@@ -77,3 +77,33 @@ def test_expect_single_scan_for_row_checks(spark, sf_dir):
     rep = expect(df, [not_null("id"), in_range("v", 0, 1), unique("id")])
     plan = formatted_plan(rep)
     assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1, plan
+
+
+def test_expect_randomized_against_python_model(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (
+            rng.choice([None, rng.randrange(6)]),
+            rng.choice([None, "a", "b", "zz"]),
+            rng.choice([None, rng.uniform(-50, 150)]),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, v double")
+    rep = _report(
+        df,
+        [not_null("id"), in_range("v", 0, 100), accepted_values("name", ["a", "b"]), unique("id")],
+    )
+    n = len(rows)
+    want_nn = sum(1 for r in rows if r[0] is None)
+    want_ir = sum(1 for r in rows if r[2] is None or r[2] < 0 or r[2] > 100)
+    want_av = sum(1 for r in rows if r[1] not in ("a", "b"))
+    distinct_ids = len({r[0] for r in rows if r[0] is not None})
+    # count_distinct ignores NULL ids; surplus = total - distinct
+    want_uq = n - distinct_ids
+    assert rep["not_null(id)"] == (want_nn, n, want_nn == 0)
+    assert rep["in_range(v,0,100)"] == (want_ir, n, want_ir == 0)
+    assert rep["accepted_values(name)"] == (want_av, n, want_av == 0)
+    assert rep["unique(id)"] == (want_uq, n, want_uq == 0)
