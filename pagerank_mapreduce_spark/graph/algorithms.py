@@ -902,6 +902,15 @@ def scc(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
     by the condensation's depth — the same multi-round regime as
     cc_star, job-latency-bound at toy scale and data-bound at real
     scale.
+
+    Honest worst case: a DAG that is one long path yields one root
+    per outer round (color floods to the global min, only the min is
+    a root), i.e. O(n) rounds — the known weakness of every
+    coloring/FW-BW variant. Production SCC on adversarial
+    condensations layers trimming (iterated removal of in/out-degree-0
+    vertices) and contraction on top; real web/social graphs resolve
+    in a handful of rounds (the sf fixtures: 1-3), so those layers
+    are documented rather than built.
     """
     e0 = (
         edges.filter(F.col("src") != F.col("dst"))
