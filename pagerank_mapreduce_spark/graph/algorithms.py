@@ -1047,3 +1047,71 @@ def scc_oracle_sql(edges_sql: str) -> str:
         SELECT a.u, a.v AS m
         FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
       ) GROUP BY u"""
+
+
+# ---------------------------------------------- rectangle (C4) count
+
+
+def rectangles(edges: DataFrame) -> DataFrame:
+    """Global 4-cycle (rectangle/butterfly) count — the next motif up
+    from :func:`triangles`, the workhorse of bipartite cohesion
+    analysis. Returns ONE row (n_rectangles, n_copaired).
+
+    Counting identity: every 4-cycle has two diagonal (opposite-
+    corner) pairs; a pair (u, v) with ``cd`` common neighbors closes
+    ``C(cd, 2)`` cycles through them, so
+    ``n_rectangles = sum_pairs C(cd, 2) / 2`` (non-induced count:
+    a chord does not disqualify the cycle). ``n_copaired`` = pairs
+    with cd >= 2. All-integer arithmetic — no float parity concerns.
+
+    Scale: one wedge self-join shuffled on the center vertex (the
+    same exchange-reuse shape as triangles, pinned there) + one
+    algebraic count keyed by the pair. Wedge volume is sum(deg²),
+    hub-dominated on power-law graphs — production butterfly
+    counters add the degree-ordered orientation exactly as
+    :func:`triangles` does; at the fixture's bounded degrees the
+    plain formulation is the clearer spec and the oracle's mirror.
+    """
+    und = edge_upper(edges)
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    wd = (
+        x.join(
+            y,
+            (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n")),
+        )
+        .groupBy(F.col("x.n").alias("u"), F.col("y.n").alias("v"))
+        .agg(F.count("*").alias("cd"))
+    )
+    return wd.agg(
+        (
+            F.sum(
+                F.expr("(cd * (cd - 1)) div 2")
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("n_rectangles"),
+        F.sum((F.col("cd") >= 2).cast("long")).alias("n_copaired"),
+    )
+
+
+def rectangles_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`rectangles` — same identity, integer
+    division throughout, HUGEINT sums cast back to BIGINT."""
+    return f"""
+      WITH ed AS ({edges_sql}),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM ed WHERE src <> dst),
+      adj AS (SELECT a AS w, b AS n FROM und
+              UNION ALL SELECT b, a FROM und),
+      wd AS (SELECT x.n AS u, y.n AS v, count(*) AS cd
+             FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+             GROUP BY x.n, y.n)
+      SELECT CAST(CAST(sum((cd * (cd - 1)) // 2) AS BIGINT) // 2
+                  AS BIGINT) AS n_rectangles,
+             CAST(sum(CASE WHEN cd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_copaired
+      FROM wd"""

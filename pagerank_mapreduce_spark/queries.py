@@ -4713,6 +4713,24 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
+# ========================== rectangle (C4) counting (round 7)
+
+
+def _rect_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import rectangles_sql
+
+    return rectangles_sql(_EDGES_SQL)
+
+
+@_q("graph_rectangles", _rect_oracle())
+def q_graph_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-cycle/butterfly count via diagonal-pair codegrees — the motif
+    # one up from tri_find, all-integer arithmetic
+    from pagerank_mapreduce_spark.graph.algorithms import rectangles
+
+    return rectangles(derive_edges(spark, sf_dir, N_GRAPH))
+
+
 # ================= strongly connected components (round 7)
 
 

@@ -440,3 +440,30 @@ def test_scc_oracle_agrees_on_fixture_pairs(spark):
     got = dict(duckdb.connect().execute(sql).fetchall())
     want = {r.id: r.scc for r in GA.scc(_edges(spark, PAIRS)).collect()}
     assert got == want
+
+
+def test_rectangles_known_shapes(spark):
+    # one square
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    (row,) = GA.rectangles(_edges(spark, sq)).collect()
+    assert (row.n_rectangles, row.n_copaired) == (1, 2)
+    # K4: 3 distinct 4-cycles, every one of the 6 pairs co-paired
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    (row,) = GA.rectangles(_edges(spark, k4)).collect()
+    assert row.n_rectangles == 3
+    assert row.n_copaired == 6
+    # a triangle has none; chords do not create rectangles
+    (row,) = GA.rectangles(_edges(spark, [(0, 1), (1, 2), (2, 0)])).collect()
+    assert row.n_rectangles == 0
+    # diamond (two triangles sharing an edge): one non-induced C4
+    dia = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+    (row,) = GA.rectangles(_edges(spark, dia)).collect()
+    assert row.n_rectangles == 1
+
+
+def test_rectangles_direction_dup_selfloop_insensitive(spark):
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    noisy = sq + [(1, 0), (2, 2), (0, 1)]
+    (a,) = GA.rectangles(_edges(spark, sq)).collect()
+    (b,) = GA.rectangles(_edges(spark, noisy)).collect()
+    assert tuple(a) == tuple(b)
