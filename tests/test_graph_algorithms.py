@@ -467,3 +467,78 @@ def test_rectangles_direction_dup_selfloop_insensitive(spark):
     (a,) = GA.rectangles(_edges(spark, sq)).collect()
     (b,) = GA.rectangles(_edges(spark, noisy)).collect()
     assert tuple(a) == tuple(b)
+
+
+def test_scc_randomized_against_tarjan(spark):
+    # random sparse digraphs vs an iterative Tarjan ground truth
+    import random
+
+    def tarjan_sccs(n, edge_set):
+        adj = {v: [] for v in range(n)}
+        for s, d in edge_set:
+            adj[s].append(d)
+        index = {}
+        low = {}
+        on_stack = set()
+        stack = []
+        result = {}
+        counter = [0]
+        for root in range(n):
+            if root in index:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recurse = False
+                for i in range(pi, len(adj[v])):
+                    w = adj[v][i]
+                    if w not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    elif w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    rep = min(comp)
+                    for w in comp:
+                        result[w] = rep
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+        return result
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 30
+        edge_set = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(55)
+        }
+        edge_set = {(s, d) for s, d in edge_set if s != d}
+        want_all = tarjan_sccs(n, edge_set)
+        # GA.scc covers edge-endpoint vertices only
+        endpoints = {v for e in edge_set for v in e}
+        want = {v: c for v, c in want_all.items() if v in endpoints}
+        # representatives must be recomputed within the endpoint set
+        # (Tarjan's rep is already the min member, all members are
+        # endpoints whenever any edge touches the SCC)
+        got = {
+            r.id: r.scc
+            for r in GA.scc(_edges(spark, sorted(edge_set))).collect()
+        }
+        assert got == want, f"trial {trial}"
