@@ -36,6 +36,7 @@ __all__ = [
     "bloom_positions",
     "bloom_build",
     "bloom_maybe_contains",
+    "fm_distinct_estimate",
 ]
 
 
@@ -136,3 +137,75 @@ def bloom_maybe_contains(
         .agg(F.max(F.col("pos").isNull()).alias("_miss"))
     )
     return hit.filter(~F.col("_miss")).drop("_miss")
+
+
+# --------------------------- portable distinct sketch (PCSA / FM)
+
+
+def _fm_bucket_rank(key: Column, buckets: int):
+    """(bucket, rank) of a key under the portable md5 convention:
+    bucket = md5_16(key) % buckets; rank = 1 + trailing zeros of the
+    NEXT 32 md5 bits (33 when zero). log2(x & -x) is exact on the
+    power-of-two it receives, so the rank is integer-identical in
+    every engine."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % buckets
+    x = F.conv(F.substring(h, 5, 8), 16, 10).cast("bigint")
+    rank = F.when(x == 0, F.lit(33)).otherwise(
+        (F.log2((x.bitwiseAND(-x)).cast("double")) + 1.0).cast("int")
+    )
+    return bucket, rank
+
+
+def fm_distinct_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    buckets: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group approximate distinct count — textbook Flajolet-Martin
+    PCSA (probabilistic counting with stochastic averaging): each
+    bucket keeps the OR-bitmap of observed ranks; ``R_b`` is the
+    position of the bucket's lowest UNSET bit;
+    ``est = buckets / 0.77351 * 2^(sum R_b / buckets)``.
+
+    The PORTABLE twin of ``approx_count_distinct``: Spark's HLL
+    internals are engine-private (that catalog entry is irreducibly
+    rows-only), but this sketch's md5/bit arithmetic replays
+    bit-for-bit in any engine, so the ESTIMATE itself — bias and all
+    — is oracle-checkable (exact counts ride alongside in the catalog
+    query, keeping the error visible). Same merge algebra as HLL
+    (per-bucket OR), so it shards/combines map-side like any
+    algebraic aggregate; the state is ``buckets`` bigints per group.
+    An empty bucket's bitmap is 0 → R_b = 0, so present-bucket sums
+    already equal dense sums.
+    """
+    bucket, rank = _fm_bucket_rank(F.col(key_col), buckets)
+    per_bucket = (
+        df.select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
+        # the DataFrame-API shiftleft wants a literal shift; the SQL
+        # form takes a column
+        .withColumn("_bit", F.expr("shiftleft(CAST(1 AS BIGINT), _r - 1)"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.bit_or("_bit").alias("_bm"))
+    )
+    # lowest unset bit of the bitmap: (~bm) & (bm + 1) is that bit's
+    # power of two; log2 of it is exact
+    low_unset = F.bitwise_not(F.col("_bm")).bitwiseAND(F.col("_bm") + 1)
+    r_b = F.log2(low_unset.cast("double")).cast("int")
+    return (
+        per_bucket.select(*group_cols, r_b.alias("_r"))
+        .groupBy(*group_cols)
+        .agg(
+            F.round(
+                F.lit(buckets)
+                / 0.77351
+                * F.pow(
+                    2.0,
+                    F.sum("_r").cast("double") / F.lit(float(buckets)),
+                ),
+                round_digits,
+            ).alias("est")
+        )
+    )

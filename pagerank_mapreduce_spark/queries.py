@@ -5934,6 +5934,56 @@ def q_rel_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ================ portable distinct sketch (FM/LogLog, round 7)
+
+
+@_q(
+    "rel_fm_distinct",
+    """WITH h AS (SELECT event_type,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) % 64 AS b,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                       5, 8)) AS BIGINT) AS x
+          FROM events),
+       r AS (SELECT event_type, b,
+                    CASE WHEN x = 0 THEN 33
+                         ELSE CAST(log2(CAST((x & -x) AS DOUBLE)) + 1.0
+                                   AS INTEGER) END AS rk
+             FROM h),
+       mb AS (SELECT event_type, b,
+                     bit_or(CAST(1 AS BIGINT) << (rk - 1)) AS bm
+              FROM r GROUP BY event_type, b),
+       rb AS (SELECT event_type,
+                     CAST(log2(CAST((~bm) & (bm + 1) AS DOUBLE))
+                          AS INTEGER) AS rr
+              FROM mb),
+       est AS (SELECT event_type,
+                      round(64 / 0.77351
+                            * power(2.0, CAST(sum(rr) AS DOUBLE) / 64.0),
+                            4) AS est
+               FROM rb GROUP BY event_type),
+       ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_n
+              FROM events GROUP BY event_type)
+       SELECT e.event_type, e.est, x.exact_n
+       FROM est e JOIN ex x USING (event_type)""",
+)
+def q_rel_fm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the portable twin of rel_approx_count_distinct: Spark's HLL is
+    # engine-private (that entry stays rows-only), but this FM/LogLog
+    # sketch's md5 arithmetic replays exactly — the ESTIMATE itself is
+    # hash-checked, bias and all, with exact counts alongside
+    from pagerank_mapreduce_spark.operators.sketches import (
+        fm_distinct_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = fm_distinct_estimate(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_n")
+    )
+    return est.join(exact, "event_type").select("event_type", "est", "exact_n")
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the

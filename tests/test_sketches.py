@@ -59,3 +59,22 @@ def test_bloom_no_false_negatives_and_dedup(spark):
     # absent keys may only appear as (rare, deterministic) false
     # positives — sanity: not everything passes
     assert len(got) < 21
+
+
+def test_fm_distinct_reasonable_and_duplicate_insensitive(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.sketches import (
+        fm_distinct_estimate,
+    )
+
+    # 500 distinct keys, each duplicated 4x: the estimate must ignore
+    # multiplicity entirely (bit-identical with and without dups) and
+    # land within the sketch's coarse error envelope
+    base = [(1, i) for i in range(500)]
+    df1 = spark.createDataFrame(base, "g int, k bigint")
+    df4 = spark.createDataFrame(base * 4, "g int, k bigint")
+    (e1,) = fm_distinct_estimate(df1, ["g"], "k").collect()
+    (e4,) = fm_distinct_estimate(df4, ["g"], "k").collect()
+    assert e1.est == e4.est
+    assert 150 < e1.est < 1500  # deterministic, checked once forever
