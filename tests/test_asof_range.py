@@ -525,3 +525,73 @@ def test_resample_interpolate_same_instant_ties_use_last(spark):
     }
     assert out[1] == 9.0  # exact instant takes the tiebreak-last value
     assert out[2] == 19.0
+
+
+def test_asof_randomized_against_python_model(spark):
+    # fuzz all three directions (+ tolerance) against a brute-force
+    # Python model on random second-granularity series with same-
+    # instant ties and keys missing from either side
+    import random
+
+    rng = random.Random(29)
+    for trial in range(3):
+        left = [
+            (rng.randrange(5), datetime(2026, 1, 1, 0, 0, rng.randrange(60)), i)
+            for i in range(40)
+        ]
+        right = [
+            (rng.randrange(6), datetime(2026, 1, 1, 0, 0, rng.randrange(60)),
+             float(rng.randrange(1000)))
+            for _ in range(40)
+        ]
+        ldf = spark.createDataFrame(left, "user_id bigint, ts timestamp, lid bigint")
+        rdf = spark.createDataFrame(right, "user_id bigint, ts timestamp, value double")
+
+        # pre-reduce ties like the operator: one row per (key, ts),
+        # max payload struct
+        best = {}
+        for k, t, v in right:
+            cur = best.get((k, t))
+            if cur is None or v > cur:
+                best[(k, t)] = v
+        rr = [(k, t, v) for (k, t), v in best.items()]
+
+        def model(direction, tolerance=None):
+            out = {}
+            for k, t, lid in left:
+                cands = []
+                for k2, t2, v in rr:
+                    if k2 != k:
+                        continue
+                    dt = (t2 - t).total_seconds()
+                    if direction == "backward" and t2 <= t:
+                        cands.append((t2, v))
+                    elif direction == "forward" and t2 >= t:
+                        cands.append((t2, v))
+                    elif direction == "nearest":
+                        cands.append((abs(dt), 0 if t2 <= t else 1, t2, v))
+                if not cands:
+                    out[lid] = None
+                    continue
+                if direction == "backward":
+                    t2, v = max(cands)
+                elif direction == "forward":
+                    t2, v = min(cands)
+                else:
+                    _, _, t2, v = min(cands)
+                if tolerance is not None and abs((t2 - t).total_seconds()) > tolerance:
+                    v = None
+                out[lid] = v
+            return out
+
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r["lid"]: r["r_value"]
+                for r in asof_join(ldf, rdf, direction=direction).collect()
+            }
+            assert got == model(direction), (trial, direction)
+        got = {
+            r["lid"]: r["r_value"]
+            for r in asof_join(ldf, rdf, tolerance=5.0).collect()
+        }
+        assert got == model("backward", tolerance=5.0), (trial, "tolerance")
