@@ -5984,6 +5984,72 @@ def q_rel_fm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select("event_type", "est", "exact_n")
 
 
+# ================== grouping_id / week-over-week (round 7)
+
+
+@_q(
+    "rel_grouping_id",
+    # GROUPING() disambiguates "NULL because aggregated away" from
+    # "NULL in the data" — the part of grouping-sets semantics the
+    # rollup/cube entries don't pin
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+              CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+              count(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())""",
+)
+def q_rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                  count(*) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())"""
+    )
+
+
+@_q(
+    "ts_week_over_week",
+    """WITH wk AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                         round(sum(value), 6) AS revenue
+                  FROM events WHERE value IS NOT NULL
+                  GROUP BY CAST(date_trunc('week', ts) AS DATE)),
+       lagd AS (SELECT week, revenue,
+                       lag(revenue) OVER (ORDER BY week) AS prev
+                FROM wk)
+       SELECT week, revenue,
+              round(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                    ELSE (revenue - prev) / prev END, 6) AS wow
+       FROM lagd""",
+)
+def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the BI staple: weekly totals + week-over-week relative change;
+    # the lag rides one tiny single-partition window over the handful
+    # of week rows, never the raw events
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wk = ev.groupBy(
+        F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    w = Window.orderBy("week")
+    return wk.withColumn("prev", F.lag("revenue").over(w)).select(
+        "week",
+        "revenue",
+        F.round(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") == 0), F.lit(None)
+            ).otherwise((F.col("revenue") - F.col("prev")) / F.col("prev")),
+            6,
+        ).alias("wow"),
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
