@@ -934,6 +934,7 @@ def scc(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
                 break
             # 1. forward min-label fixed point
             c = V.select("id", F.col("id").alias("c"))
+            changed = 0
             for _ in range(max_iterations):
                 upd = (
                     c.alias("s")
@@ -962,6 +963,15 @@ def scc(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
                 c = c2.select("id", "c")
                 if not changed:
                     break
+            if changed:
+                # an unconverged coloring could assign two different
+                # colors inside one SCC and silently split it across
+                # outer rounds — refuse to emit a wrong labeling
+                raise RuntimeError(
+                    "scc: forward coloring did not converge within "
+                    f"max_iterations={max_iterations}; raise the bound "
+                    "(rounds are bounded by the remaining diameter)"
+                )
             # 2. backward confirmation within color classes
             st = c.select("id", "c", (F.col("id") == F.col("c")).alias("m"))
             st = st.localCheckpoint()
@@ -1018,6 +1028,16 @@ def scc(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
             )
             if V.rdd.isEmpty():
                 break
+        else:
+            # the for-loop exhausted without the break: vertices remain
+            # unemitted, so the labeling would be PARTIAL — refuse
+            raise RuntimeError(
+                "scc: outer loop exhausted with unemitted vertices "
+                f"after max_iterations={max_iterations} rounds; the "
+                "condensation is deeper than the bound (adversarial "
+                "path-like DAGs need O(n) rounds — raise the bound or "
+                "pre-trim degree-0 vertices)"
+            )
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
@@ -1085,13 +1105,12 @@ def rectangles(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("x.n").alias("u"), F.col("y.n").alias("v"))
         .agg(F.count("*").alias("cd"))
     )
+    # integer division on the summed value too (not float `/ 2` then
+    # cast): the per-pair sum is always even, but above 2^53 a double
+    # division loses exactness and the truncating cast could disagree
+    # with the oracle's all-integer arithmetic
     return wd.agg(
-        (
-            F.sum(
-                F.expr("(cd * (cd - 1)) div 2")
-            )
-            / 2
-        )
+        F.expr("sum((cd * (cd - 1)) div 2) div 2")
         .cast("bigint")
         .alias("n_rectangles"),
         F.sum((F.col("cd") >= 2).cast("long")).alias("n_copaired"),

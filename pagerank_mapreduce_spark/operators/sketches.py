@@ -41,7 +41,13 @@ __all__ = [
 
 
 def cms_bucket(key: Column, row: Column, width: int) -> Column:
-    """Portable bucket hash: md5_16('row:key') % width."""
+    """Portable bucket hash: md5_16('row:key') % width.
+
+    NULL keys must be filtered BEFORE hashing (every entry point in
+    this module does): ``concat_ws`` skips NULL arguments, so a NULL
+    key would hash as just the row prefix here while an oracle's
+    ``concat(row, ':', CAST(key AS VARCHAR))`` yields ``'row:'`` —
+    silently different md5 inputs and divergent sketch contents."""
     h = F.md5(F.concat_ws(":", row.cast("string"), key.cast("string")))
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % width
 
@@ -55,7 +61,8 @@ def cms_build(
         F.sequence(F.lit(0), F.lit(depth - 1))
     ).alias("row")
     return (
-        df.select(F.col(key_col).alias("_k"), rows)
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), rows)
         .select("row", cms_bucket(F.col("_k"), F.col("row"), width).alias("bucket"))
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("c"))
@@ -71,7 +78,9 @@ def cms_estimate(
     an empty counter estimate 0 (possible only for keys absent from
     the build)."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    pb = probes.select(F.col(key_col), rows).select(
+    pb = probes.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col), rows
+    ).select(
         key_col,
         "row",
         cms_bucket(F.col(key_col), F.col("row"), width).alias("bucket"),
@@ -105,9 +114,11 @@ def bloom_positions(key: Column, k: int = 3, bits: int = 1024) -> Column:
 def bloom_build(
     df: DataFrame, key_col: str, k: int = 3, bits: int = 1024
 ) -> DataFrame:
-    """Occupied-position relation (pos) of the build side's keys."""
+    """Occupied-position relation (pos) of the build side's keys.
+    NULL keys carry no membership information and are excluded."""
     return (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.explode(bloom_positions(F.col(key_col), k, bits)).alias("pos")
         )
         .distinct()
@@ -125,7 +136,7 @@ def bloom_maybe_contains(
     ("maybe present"; absent keys pass only as false positives).
     Duplicate probe rows collapse (set semantics). The filter
     relation broadcasts; the probe side never shuffles."""
-    pp = probes.withColumn(
+    pp = probes.filter(F.col(key_col).isNotNull()).withColumn(
         "_pos", F.explode(bloom_positions(F.col(key_col), k, bits))
     )
     # "all occupied" == no exploded position misses the filter — a
@@ -183,7 +194,8 @@ def fm_distinct_estimate(
     """
     bucket, rank = _fm_bucket_rank(F.col(key_col), buckets)
     per_bucket = (
-        df.select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
         # the DataFrame-API shiftleft wants a literal shift; the SQL
         # form takes a column
         .withColumn("_bit", F.expr("shiftleft(CAST(1 AS BIGINT), _r - 1)"))

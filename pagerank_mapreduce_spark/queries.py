@@ -1244,10 +1244,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM documents),
     ls1 AS (SELECT doc_id, line, count(*) AS cnt
             FROM lr GROUP BY doc_id, line),
-    ls AS (SELECT doc_id, sum(cnt) AS total_lines,
-                  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
-                  sum(cnt * length(line)) AS line_chars,
-                  sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+    ls AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_lines,
+                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                    AS dup_lines,
+                  CAST(sum(cnt * length(line)) AS BIGINT) AS line_chars,
+                  CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line)
+                                ELSE 0 END) AS BIGINT)
                     AS dup_line_chars
            FROM ls1 GROUP BY doc_id),
     t AS (SELECT doc_id,
@@ -2599,8 +2601,8 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
                    WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
                    ELSE 'slow' END AS ship_bucket,
-              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders, lineitem WHERE o_orderkey = l_orderkey
        GROUP BY 1""",
 )
@@ -5056,13 +5058,21 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows — extension surface, no reference counterpart.
 
 
-def _semdedup_oracle(n_clusters: int = 16, threshold: float = 0.4) -> str:
+def _semdedup_oracle(
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    max_cluster_size: int = 4096,
+) -> str:
     """Full SQL replay of the SemDeDup pipeline: sampled codebook
     (first ``n_clusters`` vectors), nearest-centroid assignment (ties
     → lowest cluster id, matching ``ivf_sampled_build``'s argmin),
-    in-cluster pair scoring, pairwise drop rule. Same honest-oracle
-    stance as ``_ivf_probe_oracle``: the *approximate* semantics are
-    checked exactly."""
+    hot-cluster cap (clusters over ``max_cluster_size`` are dropped
+    whole, replaying ``hot_bucket_guard`` — without this the oracle
+    would score pairs the engine refuses to explode, and parity would
+    break by construction the moment a fixture cluster exceeds the
+    cap), in-cluster pair scoring, pairwise drop rule. Same
+    honest-oracle stance as ``_ivf_probe_oracle``: the *approximate*
+    semantics are checked exactly."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_clusters}),
@@ -5071,7 +5081,10 @@ def _semdedup_oracle(n_clusters: int = 16, threshold: float = 0.4) -> str:
                                     ORDER BY list_distance(e.v, c.cv), c.cid)
                    AS rn
           FROM e CROSS JOIN c),
-    asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+    asg0 AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+    keepc AS (SELECT cid FROM asg0 GROUP BY cid
+              HAVING count(*) <= {max_cluster_size}),
+    asg AS (SELECT * FROM asg0 WHERE cid IN (SELECT cid FROM keepc)),
     p AS (SELECT x.vec_id AS a, y.vec_id AS b,
                  round(list_cosine_similarity(x.v, y.v), 8) AS cos
           FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id)
@@ -5783,8 +5796,10 @@ def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                              CAST(e.user_id AS VARCHAR))), 1, 4))
                            AS INTEGER) % 256 AS bucket,
                       count(*) AS c
-               FROM events e CROSS JOIN rws r GROUP BY 1, 2),
-       probes AS (SELECT DISTINCT user_id FROM events),
+               FROM events e CROSS JOIN rws r
+               WHERE e.user_id IS NOT NULL GROUP BY 1, 2),
+       probes AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
        est AS (SELECT p.user_id, min(coalesce(c.c, 0)) AS est
                FROM probes p CROSS JOIN rws r
                LEFT JOIN cnt c ON c.rw = r.rw
@@ -5817,14 +5832,16 @@ def q_rel_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "rel_bloom_prune",
-    """WITH neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+    """WITH neg AS (SELECT c_custkey FROM customer
+                    WHERE c_acctbal < 0 AND c_custkey IS NOT NULL),
        occ AS (SELECT DISTINCT
                  CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':',
                         CAST(c_custkey AS VARCHAR))), 1, 4))
                       AS INTEGER) % 1024 AS pos
                FROM neg CROSS JOIN
                     (SELECT unnest(generate_series(0, 2)) AS i)),
-       probes AS (SELECT DISTINCT o_custkey FROM orders),
+       probes AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_custkey IS NOT NULL),
        pp AS (SELECT p.o_custkey,
                      CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR),
                             ':', CAST(p.o_custkey AS VARCHAR))), 1, 4))
@@ -5944,7 +5961,7 @@ def q_rel_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
                        1, 4)) AS INTEGER) % 64 AS b,
                  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
                        5, 8)) AS BIGINT) AS x
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
        r AS (SELECT event_type, b,
                     CASE WHEN x = 0 THEN 33
                          ELSE CAST(log2(CAST((x & -x) AS DOUBLE)) + 1.0
@@ -6149,8 +6166,47 @@ _HASH_CHECKED_R06 = _DRIVER_CHECKED_R06 - {
     "mr_kv_stats_detail",
 }
 
-_DRIVER_CHECKED = _DRIVER_CHECKED_THROUGH_R04 | _DRIVER_CHECKED_R06
-_HASH_CHECKED = _HASH_CHECKED_THROUGH_R04 | _HASH_CHECKED_R06
+# The 50 names present in the committed CORRECTNESS_r07.json. All
+# hash-green except rel_q12_ship_priority, whose single red row was
+# verified (by hand, at the driver's sf0.01) to be an oracle TYPE
+# artifact: DuckDB types sum(CASE…1…0) as HUGEINT where Spark yields
+# BIGINT, so the value hash saw different representations of
+# numerically identical results. The oracle now CASTs both sums to
+# BIGINT; the entry stays out of _HASH_CHECKED_R07 so it re-enters
+# the window and earns a real hash verdict under the fixed oracle.
+_DRIVER_CHECKED_R07 = frozenset({
+    "graph_vertex_triangles", "graph_vertex_extract",
+    "graph_degree_weight", "graph_luby_mis", "graph_sssp",
+    "rel_q6_forecast_revenue", "rel_q10_returned_items",
+    "rel_q11_important_stock", "rel_q12_ship_priority",
+    "rel_q13_order_distribution", "rel_q14_promo_revenue",
+    "rel_q15_top_supplier", "rel_q17_small_qty_revenue",
+    "rel_q18_large_volume", "rel_q22_dormant_balance",
+    "rel_q3_shipping_priority", "rel_q8_market_share",
+    "rel_stratified_sample", "rel_train_test_split",
+    "rel_window_ntile_first", "rel_array_higher_order",
+    "rel_histogram", "rel_latest_by_key", "rel_profile_columns",
+    "sql_text_q4", "stream_asof_enrich", "stream_enrich_dim",
+    "mr_aggregate_colocate", "mr_collapse_global", "mr_gather_one",
+    "mr_map_iterate", "mr_reduce_blocks_sum", "mr_reduce_median",
+    "mr_scan_totals", "mr_sort_multivalues", "mr_sort_values_topk",
+    "dedup_exact_corpus", "text_cap_per_source", "text_chunks",
+    "text_decontaminate", "text_pack_sequences", "text_redact_pii",
+    "text_tfidf_top_terms", "ts_asof_bucketed", "ts_asof_nearest",
+    "ts_asof_tolerant", "ts_funnel_stages", "ts_range_click_purchase",
+    "ts_sessionize", "ts_time_rollup",
+})
+
+_HASH_CHECKED_R07 = _DRIVER_CHECKED_R07 - {
+    "rel_q12_ship_priority",
+}
+
+_DRIVER_CHECKED = (
+    _DRIVER_CHECKED_THROUGH_R04 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
+)
+_HASH_CHECKED = (
+    _HASH_CHECKED_THROUGH_R04 | _HASH_CHECKED_R06 | _HASH_CHECKED_R07
+)
 
 
 def _is_checked(name: str) -> bool:

@@ -98,18 +98,25 @@ def start_dedup_ingest(
     spark: SparkSession = seed_index.sparkSession
     schema = stream.schema
 
+    def _accepted_dir_exists() -> bool:
+        # existence probed EXPLICITLY through the Hadoop FileSystem
+        # API — classifying a read failure by exception-message
+        # substring ('PATH_NOT_FOUND' / 'Path does not exist') is
+        # version- and locale-fragile, and a differently-worded IO
+        # failure must NOT be misread as "first batch, empty index"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(accepted_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def _once(batch_df: DataFrame, batch_id: int) -> None:
         # only a MISSING accepted dir (first batch) may fall back to
-        # empty — a permission/IO failure must abort the batch, or
-        # the index silently shrinks and duplicates get re-admitted
-        from pyspark.errors import AnalysisException
-
-        try:
+        # empty — any failure while reading an EXISTING dir aborts
+        # the batch, or the index silently shrinks and duplicates get
+        # re-admitted
+        if _accepted_dir_exists():
             prior = spark.read.schema(schema).parquet(accepted_path)
-            prior.schema  # force path resolution
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+        else:
             prior = spark.createDataFrame([], schema)
         index = seed_index.select(id_col, text_col).unionByName(
             prior.select(id_col, text_col)
