@@ -71,6 +71,14 @@ BENCH_QUERIES = [
     "graph_node2vec",
     "rel_cms_user_counts",
     "graph_scc",
+    # round-8 additions: the remaining round-7 sketch/layout/quality
+    # entries, so regressions there stop being invisible
+    "rel_bloom_prune",
+    "rel_fm_distinct",
+    "rel_zorder_values",
+    "rel_expectations",
+    "ts_interpolate_hourly",
+    "ts_week_over_week",
 ]
 
 

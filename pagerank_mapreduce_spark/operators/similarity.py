@@ -144,11 +144,84 @@ def ivf_build(
     return assigned, centroids
 
 
+def assign_nearest_centroid(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+    assignment: str = "expr",
+) -> DataFrame:
+    """Append ``out_col`` = index of the nearest centroid (squared-L2
+    argmin, ties -> lowest index). Two modes, identical semantics:
+
+    - ``assignment="expr"`` (default): pure Catalyst expression — a
+      per-centroid fold of (x-y)² with first-minimum ``array_position``
+      argmin. Bit-for-bit replayable in the DuckDB oracles, which is
+      why the catalog entries pin THIS mode. Cost is O(N·k·dim)
+      *interpreted* higher-order-function evaluations: fine while the
+      codebook is small, but SemDeDup's N/k-constant regime grows k
+      with N, making assignment the measured O(N²) scale killer
+      (SCALE.md round-8 decade table: 10× data with 10× codebook went
+      13.7× in this mode).
+    - ``assignment="vectorized"``: Arrow-batched ``mapInPandas`` — per
+      batch one BLAS matmul, ``d² = |x|² - 2·X·Cᵀ + |c|²``, then
+      ``np.argmin`` (also first-minimum). The production mode: work
+      per row is a dim×k dot block at memory speed instead of k
+      interpreted folds. Not bit-replayable in SQL (BLAS summation
+      order differs from the sequential fold), but an assignment can
+      only flip where two centroid distances agree to within rounding
+      — measure-zero for real embeddings, and the expanded form is
+      exactly what FAISS computes. Equality with "expr" is asserted
+      on the fixtures in tests.
+
+    The centroid matrix broadcasts inside the closure (kilobytes——
+    same constant-size-codebook argument as ``ivf_build``); the input
+    never shuffles in either mode.
+    """
+    if assignment == "expr":
+        v = F.col(vec_col).cast("array<double>")
+        dists = F.transform(matrix_lit(centroids), lambda c: sqdist(v, c))
+        idx = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return embeddings.withColumn(out_col, idx)
+    if assignment != "vectorized":
+        raise ValueError(
+            f"assignment must be expr|vectorized, got {assignment!r}"
+        )
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    # fresh StructType — StructType.add MUTATES the receiver, and
+    # df.schema hands back the DataFrame's cached schema object;
+    # mutating it makes df.columns grow a phantom column that the
+    # JVM-side plan cannot resolve
+    schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField(out_col, IntegerType(), False)]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.array([], dtype="int32")
+                yield pdf
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmin(d2, axis=1).astype("int32")
+            yield pdf
+
+    return embeddings.mapInPandas(_assign, schema)
+
+
 def ivf_sampled_build(
     embeddings: DataFrame,
     n_lists: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assignment: str = "expr",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF build with a *sampled* codebook: the centroids are the
     vectors with the ``n_lists`` smallest ids (FAISS-style sampling
@@ -159,12 +232,14 @@ def ivf_sampled_build(
     ``_ivf_probe_oracle``). ``ivf_build`` (KMeans) stays the quality
     path; this is the auditable path sharing the same probe.
 
-    Assignment is a pure expression: squared L2 to each literal
-    centroid, argmin via array_position on the first minimum (ties →
-    lowest list id, matching the oracle's ORDER BY dist, cid). The
-    tiny ``collect`` fetches only the ``n_lists`` codebook rows —
-    codebook builds are inherently driver-side (KMeans does the
-    same for its cluster centers)."""
+    Assignment goes through :func:`assign_nearest_centroid` — the
+    default ``assignment="expr"`` mode is the oracle-replayable pure
+    expression (ties → lowest list id, matching the oracle's ORDER BY
+    dist, cid); ``assignment="vectorized"`` is the Arrow/BLAS
+    production mode for large codebooks. The tiny ``collect`` fetches
+    only the ``n_lists`` codebook rows — codebook builds are
+    inherently driver-side (KMeans does the same for its cluster
+    centers)."""
     rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col)
@@ -176,10 +251,9 @@ def ivf_sampled_build(
             f"ivf_sampled_build: {len(rows)} vectors < n_lists={n_lists}"
         )
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.transform(matrix_lit(centroids), lambda c: sqdist(v, c))
-    list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    assigned = embeddings.withColumn("list_id", list_id)
+    assigned = assign_nearest_centroid(
+        embeddings, centroids, vec_col, "list_id", assignment
+    )
     return assigned, centroids
 
 
@@ -284,6 +358,7 @@ def semdedup(
     id_col: str = "vec_id",
     max_cluster_size: int | None = 4096,
     codebook: str = "sampled",
+    assignment: str = "expr",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     the embedding space, then drop near-duplicates *within* each
@@ -314,7 +389,15 @@ def semdedup(
     per cluster); ``max_cluster_size`` is the same capped-bucket
     guard as every other pair generator (``hot_bucket_guard`` —
     oversize clusters are dropped whole with an observe() metric
-    rather than exploding quadratically).
+    rather than exploding quadratically). With k ∝ N the
+    nearest-centroid assignment is O(N·k) = O(N²) total work, so at
+    scale pass ``assignment="vectorized"`` (BLAS-batched
+    ``mapInPandas``, see :func:`assign_nearest_centroid`) — the
+    round-8 decade measurement (SCALE.md) has the expression mode
+    going 13.7× on a 10×-data/10×-codebook step and the vectorized
+    mode restoring the ~linear trend. The default stays "expr"
+    because that mode replays bit-for-bit in the catalog's DuckDB
+    oracle.
 
     No reference counterpart — training-data-pipeline extension.
     """
@@ -325,7 +408,11 @@ def semdedup(
 
     if codebook == "sampled":
         assigned, _ = ivf_sampled_build(
-            embeddings, n_lists=n_clusters, vec_col=vec_col, id_col=id_col
+            embeddings,
+            n_lists=n_clusters,
+            vec_col=vec_col,
+            id_col=id_col,
+            assignment=assignment,
         )
     elif codebook == "kmeans":
         assigned, _ = ivf_build(

@@ -143,6 +143,43 @@ def test_ivf_sampled_full_probe_equals_bruteforce(spark, sf_dir):
     assert own == 3
 
 
+def test_assignment_vectorized_equals_expr(spark, sf_dir):
+    # the BLAS-batched production assignment must agree row-for-row
+    # with the oracle-replayable expression mode (same squared-L2
+    # argmin, same first-minimum tie-break); a flip would need two
+    # centroid distances equal to within summation-order rounding
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a_expr, cb1 = S.ivf_sampled_build(emb, n_lists=8, assignment="expr")
+    a_vec, cb2 = S.ivf_sampled_build(emb, n_lists=8, assignment="vectorized")
+    assert cb1 == cb2
+    x = sorted((r["vec_id"], r["list_id"]) for r in a_expr.collect())
+    y = sorted((r["vec_id"], r["list_id"]) for r in a_vec.collect())
+    assert x == y
+    # the whole semdedup pipeline agrees too (drop decisions included)
+    d_expr = sorted(map(tuple, S.semdedup(emb, n_clusters=8, threshold=0.4).collect()))
+    d_vec = sorted(
+        map(
+            tuple,
+            S.semdedup(
+                emb, n_clusters=8, threshold=0.4, assignment="vectorized"
+            ).collect(),
+        )
+    )
+    assert d_expr == d_vec
+
+
+def test_assignment_rejects_unknown_mode(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="expr|vectorized"):
+        S.assign_nearest_centroid(
+            emb, [[1.0, 0.0]], assignment="nope"
+        ).collect()
+
+
 def test_ivf_kmeans_narrow_probe_recall_floor(spark, sf_dir):
     # sim_ivf_kmeans_topk can never have an exact oracle (learned
     # codebook), so pin its approximate regime instead: at
