@@ -213,6 +213,78 @@ def sample_frames(
     )
 
 
+# ----------------------- perceptual near-dup (average hash, r8)
+
+
+def ahash_from_feature(feature: Column, dim: int = 8) -> Column:
+    """Average-hash (aHash) of a decoded feature vector: bit ``i`` is
+    set iff element ``i`` strictly exceeds the vector mean. The
+    classic perceptual image fingerprint (dHash/pHash siblings share
+    the shape) — two images resize/recompress to the same aHash far
+    more often than to the same byte hash.
+
+    All INTEGER arithmetic: elements are re-quantized to their byte
+    values (``round(f·255)`` — exact for features produced as
+    ``byte/255`` at any float width) and the comparison is
+    ``q_i · dim > Σq``, so the hash replays bit-for-bit in the DuckDB
+    oracle with no float-threshold fragility. Pure expressions, no
+    Python boundary."""
+    q = F.transform(feature, lambda f: F.round(f * 255).cast("int"))
+    s = F.aggregate(q, F.lit(0), lambda acc, x: acc + x)
+    bits = F.transform(
+        q,
+        lambda x, i: F.when(
+            x * dim > s, F.pow(F.lit(2.0), i.cast("double")).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+
+
+def ahash_near_dups(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] | str | None = "auto",
+    dim: int = 8,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Perceptual near-duplicate candidates: decode → aHash → pair
+    ids sharing the exact hash. Output ``(a, b, ahash)``, a < b.
+
+    The scale shape is the house capped-bucket candidate generator
+    (same as MinHash/SimHash/embedding LSH): hashes are the buckets,
+    pairs explode in-bucket only — never a cross join — and
+    ``max_bucket_size`` drops degenerate hash cliques whole with an
+    ``observe`` metric (a monochrome-thumbnail clique at 100 TB is an
+    executor OOM otherwise). Rows that fail decode are excluded (they
+    have no perceptual content to compare).
+
+    Hamming-adjacent probing (distance ≤ k) composes on top by
+    exploding each id into its k-bit-flip neighbor hashes before the
+    group — left to the caller because it multiplies candidate volume
+    by ``dim`` per flipped bit."""
+    from pagerank_mapreduce_spark.operators.dedup import (
+        explode_member_pairs,
+        hot_bucket_guard,
+    )
+
+    feats = extract_features(media, decoder)
+    hashed = feats.filter(F.col("decode_ok")).select(
+        "media_id", ahash_from_feature(F.col("feature"), dim).alias("ahash")
+    )
+    members = (
+        hashed.groupBy("ahash")
+        .agg(F.array_sort(F.collect_list("media_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    members = hot_bucket_guard(members, max_bucket_size, "ids")
+    return explode_member_pairs(
+        members,
+        "ids",
+        pair_builder=lambda x, y: F.struct(
+            x.alias("a"), y.alias("b"), F.col("ahash").alias("ahash")
+        ),
+    )
+
+
 # ------------------------- header metadata, pure expressions (r7)
 # Real decode needs PIL/libav (auto-selected when present, stubbed
 # otherwise — see _resolve_decoder). Container HEADERS do not: the

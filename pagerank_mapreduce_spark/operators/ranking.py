@@ -33,7 +33,13 @@ from pyspark.sql.window import Window
 
 from pagerank_mapreduce_spark.functions import text as T
 
-__all__ = ["tfidf_topk", "bm25_score", "bigram_lm_score", "nb_classify"]
+__all__ = [
+    "tfidf_topk",
+    "tfidf_cosine_pairs",
+    "bm25_score",
+    "bigram_lm_score",
+    "nb_classify",
+]
 
 
 def _n_docs(docs: DataFrame, id_col: str) -> DataFrame:
@@ -82,6 +88,83 @@ def tfidf_topk(
         Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     )
     return w.withColumn("rk", rk).filter(F.col("rk") <= k).drop("rk")
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine ≥ ``threshold`` — the
+    lexical-semantic near-dup signal between byte-exact dedup and
+    embedding SemDeDup (two docs rewriting the same content share
+    weighted vocabulary long after their shingles diverge). Output
+    ``(a, b, cos)``, a < b, cosine over the smoothed-TF-IDF vectors
+    restricted to terms with ``df <= max_df``.
+
+    The scale story is df-pruning (Bayardo et al., *Scaling Up All
+    Pairs Similarity Search*): the candidate generator is an
+    inverted-index self-join on the term, and a term appearing in
+    ``df`` documents emits ``df·(df-1)/2`` partial products — one
+    stop-word is a quadratic hot key at corpus scale. Terms with
+    ``df > max_df`` are excluded from the VECTORS (not just the
+    join), so the pruned cosine is exactly replayable; terms with
+    ``df = 1`` stay in the vectors/norms but skip the join (they
+    cannot contribute to any pair's dot product — identical result,
+    and on heavy-tail corpora they are most of the vocabulary).
+    Everything else is two algebraic aggregations (term counts, pair
+    dots) and two id-keyed norm joins — no cross join anywhere; the
+    worst per-term fan-out is bounded at ``max_df²`` by construction.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfr.filter(F.col("df") <= max_df), "term")
+        .crossJoin(_n_docs(docs, id_col))
+        .select(
+            F.col(id_col),
+            "term",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    joinable = w.filter(F.col("df") >= 2)
+    x = joinable.select(
+        F.col("term"), F.col(id_col).alias("a"), F.col("w").alias("wa")
+    )
+    y = joinable.select(
+        F.col("term"), F.col(id_col).alias("b"), F.col("w").alias("wb")
+    )
+    dots = (
+        x.join(y, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("na") * F.col("nb")), round_digits
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("a"), F.col("nrm").alias("na")), "a")
+        .join(norms.select(F.col(id_col).alias("b"), F.col("nrm").alias("nb")), "b")
+        .select("a", "b", cos.alias("cos"))
+        # threshold on the ROUNDED value so a last-ulp summation-order
+        # difference cannot flip membership cross-engine
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def bm25_score(

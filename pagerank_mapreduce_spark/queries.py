@@ -614,11 +614,29 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("rel_approx_count_distinct", None)  # approximate — no exact oracle
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # HLL++-based; rows-only check. rel_distinct_agg is the exact twin.
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    # HLL++-based; the sketch internals are engine-private so the
+    # ESTIMATE can never have a cross-engine oracle (rel_fm_distinct
+    # is the portable twin that can). Strengthened rows-only contract:
+    # the exact count rides alongside and `within_envelope` asserts
+    # the estimate inside 5× the requested rsd (0.01 → ±5%) — a
+    # broken HLL shows up as a visible false, not a silent wrong
+    # number (tests/test_approx_aggregates.py pins it true).
+    li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    rel_err = F.abs(
+        F.col("approx_parts").cast("double") - F.col("exact_parts")
+    ) / F.col("exact_parts")
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "approx_parts",
+        "exact_parts",
+        F.round(rel_err, 6).alias("rel_err"),
+        (rel_err <= 0.05).alias("within_envelope"),
     )
 
 
@@ -1179,8 +1197,27 @@ def q_mr_map_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("mr_kv_stats_detail", None)  # partition layout varies → rows-only
 def q_mr_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # kv_stats per-processor histogram (src/mapreduce.cpp:2845-2913)
-    return M.kv_stats(_t(spark, sf_dir, "lineitem"))
+    # kv_stats per-processor histogram (src/mapreduce.cpp:2845-2913).
+    # The histogram depends on the physical partition layout, so no
+    # cross-engine oracle can exist; strengthened rows-only contract:
+    # conservation invariants ride in the row itself — the histogram
+    # must account for every pair of an INDEPENDENT exact count, and
+    # min/max must bound the mean (tests pin `conserved` true).
+    li = _t(spark, sf_dir, "lineitem")
+    stats = M.kv_stats(li)
+    exact = li.agg(F.count("*").alias("exact_pairs"))
+    conserved = (
+        (F.col("total_pairs") == F.col("exact_pairs"))
+        & (F.col("min_pairs") * F.col("partitions") <= F.col("total_pairs"))
+        & (F.col("max_pairs") * F.col("partitions") >= F.col("total_pairs"))
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        "total_pairs",
+        "partitions",
+        "min_pairs",
+        "max_pairs",
+        conserved.alias("conserved"),
+    )
 
 
 @_q(
@@ -1491,6 +1528,41 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(media, every_n=10, decoder="fake").select(
         "media_id", "frame_no"
     )
+
+
+@_q(
+    "mm_ahash_near_dups",
+    # full replay of the perceptual pipeline: sha256-fake decode →
+    # byte re-quantization → integer-arithmetic average hash →
+    # in-bucket pairs, hot buckets (> 512 members) dropped whole
+    # exactly as hot_bucket_guard does
+    """WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx
+                  FROM documents),
+       q AS (SELECT media_id,
+                    list_transform(range(0, 8),
+                      i -> CAST(concat('0x', substr(hx, 2*i + 1, 2))
+                                AS INTEGER)) AS q
+             FROM m),
+       h AS (SELECT media_id, q, list_sum(q) AS s FROM q),
+       a AS (SELECT media_id,
+                    CAST(list_sum(list_transform(range(0, 8),
+                      i -> CASE WHEN q[i+1] * 8 > s THEN 1 << i
+                                ELSE 0 END)) AS INTEGER) AS ahash
+             FROM h),
+       keep AS (SELECT ahash FROM a GROUP BY ahash
+                HAVING count(*) BETWEEN 2 AND 512)
+       SELECT x.media_id AS a, y.media_id AS b, x.ahash
+       FROM a x JOIN a y ON x.ahash = y.ahash AND x.media_id < y.media_id
+       WHERE x.ahash IN (SELECT ahash FROM keep)""",
+)
+def q_mm_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual (average-hash) near-duplicate candidates over the
+    # binary media pipeline: decode via the pinned deterministic fake
+    # (see q_mm_features for why not "auto"), integer-quantized aHash,
+    # capped in-bucket pairs — the multimodal face of the MinHash/
+    # SimHash candidate-generator family
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    return MM.ahash_near_dups(media, decoder="fake").orderBy("a", "b")
 
 
 # ============================================== relational (cont.)
@@ -2789,6 +2861,49 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ============================================ text track: tf-idf
+
+
+@_q(
+    "text_tfidf_cosine_pairs",
+    # full replay of the df-pruned all-pairs cosine: smoothed TF-IDF
+    # weights over terms with df <= 100, norms over the pruned
+    # vectors, inverted-index pair dots (df >= 2 only — df = 1 terms
+    # cannot reach any pair), threshold on the ROUNDED cosine so a
+    # last-ulp summation-order difference cannot flip membership
+    f"""WITH {_TOKS_CTE},
+       tf AS (SELECT doc_id, w AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+              GROUP BY doc_id, w),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n FROM documents),
+       wts AS (SELECT tf.doc_id, tf.term, dfr.df,
+                      tf.tf * (ln(((SELECT n FROM n) + 1.0)
+                                  / (dfr.df + 1.0)) + 1.0) AS w
+               FROM tf JOIN dfr USING (term) WHERE dfr.df <= 100),
+       norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                 FROM wts GROUP BY doc_id),
+       dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+                FROM wts x JOIN wts y
+                  ON x.term = y.term AND x.doc_id < y.doc_id
+                WHERE x.df >= 2
+                GROUP BY x.doc_id, y.doc_id)
+       SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+       FROM dots d JOIN norms na ON na.doc_id = d.a
+       JOIN norms nb ON nb.doc_id = d.b
+       WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3""",
+)
+def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lexical-semantic near-dup pairs: TF-IDF cosine >= 0.3 over
+    # df-pruned vectors — the signal between shingle dedup and
+    # embedding SemDeDup; scale story is the df cap (one stop-word is
+    # a quadratic hot key otherwise), see operators/ranking.py
+    from pagerank_mapreduce_spark.operators.ranking import (
+        tfidf_cosine_pairs,
+    )
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_df=100
+    ).orderBy("a", "b")
 
 
 @_q(

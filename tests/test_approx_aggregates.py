@@ -29,6 +29,33 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
 
 
+def test_approx_count_distinct_envelope_column(spark, sf_dir):
+    # the catalog entry carries its own error-envelope verdict — the
+    # strengthened rows-only contract: every group must self-report
+    # within_envelope, and the exact twin must equal an independent
+    # count_distinct
+    rows = CATALOG["rel_approx_count_distinct"].fn(spark, sf_dir).collect()
+    assert rows and all(r["within_envelope"] for r in rows), rows
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert {r["l_returnflag"]: r["exact_parts"] for r in rows} == exact
+
+
+def test_kv_stats_detail_conservation(spark, sf_dir):
+    # mr_kv_stats_detail's conservation invariants: the per-partition
+    # histogram must account for every pair of the independent exact
+    # count, and min/max must bound the mean
+    row = CATALOG["mr_kv_stats_detail"].fn(spark, sf_dir).first()
+    assert row["conserved"], row
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert row["total_pairs"] == n
+
+
 def test_approx_percentile_brackets_exact(spark, sf_dir):
     approx = {
         r["l_linestatus"]: r["p50"]
