@@ -161,8 +161,8 @@ def assign_nearest_centroid(
       *interpreted* higher-order-function evaluations: fine while the
       codebook is small, but SemDeDup's N/k-constant regime grows k
       with N, making assignment the measured O(N²) scale killer
-      (SCALE.md round-8 decade table: 10× data with 10× codebook went
-      13.7× in this mode).
+      (SCALE.md round-8 decade table: 200k vectors × 1600 centroids
+      ran 130.5 s in this mode vs 4.6 s vectorized).
     - ``assignment="vectorized"``: Arrow-batched ``mapInPandas`` — per
       batch one BLAS matmul, ``d² = |x|² - 2·X·Cᵀ + |c|²``, then
       ``np.argmin`` (also first-minimum). The production mode: work
@@ -359,6 +359,7 @@ def semdedup(
     max_cluster_size: int | None = 4096,
     codebook: str = "sampled",
     assignment: str = "expr",
+    scoring: str = "expr",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     the embedding space, then drop near-duplicates *within* each
@@ -393,11 +394,14 @@ def semdedup(
     nearest-centroid assignment is O(N·k) = O(N²) total work, so at
     scale pass ``assignment="vectorized"`` (BLAS-batched
     ``mapInPandas``, see :func:`assign_nearest_centroid`) — the
-    round-8 decade measurement (SCALE.md) has the expression mode
-    going 13.7× on a 10×-data/10×-codebook step and the vectorized
-    mode restoring the ~linear trend. The default stays "expr"
-    because that mode replays bit-for-bit in the catalog's DuckDB
-    oracle.
+    round-8 second-decade measurement (SCALE.md) has the expression
+    mode at 130.5 s vs 4.6 s vectorized on 200k vectors × 1600
+    centroids. ``scoring="matrix"`` replaces the per-pair interpreted
+    cosine fold with one BLAS gram matrix per cluster
+    (:func:`_semdedup_matrix_score`) — measured SLOWER at dim=64,
+    kept for the high-dim regime (rationale there). Both default to
+    "expr" because that mode replays bit-for-bit in the catalog's
+    DuckDB oracle.
 
     No reference counterpart — training-data-pipeline extension.
     """
@@ -422,6 +426,12 @@ def semdedup(
         raise ValueError(
             f"codebook must be sampled|kmeans, got {codebook!r}"
         )
+    if scoring == "matrix":
+        return _semdedup_matrix_score(
+            assigned, threshold, vec_col, id_col, max_cluster_size
+        )
+    if scoring != "expr":
+        raise ValueError(f"scoring must be expr|matrix, got {scoring!r}")
     members = (
         assigned.groupBy("list_id")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -441,37 +451,109 @@ def semdedup(
     vecs = embeddings.select(
         F.col(id_col), v.alias("_v"), norm(v).alias("_n")
     )
-    scored = (
-        pairs.join(
-            vecs.select(
-                F.col(id_col).alias("a"),
-                F.col("_v").alias("_va"),
-                F.col("_n").alias("_na"),
-            ),
-            "a",
-        )
-        .join(
-            vecs.select(
-                F.col(id_col).alias("b"),
-                F.col("_v").alias("_vb"),
-                F.col("_n").alias("_nb"),
-            ),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            F.round(
-                dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")),
-                8,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    joined = pairs.join(
+        vecs.select(
+            F.col(id_col).alias("a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        ),
+        "a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        ),
+        "b",
     )
+    scored = joined.select(
+        "a",
+        "b",
+        F.round(
+            dot(F.col("_va"), F.col("_vb"))
+            / (F.col("_na") * F.col("_nb")),
+            8,
+        ).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
     return scored.groupBy(F.col("b").alias(id_col)).agg(
         F.min("a").alias("kept_with"), F.max("cos").alias("cos")
     )
+
+
+def _semdedup_matrix_score(
+    assigned: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """The ``scoring="matrix"`` path of :func:`semdedup`: one
+    ``applyInPandas`` over the cluster groups, one BLAS gram matrix
+    (``X·Xᵀ / n·nᵀ``) per cluster, drop decisions emitted directly.
+
+    All three scoring shapes were measured (SCALE.md round-8, second
+    decade: ~12M in-cluster pairs of 64-dim vectors):
+
+    - the default expression path interprets the dot-product fold per
+      PAIR, JVM-side — 4.6 s end-to-end. **It wins at this width.**
+    - a per-pair Arrow ``pandas_udf`` ships BOTH vectors of every
+      pair through the Python boundary (~12 GB) — measured slower
+      than the fold it replaced; deleted.
+    - this path: each vector crosses the boundary ONCE (inside the
+      groupBy shuffle it needed anyway), m² pair products as one
+      ``m×dim`` matmul — 7.9 s: per-group pandas overhead exceeds the
+      fold cost at dim=64. Kept because the trade reverses with
+      width — the matmul amortizes ~linearly in dim while the
+      interpreted fold pays per element — making it the mode to
+      reach for at embedding widths in the hundreds-plus.
+
+    The hot-cluster cap applies INSIDE the group kernel (oversize
+    clusters emit nothing — same drop-whole semantics as
+    ``hot_bucket_guard``, which cannot observe() across
+    applyInPandas). ``np.round`` is half-even where the expression
+    path's ``F.round`` is half-up: a divergence needs a cosine
+    landing exactly on the 9th-decimal midpoint — asserted absent on
+    the fixtures, same FP stance as ``assign_nearest_centroid``."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or (max_cluster_size is not None and m > max_cluster_size):
+            return pd.DataFrame(
+                {id_col: pd.array([], dtype="int64"),
+                 "kept_with": pd.array([], dtype="int64"),
+                 "cos": pd.array([], dtype="float64")}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
+        n = np.linalg.norm(X, axis=1)
+        cos = np.round((X @ X.T) / np.outer(n, n), 8)
+        iu = np.triu_indices(m, k=1)
+        hit = cos[iu] >= threshold
+        rows_i, cols_j = iu[0][hit], iu[1][hit]
+        if len(cols_j) == 0:
+            return pd.DataFrame(
+                {id_col: pd.array([], dtype="int64"),
+                 "kept_with": pd.array([], dtype="int64"),
+                 "cos": pd.array([], dtype="float64")}
+            )
+        out = pd.DataFrame(
+            {"j": cols_j, "i": rows_i, "c": cos[rows_i, cols_j]}
+        )
+        agg = out.groupby("j").agg(i=("i", "min"), c=("c", "max"))
+        return pd.DataFrame(
+            {
+                id_col: ids[agg.index.to_numpy()],
+                "kept_with": ids[agg["i"].to_numpy()],
+                "cos": agg["c"].to_numpy(),
+            }
+        )
+
+    return assigned.select("list_id", id_col, vec_col).groupBy(
+        "list_id"
+    ).applyInPandas(score, f"{id_col} long, kept_with long, cos double")
 
 
 def _sqdist_py(a: list[float], b: list[float]) -> float:

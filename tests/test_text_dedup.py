@@ -170,6 +170,62 @@ def test_assignment_vectorized_equals_expr(spark, sf_dir):
     assert d_expr == d_vec
 
 
+def test_semdedup_matrix_scoring_equals_expr(spark, sf_dir):
+    # the per-cluster BLAS gram path must reproduce the expression
+    # path's drop decisions exactly (same sorted-id pair orientation,
+    # same min-kept/max-cos aggregation, same 8-digit rounding)
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, S.semdedup(emb, n_clusters=8, threshold=0.4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            S.semdedup(
+                emb,
+                n_clusters=8,
+                threshold=0.4,
+                assignment="vectorized",
+                scoring="matrix",
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_semdedup_matrix_scoring_honors_cap(spark):
+    # an oversize cluster emits nothing in matrix mode too (drop-whole
+    # semantics of hot_bucket_guard, applied inside the group kernel):
+    # cluster 0 = {0, 2..7} (7 members > cap 5, dropped whole);
+    # cluster 1 = {1, 10, 11} scores normally
+    rows = (
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        + [(i, [1.0, 0.0]) for i in range(2, 8)]
+        + [(10, [0.0, 1.0]), (11, [0.0, 1.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for sc in ("expr", "matrix"):
+        out = sorted(
+            (r["vec_id"], r["kept_with"])
+            for r in S.semdedup(
+                df,
+                n_clusters=2,
+                threshold=0.5,
+                max_cluster_size=5,
+                scoring=sc,
+            ).collect()
+        )
+        assert out == [(10, 1), (11, 1)], (sc, out)
+
+
+def test_semdedup_rejects_unknown_scoring(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="expr|matrix"):
+        S.semdedup(df, n_clusters=2, scoring="nope").collect()
+
+
 def test_assignment_rejects_unknown_mode(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"

@@ -19,8 +19,10 @@ reproducible:
   disjoint regions, so with a codebook scaled 10x (the SemDeDup
   paper's N/k-constant regime) cluster sizes stay constant.
 
-Usage:  python tools/make_scale_fixture.py [out_dir]
-Default out_dir: <repo>/.scale/sf1  (gitignored — ~25 MB)
+Usage:  python tools/make_scale_fixture.py [out_dir] [copies]
+Default out_dir: <repo>/.scale/sf1  (gitignored — ~25 MB); copies=10.
+A second decade (copies=100 → ~250 MB) extends the measurement to
+two orders of magnitude for the flagship dedup path.
 """
 
 from __future__ import annotations
@@ -37,14 +39,14 @@ COPIES = 10
 ID_STRIDE = 10_000_000
 
 
-def _doc_copies(src_dir: str) -> pa.Table:
+def _doc_copies(src_dir: str, copies: int) -> pa.Table:
     t = pq.read_table(f"{src_dir}/documents.parquet")
     doc_id = t.column("doc_id").to_numpy()
     text = t.column("text").to_pylist()
     lang = t.column("lang")
     source = t.column("source")
     parts = []
-    for k in range(COPIES):
+    for k in range(copies):
         if k == 0:
             txt = text
         else:
@@ -66,7 +68,7 @@ def _doc_copies(src_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _emb_copies(src_dir: str) -> pa.Table:
+def _emb_copies(src_dir: str, copies: int) -> pa.Table:
     t = pq.read_table(f"{src_dir}/embeddings.parquet")
     vec_id = t.column("vec_id").to_numpy()
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
@@ -77,7 +79,7 @@ def _emb_copies(src_dir: str) -> pa.Table:
     off = (idx * 2654435761 % 97) / 97.0 - 0.5
     off = (off / np.linalg.norm(off) * 4.0).astype(np.float32)
     parts = []
-    for k in range(COPIES):
+    for k in range(copies):
         parts.append(
             pa.table(
                 {
@@ -96,10 +98,11 @@ def _emb_copies(src_dir: str) -> pa.Table:
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".scale", "sf1")
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     os.makedirs(out, exist_ok=True)
-    docs = _doc_copies(SRC)
+    docs = _doc_copies(SRC, copies)
     pq.write_table(docs, f"{out}/documents.parquet")
-    embs = _emb_copies(SRC)
+    embs = _emb_copies(SRC, copies)
     pq.write_table(embs, f"{out}/embeddings.parquet")
     print(f"wrote {docs.num_rows} documents, {embs.num_rows} embeddings -> {out}")
 
