@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "rel_expectations",
     "ts_interpolate_hourly",
     "ts_week_over_week",
+    "mm_ahash_near_dups",
+    "text_tfidf_cosine_pairs",
 ]
 
 

@@ -201,6 +201,13 @@ def assign_nearest_centroid(
         + [StructField(out_col, IntegerType(), False)]
     )
 
+    # cap the d² temporary at ~32 MB regardless of k: an Arrow batch
+    # is up to maxRecordsPerBatch (default 10k) rows, and a full
+    # rows×k distance block at k=10⁵ would be gigabytes of allocator
+    # churn per batch — chunk the rows, not the centroids, so argmin
+    # stays a single pass
+    chunk = max(1, 4_000_000 // max(len(c2), 1))
+
     def _assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -208,9 +215,13 @@ def assign_nearest_centroid(
                 yield pdf
                 continue
             X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            out = np.empty(len(X), dtype="int32")
+            for s in range(0, len(X), chunk):
+                B = X[s : s + chunk]
+                d2 = (B * B).sum(axis=1)[:, None] - 2.0 * (B @ C.T) + c2[None, :]
+                out[s : s + chunk] = np.argmin(d2, axis=1)
             pdf = pdf.copy()
-            pdf[out_col] = np.argmin(d2, axis=1).astype("int32")
+            pdf[out_col] = out
             yield pdf
 
     return embeddings.mapInPandas(_assign, schema)
