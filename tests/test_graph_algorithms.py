@@ -424,6 +424,16 @@ def test_scc_dag_is_all_singletons(spark):
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_scc_raises_on_exhausted_bounds(spark):
+    # an unconverged forward coloring could split one SCC across two
+    # ids, and an exhausted outer loop leaves vertices unemitted —
+    # both must raise rather than return a silently wrong/partial
+    # labeling (round-8 advisor finding)
+    path = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        GA.scc(path, max_iterations=1)
+
+
 def test_scc_shared_vertex_merges_cycles(spark):
     # the PAIRS triangles are directed cycles sharing vertex 2, so
     # {0,1,2,4,5} is ONE component; 6/7/8/9 are singletons; 3 has

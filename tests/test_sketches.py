@@ -78,3 +78,49 @@ def test_fm_distinct_reasonable_and_duplicate_insensitive(spark):
     (e4,) = fm_distinct_estimate(df4, ["g"], "k").collect()
     assert e1.est == e4.est
     assert 150 < e1.est < 1500  # deterministic, checked once forever
+
+
+def test_sketches_ignore_null_keys(spark):
+    # NULL keys carry no frequency/membership information and must be
+    # excluded BEFORE hashing: concat_ws silently skips NULL arguments
+    # (a NULL key would hash as just the row/seed prefix), while the
+    # DuckDB oracles' concat() does not — the filter keeps both sides
+    # of the parity contract on the same relation
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        cms_build,
+        cms_estimate,
+        fm_distinct_estimate,
+    )
+
+    with_null = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "k string"
+    )
+    without = with_null.filter(F.col("k").isNotNull())
+
+    cms_w = sorted(map(tuple, cms_build(with_null, "k").collect()))
+    cms_o = sorted(map(tuple, cms_build(without, "k").collect()))
+    assert cms_w == cms_o
+
+    bl_w = sorted(r["pos"] for r in bloom_build(with_null, "k").collect())
+    bl_o = sorted(r["pos"] for r in bloom_build(without, "k").collect())
+    assert bl_w == bl_o
+
+    # a NULL probe key never reports membership or an estimate row
+    probes = spark.createDataFrame([("a",), (None,)], "k string")
+    maybe = bloom_maybe_contains(probes, bloom_build(without, "k"), "k")
+    assert [r["k"] for r in maybe.collect()] == ["a"]
+    est = cms_estimate(cms_build(without, "k"), probes, "k")
+    assert sorted(r["k"] for r in est.collect()) == ["a"]
+
+    g = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None)], "g int, k string"
+    )
+    (e_w,) = fm_distinct_estimate(g, ["g"], "k").collect()
+    (e_o,) = fm_distinct_estimate(
+        g.filter(F.col("k").isNotNull()), ["g"], "k"
+    ).collect()
+    assert e_w.est == e_o.est
