@@ -299,3 +299,32 @@ def test_cms_sketch_broadcasts(spark, sf_dir):
     df = _q(spark, sf_dir, "rel_cms_user_counts")
     js = join_strategies(df)
     assert js.get("BroadcastHashJoin", 0) >= 1, js
+
+
+def test_ahash_pairs_plan_is_bucket_shaped(spark, sf_dir):
+    # aHash candidates must be one keyed aggregation over the hashed
+    # ids with JVM-side in-bucket explosion — no join at all (the
+    # pairs never rejoin payloads), so any join node or Expand in the
+    # plan means the shape regressed
+    df = _q(spark, sf_dir, "mm_ahash_near_dups")
+    js = join_strategies(df)
+    assert not js, f"pair generation grew a join: {js}"
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+
+
+def test_tfidf_cosine_pairs_no_cartesian_and_keyed_joins(spark, sf_dir):
+    # the all-pairs similarity must stay an inverted-index equi-join
+    # on the term plus id-keyed norm joins. The nested-loop joins in
+    # the plan are all instances of the broadcast 1-ROW corpus-size
+    # scalar: the weighted relation is consumed by three subtrees
+    # (norms, pair left, pair right), each carrying its own copy of
+    # the scalar join — duplicated in the FORMATTED plan but
+    # physically shared at runtime (the executed plan shows the
+    # tf/df aggregation exchanges as ReusedExchange). A true
+    # CartesianProduct (docs × docs) is the regression this guards.
+    df = _q(spark, sf_dir, "text_tfidf_cosine_pairs")
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+    plan = formatted_plan(df, execute=True)
+    assert "ReusedExchange" in plan, "tf/df subtrees no longer shared"
