@@ -226,6 +226,56 @@ def test_semdedup_rejects_unknown_scoring(spark):
         S.semdedup(df, n_clusters=2, scoring="nope").collect()
 
 
+def test_two_level_assignment_probe_all_equals_exact(spark, sf_dir):
+    # coarse_probe == coarse probes every super-cluster, so the
+    # approximate scheme must reproduce the exact assignment
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    exact = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in S.assign_nearest_centroid(
+            emb, cents, assignment="vectorized"
+        ).collect()
+    )
+    full = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in S.assign_nearest_centroid_two_level(
+            emb, cents, coarse=4, coarse_probe=4
+        ).collect()
+    )
+    assert exact == full
+
+
+def test_two_level_assignment_recall_floor(spark, sf_dir):
+    # narrow probing is approximate; near-uniform synthetic embeddings
+    # are the hardest case (same argument as the IVF-KMeans recall
+    # floor) — measured 0.4-0.6 at probe=2/8 across fixtures, floored
+    # at 0.25 so a broken coarse ranking (≈ probe/coarse ≈ 0.1 per
+    # super-cluster hit at random) fails without flaking
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(64).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    exact = dict(
+        (r["vec_id"], r["list_id"])
+        for r in S.assign_nearest_centroid(
+            emb, cents, assignment="vectorized"
+        ).collect()
+    )
+    approx = dict(
+        (r["vec_id"], r["list_id"])
+        for r in S.assign_nearest_centroid_two_level(
+            emb, cents, coarse=8, coarse_probe=2
+        ).collect()
+    )
+    recall = sum(1 for k in exact if approx[k] == exact[k]) / len(exact)
+    assert recall >= 0.25, recall
+
+
 def test_assignment_rejects_unknown_mode(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
