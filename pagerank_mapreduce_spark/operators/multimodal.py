@@ -231,10 +231,17 @@ def ahash_from_feature(feature: Column, dim: int = 8) -> Column:
     Python boundary."""
     q = F.transform(feature, lambda f: F.round(f * 255).cast("int"))
     s = F.aggregate(q, F.lit(0), lambda acc, x: acc + x)
+    # the mean multiplier comes from the ACTUAL vector length, not the
+    # ``dim`` parameter — a decoder emitting a different width would
+    # otherwise compare against a silently wrong mean (``dim`` remains
+    # the documented bit-width contract; positions beyond it would
+    # produce >dim-bit hashes, so mismatched widths are a caller bug
+    # either way, but the mean stays correct)
+    m = F.size(q)
     bits = F.transform(
         q,
         lambda x, i: F.when(
-            x * dim > s, F.pow(F.lit(2.0), i.cast("double")).cast("int")
+            x * m > s, F.pow(F.lit(2.0), i.cast("double")).cast("int")
         ).otherwise(F.lit(0)),
     )
     return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
