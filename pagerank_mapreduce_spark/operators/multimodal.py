@@ -252,9 +252,12 @@ def ahash_near_dups(
     decoder: Callable[[bytes], list[float]] | str | None = "auto",
     dim: int = 8,
     max_bucket_size: int | None = 512,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Perceptual near-duplicate candidates: decode → aHash → pair
-    ids sharing the exact hash. Output ``(a, b, ahash)``, a < b.
+    ids whose hashes differ in at most ``probe_hamming`` bits
+    (default 0 = exact-hash buckets). Output ``(a, b, hamming)``,
+    a < b, ``hamming`` the bit distance.
 
     The scale shape is the house capped-bucket candidate generator
     (same as MinHash/SimHash/embedding LSH): hashes are the buckets,
@@ -264,32 +267,76 @@ def ahash_near_dups(
     executor OOM otherwise). Rows that fail decode are excluded (they
     have no perceptual content to compare).
 
-    Hamming-adjacent probing (distance ≤ k) composes on top by
-    exploding each id into its k-bit-flip neighbor hashes before the
-    group — left to the caller because it multiplies candidate volume
-    by ``dim`` per flipped bit."""
+    ``probe_hamming=1`` probes adjacent hashes by registering each id
+    under its own hash AND every 1-bit flip (the standard multi-probe
+    trick): two ids within Hamming distance 1 then share at least one
+    probe bucket. Candidate volume multiplies by ``dim + 1``, so the
+    bucket cap applies to the PROBE buckets; duplicate pairs from
+    co-occurring buckets collapse through a distinct on (a, b), and
+    the emitted ``hamming`` is recomputed exactly from the two ids'
+    true hashes (bit_count of xor), never inferred from the bucket.
+    Distances ≥ 2 compose the same way but multiply volume by
+    ``C(dim, 2)`` — past 1 flip, LSH over more hash bits (SimHash) is
+    the better trade, so this operator stops at 1."""
     from pagerank_mapreduce_spark.operators.dedup import (
         explode_member_pairs,
         hot_bucket_guard,
     )
 
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            f"probe_hamming must be 0 or 1, got {probe_hamming!r}"
+        )
     feats = extract_features(media, decoder)
     hashed = feats.filter(F.col("decode_ok")).select(
         "media_id", ahash_from_feature(F.col("feature"), dim).alias("ahash")
     )
+    if probe_hamming == 0:
+        probed = hashed.select(
+            "media_id", "ahash", F.col("ahash").alias("probe")
+        )
+    else:
+        flips = F.array(
+            F.col("ahash"),
+            *[
+                F.col("ahash").bitwiseXOR(F.lit(1 << i))
+                for i in range(dim)
+            ],
+        )
+        probed = hashed.select(
+            "media_id", "ahash", F.explode(flips).alias("probe")
+        )
     members = (
-        hashed.groupBy("ahash")
-        .agg(F.array_sort(F.collect_list("media_id")).alias("ids"))
+        probed.groupBy("probe")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("media_id", "ahash"))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     members = hot_bucket_guard(members, max_bucket_size, "ids")
-    return explode_member_pairs(
+    pairs = explode_member_pairs(
         members,
         "ids",
         pair_builder=lambda x, y: F.struct(
-            x.alias("a"), y.alias("b"), F.col("ahash").alias("ahash")
+            x["media_id"].alias("a"),
+            y["media_id"].alias("b"),
+            x["ahash"].alias("_ha"),
+            y["ahash"].alias("_hb"),
         ),
     )
+    out = pairs.select(
+        "a",
+        "b",
+        F.bit_count(
+            F.col("_ha").bitwiseXOR(F.col("_hb")).cast("long")
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= probe_hamming)
+    # multi-probe registers a pair in every shared bucket — collapse
+    if probe_hamming > 0:
+        out = out.distinct()
+    return out
 
 
 # ------------------------- header metadata, pure expressions (r7)

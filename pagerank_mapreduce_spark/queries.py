@@ -1551,7 +1551,8 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM h),
        keep AS (SELECT ahash FROM a GROUP BY ahash
                 HAVING count(*) BETWEEN 2 AND 512)
-       SELECT x.media_id AS a, y.media_id AS b, x.ahash
+       SELECT x.media_id AS a, y.media_id AS b,
+              CAST(0 AS INTEGER) AS hamming
        FROM a x JOIN a y ON x.ahash = y.ahash AND x.media_id < y.media_id
        WHERE x.ahash IN (SELECT ahash FROM keep)""",
 )

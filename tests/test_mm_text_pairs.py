@@ -50,6 +50,34 @@ def test_ahash_cap_drops_hash_clique_whole(spark):
     assert [(r["a"], r["b"]) for r in out] == [(10, 11)]
 
 
+def test_ahash_hamming_probe_finds_adjacent_hashes(spark):
+    # controlled decoder: payload "a" → hash 0b001, "b" → 0b011,
+    # "c" → 0b010 — (a,b) and (b,c) are 1 bit apart, (a,c) is 2
+    feats = {
+        "a": [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        "b": [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        "c": [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    }
+
+    def decoder(payload: bytes) -> list[float]:
+        return feats[payload.decode()]
+
+    media = _media(spark, [(1, "a"), (2, "b"), (3, "c")])
+    # exact buckets: all hashes distinct → no candidates
+    assert MM.ahash_near_dups(media, decoder=decoder).count() == 0
+    # 1-bit probing: adjacent pairs surface with their true distance,
+    # the 2-bit pair stays out
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in MM.ahash_near_dups(
+            media, decoder=decoder, probe_hamming=1
+        ).collect()
+    )
+    assert got == [(1, 2, 1), (2, 3, 1)]
+    with pytest.raises(ValueError, match="probe_hamming"):
+        MM.ahash_near_dups(media, decoder=decoder, probe_hamming=2)
+
+
 def test_ahash_excludes_failed_decodes(spark):
     media = _media(spark, [(1, "same bytes"), (2, "same bytes")])
 
