@@ -1566,6 +1566,54 @@ def q_mm_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.ahash_near_dups(media, decoder="fake").orderBy("a", "b")
 
 
+@_q(
+    "mm_ahash_probe_pairs",
+    # the 1-bit multi-probe path replayed exactly: every id registers
+    # under its own hash and all 8 single-bit flips; the hot-bucket
+    # cap applies to the PROBE buckets (2..512 members); co-occurring
+    # pairs collapse via DISTINCT; the hamming column is recomputed
+    # from the true hashes and filtered <= 1
+    """WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx
+                  FROM documents),
+       q AS (SELECT media_id,
+                    list_transform(range(0, 8),
+                      i -> CAST(concat('0x', substr(hx, 2*i + 1, 2))
+                                AS INTEGER)) AS q
+             FROM m),
+       h AS (SELECT media_id, q, list_sum(q) AS s FROM q),
+       a AS (SELECT media_id,
+                    CAST(list_sum(list_transform(range(0, 8),
+                      i -> CASE WHEN q[i+1] * 8 > s THEN 1 << i
+                                ELSE 0 END)) AS INTEGER) AS ahash
+             FROM h),
+       pr AS (SELECT media_id, ahash,
+                     unnest(list_prepend(ahash,
+                       list_transform(range(0, 8),
+                         i -> CAST(xor(ahash, 1 << i) AS INTEGER))))
+                       AS probe
+              FROM a),
+       keep AS (SELECT probe FROM pr GROUP BY probe
+                HAVING count(*) BETWEEN 2 AND 512)
+       SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+              CAST(bit_count(CAST(xor(x.ahash, y.ahash) AS BIGINT))
+                   AS INTEGER) AS hamming
+       FROM pr x JOIN pr y
+         ON x.probe = y.probe AND x.media_id < y.media_id
+       WHERE x.probe IN (SELECT probe FROM keep)
+         AND bit_count(CAST(xor(x.ahash, y.ahash) AS BIGINT)) <= 1""",
+)
+def q_mm_ahash_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Hamming-1 multi-probe variant of mm_ahash_near_dups: each id
+    # also registers under its 8 single-bit-flip neighbor hashes, so
+    # perceptually adjacent (1-bit) media surface without an all-pairs
+    # Hamming join — the oracle replays the probe buckets, the cap,
+    # and the recomputed distance exactly
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    return MM.ahash_near_dups(
+        media, decoder="fake", probe_hamming=1
+    ).orderBy("a", "b")
+
+
 # ============================================== relational (cont.)
 
 
