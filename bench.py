@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "ts_interpolate_hourly",
     "ts_week_over_week",
     "mm_ahash_near_dups",
+    "mm_ahash_probe_pairs",
     "text_tfidf_cosine_pairs",
 ]
 
