@@ -270,9 +270,18 @@ def ahash_near_dups(
     ``probe_hamming=1`` probes adjacent hashes by registering each id
     under its own hash AND every 1-bit flip (the standard multi-probe
     trick): two ids within Hamming distance 1 then share at least one
-    probe bucket. Candidate volume multiplies by ``dim + 1``, so the
-    bucket cap applies to the PROBE buckets; duplicate pairs from
-    co-occurring buckets collapse through a distinct on (a, b), and
+    probe bucket. Registration volume multiplies by ``dim + 1`` and
+    the bucket cap applies to the PROBE buckets, but pair generation
+    is ONE-SIDED: only bucket members whose TRUE hash equals the
+    bucket key (the anchors) pair against the rest. A symmetric
+    in-bucket explosion would emit ~((dim+1)·n)²/2 candidates, ~79%
+    of them probe×probe rows whose true distance is 2 and which the
+    distance filter discards anyway; anchoring never generates those
+    (anchor.hash == bucket and member within 1 flip of bucket ⇒
+    distance ≤ 1 by construction) and still finds every qualifying
+    pair — a distance-1 pair's shared buckets are exactly the two
+    true hashes, and each is the anchor in its own. Duplicate pairs
+    from co-occurring buckets collapse through a distinct on (a, b);
     the emitted ``hamming`` is recomputed exactly from the two ids'
     true hashes (bit_count of xor), never inferred from the bucket.
     Distances ≥ 2 compose the same way but multiply volume by
@@ -310,22 +319,62 @@ def ahash_near_dups(
         probed.groupBy("probe")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("media_id", "ahash"))
+                F.collect_list(
+                    F.struct(
+                        "media_id",
+                        "ahash",
+                        (F.col("ahash") == F.col("probe")).alias(
+                            "anchor"
+                        ),
+                    )
+                )
             ).alias("ids")
         )
         .filter(F.size("ids") > 1)
     )
     members = hot_bucket_guard(members, max_bucket_size, "ids")
-    pairs = explode_member_pairs(
-        members,
-        "ids",
-        pair_builder=lambda x, y: F.struct(
-            x["media_id"].alias("a"),
-            y["media_id"].alias("b"),
-            x["ahash"].alias("_ha"),
-            y["ahash"].alias("_hb"),
-        ),
-    )
+    if probe_hamming == 0:
+        pairs = explode_member_pairs(
+            members,
+            "ids",
+            pair_builder=lambda x, y: F.struct(
+                x["media_id"].alias("a"),
+                y["media_id"].alias("b"),
+                x["ahash"].alias("_ha"),
+                y["ahash"].alias("_hb"),
+            ),
+        )
+    else:
+        # anchors × everyone-else, JVM-side inside the bucket row;
+        # least/greatest normalizes orientation so the cross-bucket
+        # distinct below collapses the (at most two) co-occurrences
+        anchors = F.filter(F.col("ids"), lambda x: x["anchor"])
+        pairs = members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        anchors,
+                        lambda x: F.transform(
+                            F.filter(
+                                F.col("ids"),
+                                lambda y: y["media_id"]
+                                != x["media_id"],
+                            ),
+                            lambda y: F.struct(
+                                F.least(
+                                    x["media_id"], y["media_id"]
+                                ).alias("a"),
+                                F.greatest(
+                                    x["media_id"], y["media_id"]
+                                ).alias("b"),
+                                x["ahash"].alias("_ha"),
+                                y["ahash"].alias("_hb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.*")
     out = pairs.select(
         "a",
         "b",
@@ -333,7 +382,7 @@ def ahash_near_dups(
             F.col("_ha").bitwiseXOR(F.col("_hb")).cast("long")
         ).alias("hamming"),
     ).filter(F.col("hamming") <= probe_hamming)
-    # multi-probe registers a pair in every shared bucket — collapse
+    # multi-probe meets a pair in up to two anchored buckets — collapse
     if probe_hamming > 0:
         out = out.distinct()
     return out

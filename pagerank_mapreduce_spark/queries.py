@@ -1570,9 +1570,13 @@ def q_mm_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_ahash_probe_pairs",
     # the 1-bit multi-probe path replayed exactly: every id registers
     # under its own hash and all 8 single-bit flips; the hot-bucket
-    # cap applies to the PROBE buckets (2..512 members); co-occurring
-    # pairs collapse via DISTINCT; the hamming column is recomputed
-    # from the true hashes and filtered <= 1
+    # cap applies to the PROBE buckets (2..512 registrations); pair
+    # generation is ANCHORED — only members whose true hash equals
+    # the bucket key (x.ahash = x.probe) pair against the rest, which
+    # never manufactures the distance-2 probe×probe combinations a
+    # symmetric explosion would discard; co-occurring pairs collapse
+    # via DISTINCT over the least/greatest orientation; the hamming
+    # column is recomputed from the true hashes and filtered <= 1
     """WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx
                   FROM documents),
        q AS (SELECT media_id,
@@ -1594,20 +1598,24 @@ def q_mm_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM a),
        keep AS (SELECT probe FROM pr GROUP BY probe
                 HAVING count(*) BETWEEN 2 AND 512)
-       SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+       SELECT DISTINCT least(x.media_id, y.media_id) AS a,
+              greatest(x.media_id, y.media_id) AS b,
               CAST(bit_count(CAST(xor(x.ahash, y.ahash) AS BIGINT))
                    AS INTEGER) AS hamming
        FROM pr x JOIN pr y
-         ON x.probe = y.probe AND x.media_id < y.media_id
+         ON x.probe = y.probe AND x.media_id <> y.media_id
        WHERE x.probe IN (SELECT probe FROM keep)
+         AND x.ahash = x.probe
          AND bit_count(CAST(xor(x.ahash, y.ahash) AS BIGINT)) <= 1""",
 )
 def q_mm_ahash_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Hamming-1 multi-probe variant of mm_ahash_near_dups: each id
     # also registers under its 8 single-bit-flip neighbor hashes, so
     # perceptually adjacent (1-bit) media surface without an all-pairs
-    # Hamming join — the oracle replays the probe buckets, the cap,
-    # and the recomputed distance exactly
+    # Hamming join; pair generation anchors on the bucket's true-hash
+    # members (~4.5x fewer candidates than a symmetric in-bucket
+    # explosion) — the oracle replays the probe buckets, the cap, the
+    # anchoring, and the recomputed distance exactly
     media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
     return MM.ahash_near_dups(
         media, decoder="fake", probe_hamming=1
