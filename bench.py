@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "mm_ahash_near_dups",
     "mm_ahash_probe_pairs",
     "text_tfidf_cosine_pairs",
+    "dedup_paragraphs",
+    "ml_roc_auc",
+    "ml_spearman_corr",
+    "graph_adamic_adar",
 ]
 
 

@@ -1134,3 +1134,106 @@ def rectangles_sql(edges_sql: str) -> str:
              CAST(sum(CASE WHEN cd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_copaired
       FROM wd"""
+
+
+# ------------------------------------------ link prediction (round 8)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_center_degree: int | None = None,
+    exclude_edges: bool = True,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores: for every non-adjacent
+    vertex pair (u, w) with at least one common neighbor,
+
+        score(u, w) = sum over v in N(u) ∩ N(w) of 1 / ln(deg(v))
+
+    (Adamic & Adar 2003) — the classic "friends-of-friends, rare
+    mutual friends count more" recommender. Output (u, w, score),
+    u < w, score rounded to 6.
+
+    Scale shape: wedges through each center v are the in-bucket pair
+    explosion over v's sorted neighbor array (the house capped-bucket
+    generator — no neighbor×neighbor join). A hub of degree d emits
+    C(d, 2) pairs, so ``max_center_degree`` drops hot centers whole
+    with an observed drop metric; that truncation is principled here,
+    a hub's contribution 1/ln(d) is precisely the one that matters
+    least. Degree-1 centers generate nothing, so ln(deg) is never
+    ln(1) = 0. The final per-pair sum is algebraic (map-side partial
+    aggregation); ``exclude_edges`` anti-joins the canonical edge
+    list so only genuinely new links are proposed."""
+    from pagerank_mapreduce_spark.operators.dedup import hot_bucket_guard
+
+    # three consumers (both adj union branches + the anti-join) would
+    # each recompute the dedup shuffle — measured 4x end-to-end at
+    # sf0.1 without the persist (same rationale as triangles())
+    und = edge_upper(edges).persist()
+    adj = und.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    nbrs = (
+        adj.groupBy("v")
+        .agg(F.array_sort(F.collect_list("n")).alias("ns"))
+        .filter(F.size("ns") >= 2)
+    )
+    nbrs = hot_bucket_guard(nbrs, max_center_degree, "ns")
+    wedges = nbrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ns",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ns"),
+                            i + 2,
+                            F.greatest(F.size("ns") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("u"), y.alias("w")),
+                    ),
+                )
+            )
+        ).alias("p"),
+        (F.lit(1.0) / F.log(F.size("ns"))).alias("c"),
+    ).select("p.u", "p.w", "c")
+    scores = wedges.groupBy("u", "w").agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+    if exclude_edges:
+        scores = scores.join(
+            und,
+            (scores["u"] == und["a"]) & (scores["w"] == und["b"]),
+            "left_anti",
+        )
+    return scores
+
+
+def adamic_adar_sql(
+    edges_sql: str, top_k: int = 100, max_center_degree: int | None = None
+) -> str:
+    """DuckDB oracle: the same score over an explicit wedge join,
+    existing edges anti-joined away, deterministic top-k on the
+    rounded score with (u, w) tiebreak. ``max_center_degree``
+    replays the engine's hot-center drop exactly."""
+    cap = (
+        f"AND d.d <= {max_center_degree}"
+        if max_center_degree is not None
+        else ""
+    )
+    return f"""
+      WITH ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      adj AS (SELECT a AS v, b AS n FROM up
+              UNION ALL SELECT b AS v, a AS n FROM up),
+      deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+      wed AS (SELECT x.n AS u, y.n AS w, 1.0 / ln(d.d) AS c
+              FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+              JOIN deg d ON d.v = x.v {cap}),
+      sc AS (SELECT u, w, round(sum(c), 6) AS score
+             FROM wed GROUP BY u, w),
+      ne AS (SELECT s.u, s.w, s.score FROM sc s
+             LEFT JOIN up e ON e.a = s.u AND e.b = s.w
+             WHERE e.a IS NULL)
+      SELECT u, w, score FROM ne
+      QUALIFY row_number() OVER (ORDER BY score DESC, u, w) <= {top_k}"""

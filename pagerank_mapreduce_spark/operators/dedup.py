@@ -869,3 +869,90 @@ def minhash_incremental_pairs(
     return ngram_jaccard(pairs, docs, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
     )
+
+
+# ----------------------------------------------- paragraph dedup (r8)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    splitter: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup with document reassembly —
+    the RefinedWeb/MassiveText shape: boilerplate paragraphs (headers,
+    navigation, license blocks) repeat across millions of documents
+    that are NOT near-duplicates at whole-document granularity, so
+    whole-doc dedup (exact_dedup / minhash_dedup) never removes them.
+
+    Semantics: split each document into paragraphs via ``splitter``
+    (an array<string> Column; default: blank-line boundaries), drop
+    blank/whitespace-only fragments, keep the corpus-wide FIRST
+    occurrence of each distinct paragraph — lowest (doc_id, position)
+    — and reassemble every document from its surviving paragraphs in
+    original order joined by ``joiner`` (default: a blank line, so the
+    default splitter re-splits its own output — idempotence holds
+    per splitter/joiner pair that round-trips). A document whose every
+    paragraph loses still emits a row (text = '', n_kept = 0) so the
+    caller decides the drop policy. Output: (doc_id, text, n_kept,
+    n_dropped). Idempotent: re-running on the output changes nothing.
+
+    Scale shape (100 TB): paragraphs are keyed by md5 fingerprint, so
+    the winner election is an algebraic min(struct(doc_id, pos)) —
+    map-side partial aggregation absorbs the boilerplate skew (a
+    paragraph repeated 10^8 times combines to one row per map task
+    BEFORE the shuffle; a window over the paragraph key would instead
+    sort the entire hot group). One equi-join on the fingerprint
+    flags survivors, one groupBy(doc_id) reassembles. No driver
+    state, no cross join, per-doc memory bounded by the document
+    itself."""
+    if splitter is None:
+        splitter = F.split(F.col(text_col), r"\n{2,}")
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(splitter).alias("pos", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) > 0)
+    paras = paras.withColumn("fp", F.md5(F.col("para")))
+    winners = paras.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    flagged = paras.join(winners, "fp").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("pos") == F.col("w.pos")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias(text_col),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_dropped"),
+    )
+
+
+def word_chunk_splitter(
+    text_col: str = "text", words_per_chunk: int = 16
+) -> Column:
+    """Splitter for :func:`paragraph_dedup` over corpora without
+    structural paragraph boundaries (OCR dumps, single-line records):
+    fixed ``words_per_chunk``-word windows, pure array expressions.
+    The last chunk keeps the remainder (slice clamps)."""
+    w = F.split(F.col(text_col), " ")
+    n = words_per_chunk
+    return F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.size(w) - F.lit(1)) / F.lit(n)).cast("int"),
+        ),
+        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    )

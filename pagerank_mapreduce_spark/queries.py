@@ -2592,6 +2592,30 @@ def q_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_adamic_adar",
+    # 10000-vertex space, NOT N_GRAPH: link prediction presumes a
+    # sparse graph (at the bench scale the 1000-vertex derivation is
+    # ~1/4 complete — avg degree ~240, ~29M wedges scoring pairs that
+    # are already edges); the sparser derivation is the regime the
+    # operator exists for, and the 256 center cap is the scale
+    # posture (never binding at fixture degrees, replayed exactly)
+    GA.adamic_adar_sql(derive_edges_sql(10000), top_k=100, max_center_degree=256),
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adamic-Adar link prediction over the sparse fixture graph:
+    # wedge-pair contributions 1/ln(deg(center)) summed per
+    # non-adjacent pair, deterministic top-100 on the rounded score
+    # (graph/algorithms.py: adamic_adar — capped-bucket wedge
+    # explosion, no neighbor join)
+    scores = GA.adamic_adar(
+        derive_edges(spark, sf_dir, 10000), max_center_degree=256
+    )
+    return scores.orderBy(
+        F.col("score").desc(), F.col("u"), F.col("w")
+    ).limit(100)
+
+
+@_q(
     "graph_vertex_extract",
     f"""SELECT DISTINCT v FROM (
           SELECT src AS v FROM ({_EDGES_SQL})
@@ -3879,6 +3903,48 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     reps = D.exact_dedup(docs).select("doc_id")
     return docs.join(reps, "doc_id", "left_semi").select("doc_id", "text")
+
+
+@_q(
+    "dedup_paragraphs",
+    # full replay of paragraph-granularity dedup with reassembly: the
+    # 3-word chunk splitter (the fixture has no newline paragraph
+    # boundaries; 3 words over its small vocabulary yields a real
+    # kept/dropped mix), the corpus-wide keep-first election
+    # (row_number=1 over (doc_id, pos) per md5 fingerprint == the
+    # engine's min(struct) winner), and the ordered reassembly; docs
+    # whose every chunk loses keep a row with text='' / n_kept=0
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+       c AS (SELECT doc_id, i AS pos,
+                    array_to_string(list_slice(ws, i*3 + 1, i*3 + 3),
+                                    ' ') AS para
+             FROM w, unnest(range(0, CAST(ceil(len(ws) / 3.0) AS INT)))
+                     AS t(i)),
+       p AS (SELECT doc_id, pos, para FROM c WHERE trim(para) <> ''),
+       f AS (SELECT doc_id, pos, para,
+                    row_number() OVER (PARTITION BY md5(para)
+                                       ORDER BY doc_id, pos) AS rn
+             FROM p)
+       SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                                  ORDER BY pos), '') AS text,
+              count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+              count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
+       FROM f GROUP BY doc_id""",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RefinedWeb-style paragraph-level dedup: keep the corpus-wide
+    # first occurrence of every distinct paragraph, reassemble docs
+    # from their survivors (operators/dedup.py:paragraph_dedup) — the
+    # granularity whole-document dedup cannot reach (boilerplate
+    # repeats across documents that are not near-dups themselves)
+    docs = _t(spark, sf_dir, "documents")
+    return D.paragraph_dedup(
+        docs,
+        splitter=D.word_chunk_splitter("text", 3),
+        joiner=" ",
+    )
 
 
 @_q(
@@ -5498,6 +5564,88 @@ def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ============================ rank-statistic evaluation (round 8)
+
+
+@_q(
+    "ml_roc_auc",
+    # Mann-Whitney rank-sum AUC replayed with average ranks
+    # (rank() = min rank among ties; + (tie_count - 1)/2 = the
+    # textbook average rank the engine's two-phase computation
+    # produces); score = the sim_vector_norm L2 convention, target =
+    # label >= 5 (the fixture's labels are 0..9)
+    """WITH sc AS (SELECT CAST(label >= 5 AS INT) AS y,
+                          round(sqrt(list_dot_product(
+                              CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))), 6) AS score
+                   FROM embeddings),
+       r AS (SELECT y, rank() OVER (ORDER BY score)
+                      + (count(*) OVER (PARTITION BY score) - 1) / 2.0
+                        AS ar
+             FROM sc),
+       agg AS (SELECT sum(CASE WHEN y = 1 THEN ar ELSE 0 END) AS rpos,
+                      count(CASE WHEN y = 1 THEN 1 END) AS np,
+                      count(CASE WHEN y = 0 THEN 1 END) AS nn
+               FROM r)
+       SELECT round((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+              np AS n_pos, nn AS n_neg
+       FROM agg""",
+)
+def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact distributed ROC-AUC — evaluates a scorer against labels
+    # without the single-partition global sort the textbook rank-sum
+    # implies (operators/evaluation.py: two-phase bucketed ranks)
+    from pagerank_mapreduce_spark.operators.evaluation import roc_auc
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.select(
+        F.round(F.sqrt(dot), 6).alias("score"),
+        (F.col("label") >= 5).alias("y"),
+    )
+    return roc_auc(scored, "score", "y")
+
+
+@_q(
+    "ml_spearman_corr",
+    # Spearman = Pearson over average ranks (the tie-correct scipy
+    # form); both engines rank with rank() + (ties - 1)/2 semantics
+    # and correlate with the sample Pearson aggregate
+    """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                         CAST(len(string_split(text, ' ')) AS DOUBLE)
+                           AS y
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       r AS (SELECT rank() OVER (ORDER BY x)
+                    + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                    rank() OVER (ORDER BY y)
+                    + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+             FROM b)
+       SELECT round(corr(rx, ry), 6) AS rho, count(*) AS n FROM r""",
+)
+def q_ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank correlation between document length and whitespace token
+    # count — the monotone-association diagnostic for corpus quality
+    # signals, computed without a global sort
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        spearman_corr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    both = docs.select(
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("y"),
+    )
+    return spearman_corr(both, "x", "y")
 
 
 # ====================== PMI phrase mining / robust stats (round 7)

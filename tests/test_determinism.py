@@ -15,11 +15,21 @@ design: partition-local grouping, per-partition stats).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pagerank_mapreduce_spark.queries import CATALOG
 
 ORACLE_NAMES = [n for n, s in CATALOG.items() if s.oracle is not None]
+
+# Largest file in the suite (every oracle query runs TWICE); the
+# shard runner splits it across processes by catalog position, same
+# contract as ORACLE_PARITY_SHARD in test_oracle_parity.py.
+_SHARD = os.environ.get("DETERMINISM_SHARD")
+if _SHARD:
+    _i, _n = (int(x) for x in _SHARD.split("/"))
+    ORACLE_NAMES = ORACLE_NAMES[_i::_n]
 
 
 @pytest.fixture(scope="module")

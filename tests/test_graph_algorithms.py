@@ -4,6 +4,8 @@ cc/tri/sssp lives in test_oracle_parity.py."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from pagerank_mapreduce_spark.graph import algorithms as GA
@@ -552,3 +554,41 @@ def test_scc_randomized_against_tarjan(spark):
             for r in GA.scc(_edges(spark, sorted(edge_set))).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+# --------------------------------------- Adamic-Adar link prediction
+
+
+def test_adamic_adar_hand_computed(spark):
+    from pagerank_mapreduce_spark.graph.algorithms import adamic_adar
+
+    # path-with-triangle: 1-2, 1-3, 2-3, 2-4; degrees 1:2 2:3 3:2 4:1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "src bigint, dst bigint"
+    )
+    got = sorted(
+        (r["u"], r["w"], r["score"])
+        for r in adamic_adar(edges).collect()
+    )
+    # only (1,4) and (3,4) are non-adjacent with a common neighbor
+    # (vertex 2, degree 3): score = 1/ln(3)
+    expect = round(1.0 / math.log(3.0), 6)
+    assert got == [(1, 4, expect), (3, 4, expect)]
+
+
+def test_adamic_adar_cap_and_edge_inclusion(spark):
+    from pagerank_mapreduce_spark.graph.algorithms import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "src bigint, dst bigint"
+    )
+    # capping out the degree-3 hub removes every scoring wedge whose
+    # tips are non-adjacent
+    assert adamic_adar(edges, max_center_degree=2).count() == 0
+    # with exclusion off, adjacent pairs score too: (2,3) through
+    # center 1 (deg 2), (1,2)/(1,3) through center 3/2...
+    all_pairs = {
+        (r["u"], r["w"]): r["score"]
+        for r in adamic_adar(edges, exclude_edges=False).collect()
+    }
+    assert all_pairs[(2, 3)] == round(1.0 / math.log(2.0), 6)

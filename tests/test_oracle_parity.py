@@ -8,6 +8,7 @@ the driver's value hash)."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -17,6 +18,16 @@ from pagerank_mapreduce_spark.sources.tables import TABLE_NAMES
 
 ORACLE_NAMES = [n for n, s in CATALOG.items() if s.oracle is not None]
 ROWS_ONLY_NAMES = [n for n, s in CATALOG.items() if s.oracle is None]
+
+# The parity gate is the suite's single largest file; the shard
+# runner (tools/run_tests.sh) splits it across processes by catalog
+# position: ORACLE_PARITY_SHARD="i/n" keeps every n-th entry starting
+# at i. Unset = the full gate (the default for plain pytest runs).
+_SHARD = os.environ.get("ORACLE_PARITY_SHARD")
+if _SHARD:
+    _i, _n = (int(x) for x in _SHARD.split("/"))
+    ORACLE_NAMES = ORACLE_NAMES[_i::_n]
+    ROWS_ONLY_NAMES = ROWS_ONLY_NAMES[_i::_n]
 
 
 @pytest.fixture(scope="module")
@@ -93,6 +104,10 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(sdf.columns) > 0
 
 
+@pytest.mark.skipif(
+    bool(_SHARD) and not _SHARD.startswith("0/"),
+    reason="whole-catalog check runs in parity shard 0 only",
+)
 def test_driver_window_rotation_is_fair():
     # The driver's correctness gate checks only the FIRST 50 catalog
     # entries, so the catalog rotates entries that have not yet

@@ -328,3 +328,39 @@ def test_tfidf_cosine_pairs_no_cartesian_and_keyed_joins(spark, sf_dir):
     assert "CartesianProduct" not in js, js
     plan = formatted_plan(df, execute=True)
     assert "ReusedExchange" in plan, "tf/df subtrees no longer shared"
+
+
+def test_ahash_probe_pairs_stays_bucket_shaped(spark, sf_dir):
+    # the 1-bit multi-probe path anchors pair generation inside the
+    # same keyed aggregation (no anchor x probe join): any join node
+    # means the one-sided explosion regressed to a relational join
+    # that would rescan the decode stage per branch
+    df = _q(spark, sf_dir, "mm_ahash_probe_pairs")
+    js = join_strategies(df)
+    assert not js, f"probe pair generation grew a join: {js}"
+
+
+def test_adamic_adar_no_cartesian_single_wedge_agg(spark, sf_dir):
+    # wedge pairs must come from the per-center neighbor-array
+    # explosion — a neighbor x neighbor relational join (or worse, a
+    # cartesian) is the scale regression this guards; the only joins
+    # are the existing-edge anti-join and AQE's broadcast choices
+    df = _q(spark, sf_dir, "graph_adamic_adar")
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+    assert sum(js.values()) <= 1, f"extra joins appeared: {js}"
+
+
+def test_roc_auc_single_partition_only_on_tiny_relations(spark, sf_dir):
+    # the rank computation must never globally sort the score
+    # relation: the plan's windows are (a) PARTITIONED by bucket and
+    # (b) an unpartitioned window over the <= n_buckets bucket-totals
+    # relation; the SinglePartition exchanges must all feed scalar
+    # aggregates or that tiny window, never the per-score relation
+    df = _q(spark, sf_dir, "ml_roc_auc")
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # the per-score aggregation itself must be a hash aggregate over
+    # a keyed exchange (partial -> final), proving the heavy relation
+    # shuffles on the score key rather than collapsing to one task
+    assert "hashpartitioning(_s" in plan, plan

@@ -729,3 +729,74 @@ def test_span_coverage_rejects_unknown_key_mode(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="gram_key"):
         D.dup_span_coverage(docs, gram_key="nope")
+
+
+# ------------------------------------- paragraph-level dedup (r8)
+
+
+def _para_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_paragraph_dedup_keeps_first_and_reassembles(spark):
+    from pagerank_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    docs = _para_docs(
+        spark,
+        [(1, "A\n\nB"), (2, "B\n\nC"), (3, "A\n\nC")],
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[1]["text"] == "A\n\nB" and got[1]["n_kept"] == 2
+    assert got[2]["text"] == "C" and got[2]["n_dropped"] == 1
+    # every paragraph of doc 3 lost, the row survives with empty text
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0
+    assert got[3]["n_dropped"] == 2
+
+
+def test_paragraph_dedup_is_idempotent(spark):
+    from pagerank_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    docs = _para_docs(
+        spark,
+        [(1, "x\n\ny\n\nz"), (2, "y\n\nw"), (3, "w\n\nx\n\nq")],
+    )
+    once = paragraph_dedup(docs)
+    twice = paragraph_dedup(once.filter(F.col("n_kept") > 0))
+    a = {(r["doc_id"], r["text"]) for r in once.filter(F.col("n_kept") > 0).collect()}
+    b = {(r["doc_id"], r["text"]) for r in twice.collect()}
+    assert a == b
+    assert all(r["n_dropped"] == 0 for r in twice.collect())
+
+
+def test_paragraph_dedup_drops_blank_fragments(spark):
+    from pagerank_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    docs = _para_docs(spark, [(1, "A\n\n   \n\nB")])
+    got = paragraph_dedup(docs).first()
+    assert got["text"] == "A\n\nB"
+    assert got["n_kept"] == 2 and got["n_dropped"] == 0
+
+
+def test_word_chunk_splitter_remainder_and_dedup(spark):
+    from pagerank_mapreduce_spark.operators.dedup import (
+        paragraph_dedup,
+        word_chunk_splitter,
+    )
+
+    docs = _para_docs(
+        spark,
+        [(1, "a b c d e f g"), (2, "a b c x y")],
+    )
+    chunks = docs.select(
+        F.posexplode(word_chunk_splitter("text", 3)).alias("pos", "p")
+    )
+    assert [r["p"] for r in chunks.collect() if r["pos"] == 2] == ["g"]
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            docs, splitter=word_chunk_splitter("text", 3), joiner=" "
+        ).collect()
+    }
+    # doc 2's first chunk "a b c" loses to doc 1's
+    assert got[2]["text"] == "x y" and got[2]["n_dropped"] == 1
+    assert got[1]["text"] == "a b c d e f g"

@@ -1,35 +1,55 @@
 #!/usr/bin/env bash
 # Sharded test runner: N concurrent pytest processes, each with its
 # own Spark JVM (pytest-xdist is not in the container; session-scoped
-# Spark fixtures shard cleanly by FILE). Shards are balanced by
-# measured wall time, not test count — test_oracle_parity.py alone
-# (203 DuckDB parity checks) is shard A.
+# Spark fixtures shard cleanly by FILE). Two levers keep wall time
+# under ~10 min on the 32-core host:
+#
+# - balance by measured wall time, not test count — the DuckDB parity
+#   gate (the largest file) is split across two processes by catalog
+#   position (ORACLE_PARITY_SHARD, see tests/test_oracle_parity.py),
+#   and the property/determinism and graph files get their own shards
+# - cap each JVM at SPARK_GRAFT_CPUS=8: eight local[8] sessions are a
+#   2x oversubscription of the 32 cores, versus 5x local[32] = 160
+#   threads, which serialized every shard on scheduler contention
+#   (shard C: 9m21s idle vs 15m09s under the old 5x32 layout)
 #
 # Usage: tools/run_tests.sh            # all shards, concurrent
-#        tools/run_tests.sh A         # one shard, serial
+#        tools/run_tests.sh A1        # one shard, serial (full cores)
 # Exit code: 0 iff every shard passed.
 set -u
 cd "$(dirname "$0")/.."
 
-declare -A SHARDS
-SHARDS[A]="tests/test_oracle_parity.py"
+declare -A SHARDS SHARDENV
+SHARDS[A1]="tests/test_oracle_parity.py"
+SHARDENV[A1]="ORACLE_PARITY_SHARD=0/2"
+SHARDS[A2]="tests/test_oracle_parity.py"
+SHARDENV[A2]="ORACLE_PARITY_SHARD=1/2"
 SHARDS[B]="tests/test_streaming.py tests/test_streaming_joins.py tests/test_dedup_ingest.py tests/test_sketches.py tests/test_skew_rmat_stateful.py tests/test_cdc.py tests/test_incremental.py tests/test_mm_text_pairs.py"
-SHARDS[C]="tests/test_properties.py tests/test_zorder.py tests/test_expectations.py tests/test_determinism.py"
-SHARDS[E]="tests/test_graph_algorithms.py tests/test_pagerank.py"
+SHARDS[C1]="tests/test_properties.py tests/test_zorder.py tests/test_expectations.py tests/test_evaluation.py"
+SHARDS[C2]="tests/test_determinism.py"
+SHARDENV[C2]="DETERMINISM_SHARD=0/2"
+SHARDS[C3]="tests/test_determinism.py"
+SHARDENV[C3]="DETERMINISM_SHARD=1/2"
 SHARDS[D]="tests/test_text_dedup.py tests/test_asof_range.py tests/test_mapreduce_ops.py tests/test_plan_audit.py tests/test_ranking.py tests/test_packing_decontam.py tests/test_jsonl_source.py tests/test_schema_evolution.py tests/test_sinks_bucketed.py tests/test_partitioned.py tests/test_approx_aggregates.py tests/test_fixture_schemas.py tests/test_bucketing.py"
+SHARDS[E1]="tests/test_pagerank.py"
+SHARDS[E2]="tests/test_graph_algorithms.py"
+
+ALL_SHARDS=(A1 A2 B C1 C2 C3 D E1 E2)
 
 if [ $# -ge 1 ]; then
   # shellcheck disable=SC2086
-  exec python -m pytest ${SHARDS[$1]} -q
+  exec env ${SHARDENV[$1]:-} python -m pytest ${SHARDS[$1]} -q
 fi
 
+CPUS="${SPARK_GRAFT_TEST_CPUS:-8}"
 mkdir -p .testlogs
 pids=()
 names=()
 t0=$(date +%s)
-for s in A B C D E; do
+for s in "${ALL_SHARDS[@]}"; do
   # shellcheck disable=SC2086
-  python -m pytest ${SHARDS[$s]} -q >".testlogs/shard_$s.log" 2>&1 &
+  env ${SHARDENV[$s]:-} SPARK_GRAFT_CPUS="$CPUS" \
+    python -m pytest ${SHARDS[$s]} -q >".testlogs/shard_$s.log" 2>&1 &
   pids+=($!)
   names+=("$s")
 done
