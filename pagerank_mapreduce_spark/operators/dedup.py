@@ -956,3 +956,83 @@ def word_chunk_splitter(
         ),
         lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
     )
+
+
+# ------------------------------- prefix-filtering Jaccard join (r8)
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_prefix_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (Chaudhuri et al. 2006; the base filter of PPJoin) — the
+    deterministic complement to MinHash-LSH: same candidate-then-
+    verify shape, but the candidate generator is LOSSLESS, so the
+    output is exactly every pair with J(A, B) >= threshold.
+
+    The theorem: order each document's distinct tokens by ascending
+    corpus frequency (rarest first, ties by token) and take the first
+    ``|d| - ceil(t*|d|) + 1`` as its prefix; two sets with Jaccard
+    >= t must share at least one prefix token. Candidates are
+    therefore the in-bucket pairs of the prefix-token buckets —
+    equi-join shaped, and the buckets are built from each document's
+    RAREST tokens, which is what keeps them small on natural corpora.
+    Verification computes the exact Jaccard from the full token sets.
+
+    ``max_prefix_bucket`` caps degenerate buckets (house guard, with
+    the observe metric) — but unlike the LSH generators a drop here
+    breaks the exactness guarantee, so the default is None; prefer a
+    higher threshold (shorter prefixes) on skewed corpora. The float
+    prefix length subtracts 1e-9 before ceil so an ulp of overshoot
+    in t*n can only lengthen a prefix (extra candidates), never
+    shorten it (missed pairs). Output (a, b, jaccard), a < b,
+    jaccard rounded to 6."""
+    from pagerank_mapreduce_spark.functions.text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_tokens(text_col))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    per_doc = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfc", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ts")
+        )
+    )
+    n = F.size("ts")
+    plen = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+    prefixes = per_doc.select(
+        "doc_id", F.explode(F.slice("ts", 1, plen)).alias("ptok")
+    )
+    buckets = (
+        prefixes.groupBy("ptok")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    buckets = _hot_bucket_guard(buckets, max_prefix_bucket, "ids")
+    cand = _explode_member_pairs(buckets, "ids").distinct()
+    a_sets = per_doc.select(
+        F.col("doc_id").alias("a"), F.col("ts").alias("_ta")
+    )
+    b_sets = per_doc.select(
+        F.col("doc_id").alias("b"), F.col("ts").alias("_tb")
+    )
+    jac = F.size(F.array_intersect("_ta", "_tb")) / F.size(
+        F.array_union("_ta", "_tb")
+    )
+    return (
+        cand.join(a_sets, "a")
+        .join(b_sets, "b")
+        .withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("a", "b", F.round("_j", 6).alias("jaccard"))
+    )

@@ -3948,6 +3948,36 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_jaccard_prefix",
+    # the oracle is the BRUTE-FORCE all-pairs Jaccard at the same
+    # threshold — parity therefore proves the prefix filter's
+    # LOSSLESSNESS (every qualifying pair survived candidate
+    # generation), not just the verification arithmetic. Quadratic on
+    # the oracle side only; the engine never builds the pair matrix.
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                                       '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       s AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+       p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                    / (len(a.ts) + len(b.ts)
+                       - len(list_intersect(a.ts, b.ts))) AS j
+             FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       SELECT a, b, round(j, 6) AS jaccard FROM p WHERE j >= 0.95""",
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Jaccard similarity join (prefix filtering, rarest-first):
+    # the deterministic near-dup generator next to the probabilistic
+    # MinHash family; t=0.95 because the synthetic vocabulary is ~30
+    # words, so whole-corpus token overlap is already ~0.63 mean
+    return D.jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.95
+    )
+
+
+@_q(
     "stream_enrich_dim",
     """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",

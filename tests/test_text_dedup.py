@@ -800,3 +800,56 @@ def test_word_chunk_splitter_remainder_and_dedup(spark):
     # doc 2's first chunk "a b c" loses to doc 1's
     assert got[2]["text"] == "x y" and got[2]["n_dropped"] == 1
     assert got[1]["text"] == "a b c d e f g"
+
+
+# --------------------------------- prefix-filtering Jaccard join (r8)
+
+
+def test_jaccard_prefix_hand_computed(spark):
+    docs = _para_docs(
+        spark, [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")]
+    )
+    # J(1,2) = 3/5 = 0.6; doc 3 shares nothing
+    got = D.jaccard_prefix_pairs(docs, threshold=0.6).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in got] == [(1, 2, 0.6)]
+    assert D.jaccard_prefix_pairs(docs, threshold=0.61).count() == 0
+
+
+def test_jaccard_prefix_is_lossless_vs_brute_force(spark):
+    # deterministic random-ish corpus over a 12-token vocabulary:
+    # every brute-force qualifying pair must survive the prefix
+    # filter (the theorem), and nothing else may appear
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        toks = sorted({vocab[(d * 7 + k * k) % 12] for k in range(3 + d % 7)})
+        rows.append((d, " ".join(toks)))
+    docs = _para_docs(spark, rows)
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in D.jaccard_prefix_pairs(docs, threshold=t).collect()
+        }
+        sets = {d: set(s.split()) for d, s in rows}
+        expect = {}
+        for a in range(40):
+            for b in range(a + 1, 40):
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= t:
+                    expect[(a, b)] = round(j, 6)
+        assert got == expect, f"threshold {t}"
+
+
+def test_jaccard_prefix_cap_documents_exactness_trade(spark):
+    # capping a prefix bucket drops qualifying pairs — allowed only
+    # as an explicit opt-in, so verify it actually drops
+    docs = _para_docs(
+        spark, [(i, "a b c") for i in range(5)]
+    )
+    assert D.jaccard_prefix_pairs(docs, threshold=1.0).count() == 10
+    assert (
+        D.jaccard_prefix_pairs(
+            docs, threshold=1.0, max_prefix_bucket=2
+        ).count()
+        == 0
+    )
