@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ml_roc_auc",
     "ml_spearman_corr",
     "graph_adamic_adar",
+    "dedup_fuzzy_pairs",
 ]
 
 

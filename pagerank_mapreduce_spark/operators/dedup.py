@@ -1036,3 +1036,86 @@ def jaccard_prefix_pairs(
         .filter(F.col("_j") >= threshold)
         .select("a", "b", F.round("_j", 6).alias("jaccard"))
     )
+
+
+# ------------------------- deletion-neighborhood fuzzy match (r8)
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Edit-distance pair generation via deletion neighborhoods
+    (FastSS, Bocek et al. 2007; SymSpell's index): register every
+    string under itself AND each of its delete-one-character
+    variants; any two strings within Levenshtein distance 1 share at
+    least one key (substitution: both delete the differing position;
+    insertion/deletion: the longer side's delete-variant IS the
+    shorter string's raw key), so the candidate generation is
+    LOSSLESS for ``max_dist=1``. Verification recomputes the exact
+    Levenshtein inside the bucket and keeps pairs <= max_dist; false
+    bucket collisions (e.g. transpositions, true distance 2) are
+    filtered there. Output (a, b, dist), a < b by id.
+
+    Why deletion keys and not positional segment blocking: pigeonhole
+    segments degenerate on data with a low-entropy region (a constant
+    prefix puts the entire relation into one segment bucket — the
+    TPC-H 'Customer#0000...' names are exactly that). A delete-one
+    key always retains every OTHER position, so bucket sizes are
+    bounded by the alphabet at the deleted position, whatever the
+    rest of the string looks like.
+
+    ``max_dist`` is restricted to 1: distance d needs delete-d
+    neighborhoods, C(len, d) keys per string — past 1, band the
+    string into q-grams (the SimHash/MinHash route) instead. Hot
+    buckets (a clique of near-identical strings) drop whole under the
+    house cap with an observe metric."""
+    if max_dist != 1:
+        raise ValueError(f"max_dist must be 1, got {max_dist!r}")
+    s = F.col(text_col)
+    n = F.length(s)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.concat(
+            s.substr(F.lit(1), p - 1), s.substr(p + 1, n - p)
+        ),
+    )
+    keys = F.concat(F.array(s), dels)
+    registered = df.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.explode(keys).alias("_k"),
+    ).distinct()  # a string registers each distinct key once
+    buckets = (
+        registered.groupBy("_k")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_id", "_s"))).alias(
+                "ids"
+            )
+        )
+        .filter(F.size("ids") > 1)
+    )
+    buckets = _hot_bucket_guard(buckets, max_bucket_size, "ids")
+    pairs = _explode_member_pairs(
+        buckets,
+        "ids",
+        pair_builder=lambda x, y: F.struct(
+            x["_id"].alias("a"),
+            y["_id"].alias("b"),
+            x["_s"].alias("_sa"),
+            y["_s"].alias("_sb"),
+        ),
+    )
+    return (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.levenshtein("_sa", "_sb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

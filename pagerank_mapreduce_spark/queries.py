@@ -3978,6 +3978,30 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_fuzzy_pairs",
+    # brute-force all-pairs Levenshtein oracle: parity proves the
+    # deletion-neighborhood index is lossless at distance 1 (every
+    # qualifying pair co-occurs in some delete-one bucket), not just
+    # the verification. Quadratic on the oracle side only.
+    """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+       SELECT a.id AS a, b.id AS b,
+              CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+       FROM c a JOIN c b ON a.id < b.id
+       WHERE levenshtein(a.s, b.s) <= 1""",
+)
+def q_dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity-resolution pair generation (FastSS deletion
+    # neighborhoods): the edit-distance face of the candidate-verify
+    # family — segment blocking would degenerate on the constant
+    # 'Customer#' prefix, delete-one keys do not (see
+    # operators/dedup.py: fuzzy_match_pairs)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    return D.fuzzy_match_pairs(cust, "s", id_col="id")
+
+
+@_q(
     "stream_enrich_dim",
     """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",

@@ -364,3 +364,13 @@ def test_roc_auc_single_partition_only_on_tiny_relations(spark, sf_dir):
     # a keyed exchange (partial -> final), proving the heavy relation
     # shuffles on the score key rather than collapsing to one task
     assert "hashpartitioning(_s" in plan, plan
+
+
+def test_fuzzy_pairs_plan_is_bucket_shaped(spark, sf_dir):
+    # deletion-neighborhood candidates are one keyed aggregation over
+    # the registered keys with in-bucket explosion and JVM-side
+    # levenshtein — a join (or worse, a cartesian against the name
+    # relation) means the index regressed to relational matching
+    df = _q(spark, sf_dir, "dedup_fuzzy_pairs")
+    js = join_strategies(df)
+    assert not js, f"fuzzy pair generation grew a join: {js}"

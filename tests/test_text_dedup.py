@@ -853,3 +853,71 @@ def test_jaccard_prefix_cap_documents_exactness_trade(spark):
         ).count()
         == 0
     )
+
+
+# ------------------------- deletion-neighborhood fuzzy match (r8)
+
+
+def test_fuzzy_pairs_all_edit_types(spark):
+    # substitution (cat/cut), deletion (cat/at), insertion (cat/cart)
+    # all land at distance 1; (cut/at) and (at/cart) are distance 2
+    docs = _para_docs(
+        spark, [(1, "cat"), (2, "cut"), (3, "at"), (4, "cart")]
+    )
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in D.fuzzy_match_pairs(docs, "text").collect()
+    )
+    assert got == [(1, 2, 1), (1, 3, 1), (1, 4, 1)]
+
+
+def test_fuzzy_pairs_transposition_is_filtered(spark):
+    # "ab" and "ba" share delete-one buckets ("a" and "b") but their
+    # Levenshtein distance is 2 -- verification must drop them
+    docs = _para_docs(spark, [(1, "ab"), (2, "ba")])
+    assert D.fuzzy_match_pairs(docs, "text").count() == 0
+
+
+def test_fuzzy_pairs_exact_duplicates_pair_at_zero(spark):
+    docs = _para_docs(spark, [(1, "same"), (2, "same")])
+    got = D.fuzzy_match_pairs(docs, "text").collect()
+    assert [(r["a"], r["b"], r["dist"]) for r in got] == [(1, 2, 0)]
+
+
+def test_fuzzy_pairs_lossless_vs_brute_force(spark):
+    import itertools
+
+    vals = [
+        "Customer#0041", "Customer#0042", "Customer#0043",
+        "Customer#0142", "Customer#1042", "Customer#004",
+        "Customer#00425", "Xustomer#0042", "Customer#9999",
+    ]
+    rows = list(enumerate(vals))
+    docs = _para_docs(spark, rows)
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in D.fuzzy_match_pairs(docs, "text").collect()
+    )
+
+    def lev(x, y):
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (cx != cy)
+                )
+        return d[len(y)]
+
+    expect = sorted(
+        (a, b, lev(va, vb))
+        for (a, va), (b, vb) in itertools.combinations(rows, 2)
+        if lev(va, vb) <= 1
+    )
+    assert got == expect
+
+
+def test_fuzzy_pairs_rejects_unsupported_distance(spark):
+    docs = _para_docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="max_dist"):
+        D.fuzzy_match_pairs(docs, "text", max_dist=2)
