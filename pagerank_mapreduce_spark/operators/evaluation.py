@@ -113,8 +113,14 @@ def roc_auc(
     y = (
         F.col(label_col) if isinstance(label_col, str) else label_col
     ).cast("int")
+    base = df.select(F.col(score_col).alias("_s"), y.alias("_y")).filter(
+        # explicit, not incidental: a NULL score would otherwise fall
+        # out silently at the bucket join (NULL width_bucket), and a
+        # NULL label would poison the positive count
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
     ranked = _avg_ranks(
-        df.select(F.col(score_col).alias("_s"), y.alias("_y")),
+        base,
         "_s",
         [F.sum("_y").alias("_np")],
         n_buckets,

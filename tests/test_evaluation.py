@@ -113,3 +113,13 @@ def test_spearman_excludes_null_rows(spark):
     out = spearman_corr(df, "x", "y").first()
     assert out["n"] == 3
     assert out["rho"] == 1.0
+
+
+def test_auc_excludes_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, None), (None, 1), (3.0, 1), (4.0, 1)],
+        "score double, y int",
+    )
+    out = roc_auc(df, "score", "y").first()
+    assert (out["n_pos"], out["n_neg"]) == (2, 1)
+    assert out["auc"] == 1.0
