@@ -318,3 +318,81 @@ def test_resample_matches_python_carry(spark, rows):
                 want[(k, g)] = carried[-1]
             g += timedelta(hours=1)
     assert got == want
+
+
+# ------------------------------- paragraph dedup / fuzzy match (r8)
+
+para_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SPARK_SETTINGS
+@given(corpus=para_corpora)
+def test_paragraph_dedup_brute_force_and_idempotent(spark, corpus):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in D.paragraph_dedup(docs).collect()
+    }
+    # python model: corpus-wide keep-first by (doc_id, pos)
+    seen: set[str] = set()
+    for i, paras in enumerate(corpus):
+        kept = []
+        dropped = 0
+        for p in paras:
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == ("\n\n".join(kept), len(kept), dropped), (i, corpus)
+    # idempotence: a second pass never drops anything
+    once = D.paragraph_dedup(docs).filter(F.col("n_kept") > 0)
+    again = D.paragraph_dedup(once.select("doc_id", "text"))
+    assert again.filter(F.col("n_dropped") > 0).count() == 0
+
+
+short_words = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SPARK_SETTINGS
+@given(words=short_words)
+def test_fuzzy_pairs_brute_force_on_random_strings(spark, words):
+    # tiny alphabet + short strings maximize collisions, including
+    # empty strings, duplicates, and transpositions
+    rows = list(enumerate(words))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in D.fuzzy_match_pairs(docs, "text").collect()
+    )
+
+    def lev(x, y):
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cx != cy))
+        return d[len(y)]
+
+    expect = sorted(
+        (a, b, lev(wa, wb))
+        for a, wa in rows
+        for b, wb in rows
+        if a < b and lev(wa, wb) <= 1
+    )
+    assert got == expect, words
