@@ -908,13 +908,7 @@ def paragraph_dedup(
     flags survivors, one groupBy(doc_id) reassembles. No driver
     state, no cross join, per-doc memory bounded by the document
     itself."""
-    if splitter is None:
-        splitter = F.split(F.col(text_col), r"\n{2,}")
-    paras = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(splitter).alias("pos", "para"),
-    ).filter(F.length(F.trim(F.col("para"))) > 0)
-    paras = paras.withColumn("fp", F.md5(F.col("para")))
+    paras = split_paragraphs(df, splitter, text_col, id_col)
     winners = paras.groupBy("fp").agg(
         F.min(F.struct("doc_id", "pos")).alias("w")
     )
@@ -923,7 +917,37 @@ def paragraph_dedup(
         (F.col("doc_id") == F.col("w.doc_id"))
         & (F.col("pos") == F.col("w.pos")),
     )
-    return flagged.groupBy("doc_id").agg(
+    return reassemble_marked(flagged, text_col, joiner)
+
+
+def split_paragraphs(
+    df: DataFrame,
+    splitter: Column | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared split stage of the paragraph-dedup family: one row per
+    non-blank paragraph — (doc_id, pos, para, fp) with fp = md5."""
+    if splitter is None:
+        splitter = F.split(F.col(text_col), r"\n{2,}")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(splitter).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("fp", F.md5(F.col("para")))
+    )
+
+
+def reassemble_marked(
+    marked: DataFrame, text_col: str = "text", joiner: str = "\n\n"
+) -> DataFrame:
+    """Shared rebuild stage: given (doc_id, pos, para, keep), emit one
+    row per document — survivors joined in original order plus the
+    kept/dropped counts (a document whose every paragraph lost keeps
+    its row with text='' / n_kept=0)."""
+    return marked.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(

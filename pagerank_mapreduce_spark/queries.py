@@ -3978,6 +3978,68 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_paragraphs_incremental",
+    # the ingest kernel replayed exactly: index = every distinct
+    # chunk fingerprint of the even-id seed corpus; the odd-id batch
+    # anti-joins it, elects keep-first among its own fresh chunks,
+    # and rebuilds — both the index drop and the in-batch loss count
+    # as n_dropped
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+       c AS (SELECT doc_id, i AS pos,
+                    array_to_string(list_slice(ws, i*3 + 1, i*3 + 3),
+                                    ' ') AS para
+             FROM w, unnest(range(0, CAST(ceil(len(ws) / 3.0) AS INT)))
+                     AS t(i)),
+       p AS (SELECT doc_id, pos, para, md5(para) AS fp
+             FROM c WHERE trim(para) <> ''),
+       idx AS (SELECT DISTINCT fp FROM p WHERE doc_id % 2 = 0),
+       nw AS (SELECT * FROM p WHERE doc_id % 2 = 1),
+       kept AS (SELECT doc_id, pos FROM (
+                  SELECT n.doc_id, n.pos,
+                         row_number() OVER (PARTITION BY n.fp
+                                            ORDER BY n.doc_id, n.pos)
+                           AS rn
+                  FROM nw n ANTI JOIN idx i ON n.fp = i.fp)
+                WHERE rn = 1),
+       m AS (SELECT n.doc_id, n.pos, n.para,
+                    k.pos IS NOT NULL AS keep
+             FROM nw n LEFT JOIN kept k
+               ON n.doc_id = k.doc_id AND n.pos = k.pos)
+       SELECT doc_id,
+              coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+                                  ORDER BY pos), '') AS text,
+              count(CASE WHEN keep THEN 1 END) AS n_kept,
+              count(CASE WHEN NOT keep THEN 1 END) AS n_dropped
+       FROM m GROUP BY doc_id""",
+)
+def q_dedup_paragraphs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the batch kernel of the paragraph-granularity ingest loop
+    # (streaming/dedup_ingest.py: paragraph_ingest_batch — the
+    # streaming wrapper is kappa-parity tested in
+    # tests/test_dedup_ingest.py); cost scales with the batch, the
+    # index contributes one anti-join on the fingerprint
+    from pagerank_mapreduce_spark.streaming.dedup_ingest import (
+        paragraph_ingest_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    splitter = D.word_chunk_splitter("text", 3)
+    seed_fps = (
+        D.split_paragraphs(docs.filter(F.col("doc_id") % 2 == 0), splitter)
+        .select("fp")
+        .distinct()
+    )
+    accepted, _new_fps = paragraph_ingest_batch(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        seed_fps,
+        splitter=splitter,
+        joiner=" ",
+    )
+    return accepted
+
+
+@_q(
     "dedup_fuzzy_pairs",
     # brute-force all-pairs Levenshtein oracle: parity proves the
     # deletion-neighborhood index is lossless at distance 1 (every

@@ -34,7 +34,12 @@ from pagerank_mapreduce_spark.operators.dedup import (
     minhash_incremental_pairs,
 )
 
-__all__ = ["ingest_batch", "start_dedup_ingest"]
+__all__ = [
+    "ingest_batch",
+    "start_dedup_ingest",
+    "paragraph_ingest_batch",
+    "start_paragraph_ingest",
+]
 
 
 def ingest_batch(
@@ -130,6 +135,110 @@ def start_dedup_ingest(
             **lsh_kwargs,
         )
         accepted.write.mode("append").parquet(accepted_path)
+
+    return (
+        stream.writeStream.foreachBatch(_once)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# -------------------------- paragraph-granularity ingest (round 8)
+
+
+def paragraph_ingest_batch(
+    batch: DataFrame,
+    index_fps: DataFrame,
+    splitter=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "\n\n",
+) -> tuple[DataFrame, DataFrame]:
+    """Paragraph-granularity admission for one micro-batch: drop every
+    paragraph whose fingerprint is already in the accumulated index
+    (an anti-join on fp — cost scales with the batch, not the
+    corpus), elect keep-first winners among the batch's own fresh
+    paragraphs (two copies arriving together admit one), and rebuild
+    the documents. Returns ``(accepted, new_fps)``: the rebuilt docs
+    with (doc_id, text, n_kept, n_dropped), and the distinct
+    fingerprints the index must absorb before the next batch.
+
+    Same batch-kernel-pure shape as :func:`ingest_batch`: driving the
+    batches sequentially with a growing index produces EXACTLY
+    ``paragraph_dedup`` over the concatenated corpus whenever ids are
+    monotone across batches (the kappa parity the tests pin)."""
+    from pagerank_mapreduce_spark.operators.dedup import (
+        reassemble_marked,
+        split_paragraphs,
+    )
+
+    paras = split_paragraphs(batch, splitter, text_col, id_col)
+    fresh = paras.join(
+        index_fps.select("fp").distinct(), "fp", "left_anti"
+    )
+    winners = fresh.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = (
+        fresh.join(winners, "fp")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("pos") == F.col("w.pos"))
+        )
+        .select("doc_id", "pos")
+        .withColumn("keep", F.lit(True))
+    )
+    marked = paras.join(kept, ["doc_id", "pos"], "left").withColumn(
+        "keep", F.coalesce(F.col("keep"), F.lit(False))
+    )
+    accepted = reassemble_marked(marked, text_col, joiner)
+    new_fps = (
+        marked.filter(F.col("keep")).select("fp").distinct()
+    )
+    return accepted, new_fps
+
+
+def start_paragraph_ingest(
+    stream: DataFrame,
+    accepted_path: str,
+    fps_path: str,
+    checkpoint_path: str,
+    splitter=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "\n\n",
+):
+    """Run the paragraph-dedup ingest loop: per micro-batch, drop
+    index-known paragraphs, elect in-batch winners, append the
+    rebuilt documents to ``accepted_path`` and the newly-seen
+    fingerprints to ``fps_path`` (the growing index the NEXT batch
+    anti-joins). Same index-read failure posture as
+    :func:`start_dedup_ingest`: only a genuinely missing fps dir may
+    fall back to an empty index. Returns the StreamingQuery."""
+    spark: SparkSession = stream.sparkSession
+
+    def _dir_exists(path: str) -> bool:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
+    def _once(batch_df: DataFrame, batch_id: int) -> None:
+        if _dir_exists(fps_path):
+            index_fps = spark.read.schema("fp string").parquet(fps_path)
+        else:
+            index_fps = spark.createDataFrame([], "fp string")
+        accepted, new_fps = paragraph_ingest_batch(
+            batch_df,
+            index_fps,
+            splitter=splitter,
+            text_col=text_col,
+            id_col=id_col,
+            joiner=joiner,
+        )
+        accepted.write.mode("append").parquet(accepted_path)
+        new_fps.write.mode("append").parquet(fps_path)
 
     return (
         stream.writeStream.foreachBatch(_once)

@@ -78,3 +78,78 @@ def test_stream_ingest_grows_index_across_batches(spark, tmp_path):
         r.doc_id for r in acc1.unionByName(acc2).collect()
     )
     assert batch_got == got
+
+
+# ----------------------------- paragraph-granularity ingest (r8)
+
+P1 = [
+    (10, "intro\n\nshared boiler\n\nalpha facts"),
+    (11, "intro\n\nbeta facts"),  # "intro" loses to doc 10 in-batch
+]
+P2 = [
+    (20, "shared boiler\n\ngamma facts"),  # boiler known from batch 1
+    (21, "delta facts\n\ndelta facts"),  # self-repeat admits once
+]
+
+
+def test_paragraph_ingest_batch_semantics(spark):
+    from pagerank_mapreduce_spark.streaming.dedup_ingest import (
+        paragraph_ingest_batch,
+    )
+
+    empty = spark.createDataFrame([], "fp string")
+    acc1, fps1 = paragraph_ingest_batch(_df(spark, P1), empty)
+    got1 = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+            for r in acc1.collect()}
+    assert got1[10] == ("intro\n\nshared boiler\n\nalpha facts", 3, 0)
+    assert got1[11] == ("beta facts", 1, 1)
+    assert fps1.count() == 4  # intro, boiler, alpha, beta
+
+    acc2, fps2 = paragraph_ingest_batch(_df(spark, P2), fps1)
+    got2 = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+            for r in acc2.collect()}
+    assert got2[20] == ("gamma facts", 1, 1)
+    assert got2[21] == ("delta facts", 1, 1)
+    assert fps2.count() == 2  # gamma, delta
+
+
+def test_stream_paragraph_ingest_matches_corpus_dedup(spark, tmp_path):
+    import os
+    import time
+
+    from pagerank_mapreduce_spark.operators.dedup import paragraph_dedup
+    from pagerank_mapreduce_spark.streaming.dedup_ingest import (
+        start_paragraph_ingest,
+    )
+
+    src = tmp_path / "psrc"
+    src.mkdir()
+    pd.DataFrame(P1, columns=["doc_id", "text"]).to_parquet(src / "b1.parquet")
+    pd.DataFrame(P2, columns=["doc_id", "text"]).to_parquet(src / "b2.parquet")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_paragraph_ingest(
+        stream,
+        str(tmp_path / "paccepted"),
+        str(tmp_path / "pfps"),
+        str(tmp_path / "pckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_kept"], r["n_dropped"])
+        for r in spark.read.parquet(str(tmp_path / "paccepted")).collect()
+    )
+    # kappa parity: ids are monotone across batches, so the stream
+    # must equal corpus-wide paragraph_dedup over all four docs
+    expect = sorted(
+        (r["doc_id"], r["text"], r["n_kept"], r["n_dropped"])
+        for r in paragraph_dedup(_df(spark, P1 + P2)).collect()
+    )
+    assert got == expect
