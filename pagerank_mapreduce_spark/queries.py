@@ -2592,6 +2592,64 @@ def q_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_clustering_coeff",
+    # local clustering coefficient = 2*tri(v) / (deg(v)*(deg(v)-1))
+    # over the canonical undirected graph; degree-1 vertices are
+    # excluded (undefined denominator), triangle-free vertices emit 0
+    f"""WITH t AS ({GA.triangles_sql(_EDGES_SQL)}),
+       tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+              FROM (SELECT v1 AS v FROM t
+                    UNION ALL SELECT v2 FROM t
+                    UNION ALL SELECT v3 FROM t) x
+              GROUP BY v),
+       ed AS ({_EDGES_SQL}),
+       up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM ed WHERE src <> dst),
+       deg AS (SELECT v, count(*) AS d FROM (
+                 SELECT a AS v FROM up UNION ALL SELECT b FROM up) x
+               GROUP BY v)
+       SELECT deg.v, round(2.0 * coalesce(tv.n_tri, 0)
+                           / (deg.d * (deg.d - 1)), 6) AS cc
+       FROM deg LEFT JOIN tv ON deg.v = tv.v
+       WHERE deg.d >= 2""",
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the classic transitivity metric: per-vertex triangle membership
+    # over the wedge capacity — composes the degree-ordered triangle
+    # enumeration (O(m^1.5) wedges) with the degree relation; a
+    # left join keeps triangle-free vertices at 0
+    edges = derive_edges(spark, sf_dir, N_GRAPH)
+    t = GA.triangles(edges)
+    tv = (
+        t.select(F.col("v1").alias("v"))
+        .unionAll(t.select(F.col("v2").alias("v")))
+        .unionAll(t.select(F.col("v3").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    und = GA.edge_upper(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tv, "v", "left")
+        .select(
+            "v",
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("cc"),
+        )
+    )
+
+
+@_q(
     "graph_adamic_adar",
     # 10000-vertex space, NOT N_GRAPH: link prediction presumes a
     # sparse graph (at the bench scale the 1000-vertex derivation is
