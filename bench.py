@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ml_spearman_corr",
     "graph_adamic_adar",
     "dedup_fuzzy_pairs",
+    "sim_ivf_lloyd_topk",
 ]
 
 

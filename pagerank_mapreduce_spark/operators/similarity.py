@@ -799,3 +799,75 @@ def pq_topk(
             "cos"
         ),
     )
+
+
+# --------------------------- deterministic Lloyd k-means (round 8)
+
+
+def lloyd_build(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assignment: str = "expr",
+    round_to: int = 9,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF build with a DETERMINISTIC fixed-iteration Lloyd codebook —
+    the oracle-replayable middle ground between ``ivf_sampled_build``
+    (no refinement) and ``ivf_build`` (Spark ML KMeans, whose
+    kmeans|| init and internal summation make the codebook
+    irreproducible in SQL):
+
+    - init: the ``n_lists`` smallest-id vectors (the sampled build's
+      codebook);
+    - each iteration: nearest-centroid assignment (squared-L2 argmin,
+      ties → lowest index — the same contract every assignment mode
+      here honors), then per-dimension mean ROUNDED to ``round_to``;
+      an emptied cluster keeps its previous centroid (the standard
+      Lloyd convention);
+    - exactly ``iters`` iterations, no convergence test.
+
+    The rounding is what makes the update replayable: engine and
+    oracle average the same doubles in different orders (~1e-15
+    apart) and the round collapses both to identical centroid
+    literals, so the NEXT iteration's assignment compares identical
+    codebooks. Per-iteration driver work is one k×dim collect — the
+    constant-size-codebook argument of every build here. Returns
+    (assigned, centroids) like the other builds."""
+    e = embeddings.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    rows = e.orderBy(id_col).limit(n_lists).collect()
+    if len(rows) < n_lists:
+        raise ValueError(
+            f"lloyd_build: {len(rows)} vectors < n_lists={n_lists}"
+        )
+    centroids = [[float(x) for x in r["_v"]] for r in rows]
+    for _ in range(iters):
+        assigned = assign_nearest_centroid(
+            e, centroids, "_v", "list_id", assignment
+        )
+        means = (
+            assigned.select(
+                "list_id", F.posexplode("_v").alias("_dim", "_x")
+            )
+            .groupBy("list_id", "_dim")
+            .agg(F.round(F.avg("_x"), round_to).alias("_m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], {})[r["_dim"]] = r["_m"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_list[i][d] for d in range(dim)]
+            if i in by_list
+            else centroids[i]
+            for i in range(n_lists)
+        ]
+    assigned = assign_nearest_centroid(
+        embeddings, centroids, vec_col, "list_id", assignment
+    )
+    return assigned, centroids

@@ -991,6 +991,79 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_probe_oracle(
+    n_lists: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10
+) -> str:
+    """DuckDB mirror of the deterministic-Lloyd IVF probe: the fixed
+    number of assignment/update iterations unrolls into CTE pairs
+    (argmin via ORDER BY dist, cid; update via per-dimension
+    round(avg, 9); emptied clusters keep the previous centroid via
+    the LEFT JOIN coalesce) — upgrading the learned-codebook path
+    from rows-only to a full hash check."""
+    parts = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n}))""".format(
+            n=n_lists
+        )
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.cv),
+                                               c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c),
+    asg{i} AS (SELECT vec_id, v, cid FROM a{i} WHERE rn = 1),
+    md{i} AS (SELECT cid, t.i - 1 AS dim, round(avg(v[t.i]), 9) AS m
+              FROM asg{i}, unnest(range(1, len(v) + 1)) AS t(i)
+              GROUP BY cid, dim),
+    mc{i} AS (SELECT cid, list(m ORDER BY dim) AS mv
+              FROM md{i} GROUP BY cid),
+    c{i} AS (SELECT c.cid, coalesce(mc.mv, c.cv) AS cv
+             FROM c{i - 1} c LEFT JOIN mc{i} mc USING (cid))"""
+        )
+    last = f"c{iters}"
+    parts.append(
+        f"""fa AS (SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, c.cv),
+                                             c.cid) AS rn
+          FROM e CROSS JOIN {last} c),
+    fasg AS (SELECT vec_id, v, cid FROM fa WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM {last}, q
+              ORDER BY list_distance(cv, qv), cid LIMIT {nprobe})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT fasg.vec_id,
+           round(round(list_cosine_similarity(fasg.v, q.qv), 8), 6) AS cos
+    FROM fasg, q
+    WHERE fasg.cid IN (SELECT cid FROM probe)
+    ORDER BY round(list_cosine_similarity(fasg.v, q.qv), 8) DESC,
+             fasg.vec_id
+    LIMIT {k}"""
+    )
+
+
+@_q("sim_ivf_lloyd_topk", _lloyd_probe_oracle())
+def q_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN with a deterministic fixed-iteration Lloyd codebook —
+    # the hash-checkable twin of sim_ivf_kmeans_topk: real centroid
+    # refinement (unlike the sampled build), exactly replayed by the
+    # oracle's unrolled assignment/update CTEs
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.lloyd_build(emb, n_lists=8, iters=2)
+    return S.ivf_topk(assigned, centroids, query, k=10, nprobe=2).select(
+        "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
 @_q("sim_ivf_kmeans_topk", None)  # learned codebook — rows-only
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN quality path: KMeans codebook + probe-pruned search;

@@ -921,3 +921,38 @@ def test_fuzzy_pairs_rejects_unsupported_distance(spark):
     docs = _para_docs(spark, [(1, "x")])
     with pytest.raises(ValueError, match="max_dist"):
         D.fuzzy_match_pairs(docs, "text", max_dist=2)
+
+
+# ------------------------------ deterministic Lloyd k-means (r8)
+
+
+def test_lloyd_build_refines_and_probe_all_is_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = S.lloyd_build(emb, n_lists=4, iters=2)
+    sampled_assigned, init = S.ivf_sampled_build(emb, n_lists=4)
+    # the update actually moved the codebook off the sampled init
+    assert centroids != init
+    # probe-all reproduces brute-force cosine top-k exactly
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = [
+        (r["vec_id"], r["cos"])
+        for r in S.ivf_topk(assigned, centroids, query, k=5, nprobe=4).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cos"])
+        for r in S.cosine_topk(emb, query, k=5).collect()
+    ]
+    assert got == brute
+
+
+def test_lloyd_build_requires_enough_vectors(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="lloyd_build"):
+        S.lloyd_build(emb, n_lists=5)
