@@ -1076,6 +1076,63 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sim_hard_negatives",
+    # contrastive-training staple: for each query vector, the top-k
+    # most similar vectors of a DIFFERENT label (semantically close,
+    # label-wise wrong = the hard negatives); replay is the plain
+    # score-filter-rank pipeline with the house cosine rounding and
+    # vec_id tiebreak
+    """WITH e AS (SELECT vec_id, label,
+                         CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+             FROM e WHERE vec_id < 5)
+       SELECT q.qid, e.vec_id AS nid,
+              round(round(list_cosine_similarity(e.v, q.qv), 8), 6) AS cos
+       FROM q JOIN e ON e.label <> q.qlabel
+       QUALIFY row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 8) DESC,
+                    e.vec_id) <= 5""",
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hard-negative mining for retrieval/contrastive training: the
+    # query side stays broadcast (a handful of anchors), the corpus
+    # side is one scan with per-partition partial top-k before the
+    # per-query selection — the sim_knn_join shape plus the
+    # different-label predicate
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = emb.join(
+        M.broadcast_small(q), F.col("label") != F.col("qlabel")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("qv").cast("array<double>"),
+            ),
+            8,
+        ).alias("_c"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_c").desc(), F.col("nid")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("qid", "nid", F.round("_c", 6).alias("cos"))
+    )
+
+
+@_q(
     "sim_embedding_near_dups",
     # Exact all-pairs cosine >= 0.9. The operator scores only same-
     # bucket pairs, so its output is a subset of this oracle; a
