@@ -1237,3 +1237,151 @@ def adamic_adar_sql(
              WHERE e.a IS NULL)
       SELECT u, w, score FROM ne
       QUALIFY row_number() OVER (ORDER BY score DESC, u, w) <= {top_k}"""
+
+
+# ------------------------------------------------ k-truss (round 8)
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Triangle count per canonical edge of ``und`` (a < b, deduped):
+    the degree-ordered wedge enumeration of :func:`triangles` inlined
+    WITHOUT its persists — inside the ktruss peel loop the input is
+    already a localCheckpoint, so the caches would only accumulate
+    across rounds. Returns (a, b, s)."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        und.join(da, und["a"] == F.col("da.v"))
+        .join(db, und["b"] == F.col("db.v"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | (
+                    (F.col("da.deg") == F.col("db.deg"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("lo"), F.col("a").alias("hi"))
+            )
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(w2, F.col("w1.lo") == F.col("w2.lo")).filter(
+        F.col("w1.hi") < F.col("w2.hi")
+    )
+    tri = wedges.join(
+        und.alias("c"),
+        (F.col("c.a") == F.col("w1.hi")) & (F.col("c.b") == F.col("w2.hi")),
+    ).select(
+        F.col("w1.lo").alias("x"),
+        F.col("w1.hi").alias("y"),
+        F.col("w2.hi").alias("z"),
+    )
+    pairs = (
+        tri.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .unionAll(
+            tri.select(
+                F.least("x", "z").alias("a"),
+                F.greatest("x", "z").alias("b"),
+            )
+        )
+        # the wedge filter guarantees y < z
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+    )
+    return pairs.groupBy("a", "b").agg(F.count("*").alias("s"))
+
+
+def ktruss(
+    edges: DataFrame, k: int = 4, max_iterations: int = 50
+) -> DataFrame:
+    """Edges of the k-truss (Cohen 2008): the maximal subgraph in
+    which every edge participates in at least ``k - 2`` triangles —
+    the edge analog of the k-core, and the standard cohesive-subgraph
+    primitive one notch stronger than it. Returns (a, b, support),
+    a < b, with ``support`` the edge's triangle count INSIDE the
+    truss.
+
+    Peeling loop in kcore's shape: per round, one degree-ordered
+    wedge self-join computes per-edge support (O(m^1.5) wedges, hubs
+    bounded by the orientation), edges below k-2 leave, and the
+    survivor count rides the round's localCheckpoint as an
+    Observation. Support is monotone under edge removal, so an
+    unchanged count is a fixed point — and that round's support
+    column is already the in-truss support, so the converged relation
+    is returned as-is. Raises on iteration exhaustion rather than
+    returning a non-truss (the scc convention; the bound is the peel
+    depth, in practice tens of rounds)."""
+    if k < 3:
+        raise ValueError(f"ktruss: k must be >= 3, got {k}")
+    und0 = edge_upper(edges)
+    with _loop_confs(und0) as cur:
+        prev_m = None
+        for rnd in range(max_iterations):
+            sup = _edge_support(cur)
+            keep = (
+                cur.join(sup, ["a", "b"], "left")
+                .withColumn("s", F.coalesce(F.col("s"), F.lit(0)))
+                .filter(F.col("s") >= k - 2)
+            )
+            obs = Observation(f"ktruss_round_{rnd}")
+            nxt = keep.observe(obs, F.count(F.lit(1)).alias("m")).localCheckpoint()
+            m = obs.get["m"]
+            if m == prev_m or m == 0:
+                return nxt.select(
+                    "a", "b", F.col("s").cast("bigint").alias("support")
+                )
+            prev_m = m
+            cur = nxt.select("a", "b")
+    raise RuntimeError(
+        f"ktruss: no fixed point within {max_iterations} rounds"
+    )
+
+
+def ktruss_oracle_sql(
+    edges_sql: str, k: int = 4, max_iterations: int = 50
+) -> str:
+    """DuckDB oracle replaying :func:`ktruss` round for round —
+    kcore_oracle_sql's stable-flag pattern over edges: each
+    generation recounts per-edge triangle support with a plain
+    three-way self-join (same triangle SET as the engine's
+    degree-ordered enumeration) and keeps edges at >= k-2; the
+    generation that reproduces its predecessor sets ``stable``. All
+    arithmetic is integer, so the parity has no float edge at all."""
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      t(it, a, b, s, stable) AS (
+        SELECT 0, a, b, 0, FALSE FROM up
+        UNION ALL
+        (WITH cur AS (SELECT it, a, b FROM t
+                      WHERE NOT stable AND it < {max_iterations}),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM cur e1 JOIN cur e2 ON e2.a = e1.b
+                 JOIN cur e3 ON e3.a = e1.a AND e3.b = e2.b),
+         sup AS (SELECT a, b, count(*) AS s FROM (
+                   SELECT x AS a, y AS b FROM tri
+                   UNION ALL SELECT y, z FROM tri
+                   UNION ALL SELECT x, z FROM tri) GROUP BY a, b),
+         nxt AS (SELECT c.it, c.a, c.b, coalesce(s.s, 0) AS s
+                 FROM cur c LEFT JOIN sup s
+                   ON c.a = s.a AND c.b = s.b
+                 WHERE coalesce(s.s, 0) >= {k - 2}),
+         chk AS (SELECT (SELECT count(*) FROM nxt)
+                      = (SELECT count(*) FROM cur) AS stable)
+         SELECT it + 1, a, b, s, (SELECT stable FROM chk) FROM nxt)
+      )
+      SELECT a, b, CAST(s AS BIGINT) AS support
+      FROM t WHERE stable AND it = (SELECT max(it) FROM t)"""

@@ -2722,6 +2722,18 @@ def q_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_ktruss",
+    GA.ktruss_oracle_sql(_EDGES_SQL, k=4),
+)
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-truss: the edge analog of k-core (every surviving edge sits in
+    # >= 2 triangles of the truss); the oracle replays the peel loop
+    # round for round as a recursive CTE with a stable flag — fully
+    # integer arithmetic, no float edge (graph/algorithms.py: ktruss)
+    return GA.ktruss(derive_edges(spark, sf_dir, N_GRAPH), k=4)
+
+
+@_q(
     "graph_clustering_coeff",
     # local clustering coefficient = 2*tri(v) / (deg(v)*(deg(v)-1))
     # over the canonical undirected graph; degree-1 vertices are

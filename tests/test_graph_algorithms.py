@@ -592,3 +592,68 @@ def test_adamic_adar_cap_and_edge_inclusion(spark):
         for r in adamic_adar(edges, exclude_edges=False).collect()
     }
     assert all_pairs[(2, 3)] == round(1.0 / math.log(2.0), 6)
+
+
+# --------------------------------------------------------- k-truss
+
+
+def test_ktruss_k4_keeps_clique_peels_pendant_triangle(spark):
+    # K4 on {1,2,3,4}: every edge in 2 triangles -> survives 4-truss;
+    # the pendant triangle (4,5,6) edges sit in only 1 -> peeled, and
+    # the peel cascades nothing else
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendant = [(4, 5), (4, 6), (5, 6)]
+    edges = _edges(spark, k4 + pendant)
+    got = sorted(
+        (r["a"], r["b"], r["support"]) for r in GA.ktruss(edges, k=4).collect()
+    )
+    assert got == [(a, b, 2) for a, b in k4]
+
+
+def test_ktruss_peel_cascades_to_empty(spark):
+    # a triangle chain: each edge has exactly 1 supporting triangle,
+    # so the 4-truss empties in one cascade
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)])
+    assert GA.ktruss(edges, k=4).count() == 0
+    # but the 3-truss (support >= 1) keeps both triangles
+    assert GA.ktruss(edges, k=3).count() == 5
+
+
+def test_ktruss_matches_python_peel_on_random_graph(spark):
+    import itertools
+
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(120)
+            for a, b in [((i * 7) % 13, (i * i + 3) % 13)]
+            if a != b
+        }
+    )
+    edges = _edges(spark, pairs)
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            sup = {e: 0 for e in es}
+            for x, y, z in itertools.combinations(sorted({v for e in es for v in e}), 3):
+                if (x, y) in es and (y, z) in es and (x, z) in es:
+                    for e in ((x, y), (y, z), (x, z)):
+                        sup[e] += 1
+            nxt = {e for e in es if sup[e] >= k - 2}
+            if nxt == es:
+                return {e: sup[e] for e in es}
+            es = nxt
+
+    for k in (3, 4, 5):
+        got = sorted(
+            (r["a"], r["b"], r["support"])
+            for r in GA.ktruss(edges, k=k).collect()
+        )
+        expect = sorted((a, b, s) for (a, b), s in peel(pairs, k).items())
+        assert got == expect, k
+
+
+def test_ktruss_rejects_small_k(spark):
+    with pytest.raises(ValueError, match="ktruss"):
+        GA.ktruss(_edges(spark, [(1, 2)]), k=2)
