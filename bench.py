@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "graph_adamic_adar",
     "dedup_fuzzy_pairs",
     "sim_ivf_lloyd_topk",
+    "sim_ivfpq_topk",
 ]
 
 

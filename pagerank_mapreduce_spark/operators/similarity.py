@@ -871,3 +871,146 @@ def lloyd_build(
         embeddings, centroids, vec_col, "list_id", assignment
     )
     return assigned, centroids
+
+
+# --------------------------------------------------- IVF-PQ (round 8)
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_sub: int = 8,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ index build (Jegou/Douze/Schmid; FAISS's IndexIVFPQ):
+    coarse-quantize each vector with the sampled codebook, then
+    PQ-encode the RESIDUAL ``v - centroid[list]`` — residuals are
+    smaller and better-centered than raw vectors, which is why the
+    production ANN stack quantizes them instead.
+
+    Both codebooks stay SQL-replayable: the coarse codebook is the
+    ``n_lists`` smallest-id vectors (``ivf_sampled_build``); the PQ
+    codebook samples the residuals of the NEXT ``n_centroids`` ids —
+    the coarse rows' own residuals are identically zero (each is its
+    own centroid), so sampling them would collapse every subspace to
+    a single zero centroid. The sample residuals are recomputed
+    driver-side with the same left-to-right arithmetic as the
+    expressions, so the codebook literals agree bit-for-bit with the
+    SQL oracle's derivation.
+
+    Returns ``(coded, centroids, codebook)``: ``coded`` adds
+    ``list_id`` and ``codes ARRAY<INT>``; encoding is expression-only
+    (subtract + slice + fold argmin) inside codegen."""
+    assigned, centroids = ivf_sampled_build(
+        embeddings, n_lists, vec_col, id_col
+    )
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_lists + n_centroids)
+        .collect()
+    )
+    if len(rows) < n_lists + n_centroids:
+        raise ValueError(
+            f"ivfpq_build: {len(rows)} vectors < n_lists + n_centroids"
+            f" = {n_lists + n_centroids}"
+        )
+    dim = len(rows[0][vec_col])
+    if dim % n_sub:
+        raise ValueError(
+            f"ivfpq_build: dim {dim} not divisible by n_sub {n_sub}"
+        )
+    sd = dim // n_sub
+
+    def _assign_py(vec: list[float]) -> int:
+        best, bi = None, 0
+        for i, c in enumerate(centroids):
+            d = _sqdist_py(vec, c)
+            if best is None or d < best:
+                best, bi = d, i
+        return bi
+
+    res_samples = []
+    for r in rows[n_lists:]:
+        vec = [float(x) for x in r[vec_col]]
+        c = centroids[_assign_py(vec)]
+        res_samples.append([x - y for x, y in zip(vec, c)])
+    codebook = [
+        [rs[s * sd : (s + 1) * sd] for rs in res_samples]
+        for s in range(n_sub)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    cvec = F.element_at(matrix_lit(centroids), F.col("list_id") + 1)
+    resid = F.zip_with(v, cvec, lambda x, y: x - y)
+    codes = []
+    for s in range(n_sub):
+        sl = F.slice(resid, s * sd + 1, sd)
+        dists = F.transform(matrix_lit(codebook[s]), lambda c: sqdist(sl, c))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    coded = assigned.withColumn("codes", F.array(*codes))
+    return coded, centroids, codebook
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: rank the coarse codebook against the query on
+    the driver, and for each of the ``nprobe`` nearest lists build
+    the per-subspace ADC lookup table against the RESIDUAL query
+    ``q - centroid[list]`` (the asymmetric-distance trick: the query
+    stays exact, only the database side is quantized). Scoring a row
+    is ``n_sub`` literal-array lookups plus adds — the scan reads
+    (list_id, codes), never the full vectors; the exact-cosine rerank
+    after the limit touches the k survivors only, PQ's standard
+    select-then-refine shape."""
+    q = np.asarray(query, dtype=float)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: float(np.linalg.norm(np.asarray(centroids[i]) - q)),
+    )
+    probe = order[:nprobe]
+    n_sub = len(codebook)
+    sd = len(codebook[0][0])
+    if len(query) != n_sub * sd:
+        raise ValueError(
+            f"ivfpq_topk: query dim {len(query)} != {n_sub * sd}"
+        )
+    parts = []
+    for lid in probe:
+        qr = [float(x) - float(c) for x, c in zip(query, centroids[lid])]
+        adc = None
+        for s in range(n_sub):
+            qs = qr[s * sd : (s + 1) * sd]
+            table = [_sqdist_py(qs, c) for c in codebook[s]]
+            term = F.element_at(array_lit(table), F.col("codes")[s] + 1)
+            adc = term if adc is None else adc + term
+        parts.append(
+            coded.filter(F.col("list_id") == lid).select(
+                F.col(id_col),
+                F.round(adc, 6).alias("adc"),
+                F.col(vec_col),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    top = scored.orderBy(F.col("adc").asc(), F.col(id_col)).limit(k)
+    qcol = array_lit(query)
+    return top.select(
+        id_col,
+        "adc",
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), qcol), 8
+        ).alias("cos"),
+    )

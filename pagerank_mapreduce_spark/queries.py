@@ -1064,6 +1064,89 @@ def q_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sim_ivfpq_topk",
+    # full replay of the IVF-PQ probe: sampled coarse codebook (first
+    # 8 ids), residual encoding against a residual-sampled PQ
+    # codebook (ids 8..15 — the coarse rows' residuals are zero),
+    # per-list asymmetric-distance tables, ADC summed in subspace
+    # order (list(... ORDER BY s) -> list_sum, matching the engine's
+    # sequential term addition), exact-cosine rerank of the top-k
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    v AS cv
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       a AS (SELECT e.vec_id, e.v, c.cid, c.cv,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY list_distance(e.v, c.cv),
+                                                c.cid) AS rn
+             FROM e CROSS JOIN c),
+       asg AS (SELECT vec_id, v, cid,
+                      list_transform(range(1, len(v) + 1),
+                                     j -> v[j] - cv[j]) AS rv
+               FROM a WHERE rn = 1),
+       ps AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid,
+                     rv AS pv
+              FROM (SELECT g.vec_id, g.rv FROM asg g
+                    JOIN (SELECT vec_id FROM e
+                          ORDER BY vec_id LIMIT 8 OFFSET 8) s
+                      USING (vec_id))),
+       sub AS (SELECT g.vec_id, t.s, p.pid,
+                      list_sum(list_transform(range(1, 9),
+                        j -> (rv[t.s*8 + j] - pv[t.s*8 + j])
+                           * (rv[t.s*8 + j] - pv[t.s*8 + j]))) AS d
+               FROM asg g, unnest(range(0, 8)) AS t(s), ps p),
+       cd AS (SELECT vec_id, s, pid FROM (
+                SELECT vec_id, s, pid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, pid) AS rn
+                FROM sub) WHERE rn = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       probe AS (SELECT cid, cv FROM c, q
+                 ORDER BY list_distance(cv, qv), cid LIMIT 2),
+       lut AS (SELECT pr.cid, t.s, p.pid,
+                      list_sum(list_transform(range(1, 9),
+                        j -> ((qv[t.s*8 + j] - cv[t.s*8 + j])
+                               - pv[t.s*8 + j])
+                           * ((qv[t.s*8 + j] - cv[t.s*8 + j])
+                               - pv[t.s*8 + j]))) AS d
+               FROM probe pr, q, unnest(range(0, 8)) AS t(s), ps p),
+       sc AS (SELECT g.vec_id, g.v,
+                     round(list_sum(list(l.d ORDER BY cd.s)), 6) AS adc
+              FROM asg g
+              JOIN cd ON g.vec_id = cd.vec_id
+              JOIN lut l ON l.cid = g.cid AND l.s = cd.s
+                        AND l.pid = cd.pid
+              GROUP BY g.vec_id, g.v)
+       SELECT sc.vec_id, sc.adc,
+              round(round(list_cosine_similarity(sc.v, q.qv), 8), 6)
+                AS cos
+       FROM sc, q
+       ORDER BY sc.adc ASC, sc.vec_id
+       LIMIT 10""",
+)
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the production ANN architecture (FAISS IndexIVFPQ): coarse
+    # quantizer prunes the scan to nprobe lists, PQ codes of the
+    # RESIDUALS score candidates via per-list lookup tables, exact
+    # rerank of the survivors — composed from the repo's sampled
+    # (replayable) codebooks, so the whole approximate pipeline is
+    # hash-checked (operators/similarity.py: ivfpq_build/ivfpq_topk)
+    from pagerank_mapreduce_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    coded, centroids, codebook = ivfpq_build(
+        emb, n_lists=8, n_sub=8, n_centroids=8
+    )
+    out = ivfpq_topk(coded, centroids, codebook, query, k=10, nprobe=2)
+    return out.select("vec_id", "adc", F.round("cos", 6).alias("cos"))
+
+
 @_q("sim_ivf_kmeans_topk", None)  # learned codebook — rows-only
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN quality path: KMeans codebook + probe-pruned search;

@@ -956,3 +956,43 @@ def test_lloyd_build_requires_enough_vectors(spark):
     )
     with _pytest.raises(ValueError, match="lloyd_build"):
         S.lloyd_build(emb, n_lists=5)
+
+
+# ----------------------------------------------------- IVF-PQ (r8)
+
+
+def test_ivfpq_codes_shape_and_probe(spark, sf_dir):
+    from pagerank_mapreduce_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coded, centroids, codebook = ivfpq_build(
+        emb, n_lists=4, n_sub=8, n_centroids=4
+    )
+    # codes: one int per subspace, all within the codebook
+    row = coded.filter(F.col("vec_id") == 20).first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 4 for c in row["codes"])
+    # the PQ codebook is sampled from residuals and must NOT be the
+    # degenerate all-zero book (the coarse rows' own residuals)
+    assert any(any(abs(x) > 0 for x in c) for s in codebook for c in s)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    out = ivfpq_topk(coded, centroids, codebook, query, k=7, nprobe=2).collect()
+    assert len(out) == 7
+    adcs = [r["adc"] for r in out]
+    assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
+
+
+def test_ivfpq_guards(spark):
+    from pagerank_mapreduce_spark.operators.similarity import ivfpq_build
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ivfpq_build"):
+        ivfpq_build(emb, n_lists=4, n_sub=8, n_centroids=4)
+    with pytest.raises(ValueError, match="divisible"):
+        ivfpq_build(emb.limit(6), n_lists=3, n_sub=3, n_centroids=3)
