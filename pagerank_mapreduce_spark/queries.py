@@ -6822,128 +6822,79 @@ def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries re-enter the unchecked pool on the same terms as
 # never-checked ones.
 #
-# _DRIVER_CHECKED_THROUGH_R04 is the frozen union of names present in
-# the committed CORRECTNESS_r02..r04 files — a historical record, not
-# a policy knob. Extend it with each new round's checked names; never
-# remove names to steer a query back out of (or into) the window.
-# _HASH_CHECKED_THROUGH_R04 is the subset that actually got a hash
-# verdict (the rest were "err": "no_oracle" rows-only records).
-# _DRIVER_CHECKED_R06 / _HASH_CHECKED_R06 extend the record with the
-# 50 names in the committed CORRECTNESS_r06.json (48 hash-green; the
-# 2 in the rows-only delta ran as "err": "no_oracle" rows-only, which
-# IS the strongest check those two support — both are irreducibly
-# rows-only by nature).
-_DRIVER_CHECKED_THROUGH_R04 = frozenset({
-    "dedup_canonical_docs", "dedup_exact", "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "graph_connected_components", "graph_dangling",
-    "graph_out_degrees", "graph_rev_adjacency", "graph_triangles",
-    "graph_websize", "mr_add_union", "mr_clone",
-    "mr_collate", "mr_compress_sum", "mr_compress_wordcount",
-    "mr_convert_grouped", "mr_kv_stats", "mr_map_tasks",
-    "mr_scrunch", "mr_sort_keys", "mr_topk_words",
-    "pagerank", "rel_anti_join", "rel_approx_count_distinct",
-    "rel_broadcast_join", "rel_case_when", "rel_cube",
-    "rel_date_funcs", "rel_distinct_agg", "rel_grouping_sets",
-    "rel_json_funcs", "rel_math_funcs", "rel_q1_pricing",
-    "rel_q21_waiting_supplier", "rel_q9_product_profit", "rel_rollup",
-    "rel_semi_join", "rel_set_except", "rel_set_intersect",
-    "rel_sortmerge_join", "rel_string_funcs", "rel_top_revenue_orders",
-    "rel_window_moving", "rel_window_rank", "sim_cosine_topk",
-    "sim_embedding_near_dups", "sim_ivf_topk", "sim_lsh_topk",
-    "skew_salted_agg", "stream_dedup", "stream_session",
-    "stream_sliding", "stream_stateful_totals", "stream_tumbling",
-    "text_lang_counts", "text_stats", "text_winnow_fingerprints",
-    "ts_asof_last_purchase",
-})
-
-
-# Subset of the record above that actually received a hash verdict
-# (everything else in the record was an "err": "no_oracle" rows-only
-# row — only pagerank and rel_approx_count_distinct ever were), MINUS
-# entries whose operator or oracle semantics changed after their last
-# verdict: sim_ivf_topk's codebook oracle was rewritten (smallest-ids
-# fix) and sim_embedding_near_dups gained a default hot-bucket cap in
-# round 5, so their round-4 verdicts were earned by different code —
-# they re-enter the unchecked pool like any never-checked entry.
-_HASH_CHECKED_THROUGH_R04 = _DRIVER_CHECKED_THROUGH_R04 - {
-    "pagerank",
-    "rel_approx_count_distinct",
-    "sim_ivf_topk",
-    "sim_embedding_near_dups",
-}
-
-
-# The 50 names present in the committed CORRECTNESS_r06.json. All
-# hash-green except the two listed in the rows-only delta below.
-_DRIVER_CHECKED_R06 = frozenset({
-    "pagerank", "graph_ppr", "sim_ivf_topk", "sim_ivf_kmeans_topk",
-    "sim_embedding_near_dups", "mr_kv_stats_detail", "mr_print_kv",
-    "text_quality", "text_repetition", "pipeline_corpus_curation",
-    "text_fingerprint", "text_bpe_tokens", "dedup_ngram_jaccard",
-    "mm_media_stats", "mm_feature_extract", "mm_frame_sample",
-    "rel_q5_region_revenue", "rel_correlated_avg", "rel_pivot_status",
-    "rel_map_lookup", "rel_array_agg", "rel_union_distinct",
-    "graph_formatted_degrees", "rel_stats_agg", "rel_percentiles",
-    "rel_full_outer_join", "rel_cross_join", "rel_posexplode",
-    "rel_arg_minmax", "rel_in_subquery", "rel_having",
-    "rel_regexp_extract", "sim_vector_norm", "sim_knn_join",
-    "rel_q2_min_cost_supplier", "rel_q4_priority_exists",
-    "rel_q7_nation_volume", "rel_q16_supplier_cnt",
-    "rel_q19_disjunctive", "rel_q20_nested_semi", "rel_window_leadlag",
-    "skew_salted_join", "graph_rmat_degree_hist", "stream_tws_totals",
-    "text_winnow_shared", "rel_hash_sample", "rel_approx_percentile",
-    "mr_open_multi_add", "graph_cc_star", "graph_cc_sizes",
-})
-
-# r06 rows-only rows ("err": "no_oracle") — both irreducibly
-# rows-only (learned-KMeans codebook / per-partition histogram), so
-# the rows-only run is the strongest check their form supports.
-_HASH_CHECKED_R06 = _DRIVER_CHECKED_R06 - {
-    "sim_ivf_kmeans_topk",
-    "mr_kv_stats_detail",
-}
-
-# The 50 names present in the committed CORRECTNESS_r07.json. All
-# hash-green except rel_q12_ship_priority, whose single red row was
-# verified (by hand, at the driver's sf0.01) to be an oracle TYPE
-# artifact: DuckDB types sum(CASE…1…0) as HUGEINT where Spark yields
-# BIGINT, so the value hash saw different representations of
-# numerically identical results. The oracle now CASTs both sums to
-# BIGINT; the entry stays out of _HASH_CHECKED_R07 so it re-enters
-# the window and earns a real hash verdict under the fixed oracle.
-_DRIVER_CHECKED_R07 = frozenset({
-    "graph_vertex_triangles", "graph_vertex_extract",
-    "graph_degree_weight", "graph_luby_mis", "graph_sssp",
-    "rel_q6_forecast_revenue", "rel_q10_returned_items",
-    "rel_q11_important_stock", "rel_q12_ship_priority",
-    "rel_q13_order_distribution", "rel_q14_promo_revenue",
-    "rel_q15_top_supplier", "rel_q17_small_qty_revenue",
-    "rel_q18_large_volume", "rel_q22_dormant_balance",
-    "rel_q3_shipping_priority", "rel_q8_market_share",
-    "rel_stratified_sample", "rel_train_test_split",
-    "rel_window_ntile_first", "rel_array_higher_order",
-    "rel_histogram", "rel_latest_by_key", "rel_profile_columns",
-    "sql_text_q4", "stream_asof_enrich", "stream_enrich_dim",
-    "mr_aggregate_colocate", "mr_collapse_global", "mr_gather_one",
-    "mr_map_iterate", "mr_reduce_blocks_sum", "mr_reduce_median",
-    "mr_scan_totals", "mr_sort_multivalues", "mr_sort_values_topk",
-    "dedup_exact_corpus", "text_cap_per_source", "text_chunks",
-    "text_decontaminate", "text_pack_sequences", "text_redact_pii",
-    "text_tfidf_top_terms", "ts_asof_bucketed", "ts_asof_nearest",
-    "ts_asof_tolerant", "ts_funnel_stages", "ts_range_click_purchase",
-    "ts_sessionize", "ts_time_rollup",
-})
-
-_HASH_CHECKED_R07 = _DRIVER_CHECKED_R07 - {
-    "rel_q12_ship_priority",
-}
-
-_DRIVER_CHECKED = (
-    _DRIVER_CHECKED_THROUGH_R04 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
+# The record is DERIVED from the committed CORRECTNESS_r*.json
+# artifacts at import time (rounds 2-4, 6, 7, and every future round
+# the driver commits — extending the record each round is no longer a
+# manual chore). Derivation rules, matching the driver's semantics:
+#
+# - a name is DRIVER-CHECKED if any round ran it without an error
+#   ("err" null, or the deliberate "no_oracle" rows-only marker; a
+#   crashed run — the round-2 artifacts carry a few exception rows —
+#   is not a verdict);
+# - a name is HASH-CHECKED if any round recorded hash_match true,
+#   EXCEPT verdicts invalidated below: when an operator's or oracle's
+#   semantics change after a verdict was earned, the old verdict was
+#   earned by different code, so (name, through_round) pairs here
+#   suppress verdicts at or before that round and the entry re-enters
+#   the window. This list is the one remaining manual act, and only
+#   on semantic change — never to steer rotation.
+_RECORD_INVALIDATED: frozenset[tuple[str, int]] = frozenset(
+    {
+        # round-5 rewrites: sampled-codebook smallest-ids fix /
+        # default hot-bucket cap — the r04 verdicts predate them
+        ("sim_ivf_topk", 4),
+        ("sim_embedding_near_dups", 4),
+    }
 )
-_HASH_CHECKED = (
-    _HASH_CHECKED_THROUGH_R04 | _HASH_CHECKED_R06 | _HASH_CHECKED_R07
-)
+
+
+def _load_driver_record(
+    root: str | None = None,
+) -> tuple[frozenset[str], frozenset[str]]:
+    """(driver_checked, hash_checked) derived from CORRECTNESS_r*.json
+    files under ``root`` (default: the repo root above this package).
+    Unreadable files are skipped — an empty record just means every
+    entry rotates as unchecked, which is safe."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    if root is None:
+        root = _os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))
+        )
+    driver: set[str] = set()
+    hashed: set[str] = set()
+    for path in sorted(
+        _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))
+    ):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("err") not in (None, "no_oracle"):
+                continue
+            driver.add(name)
+            if rec.get("hash_match") is True and not any(
+                n == name and rnd <= thr
+                for n, thr in _RECORD_INVALIDATED
+            ):
+                hashed.add(name)
+    return frozenset(driver), frozenset(hashed)
+
+
+_DRIVER_CHECKED, _HASH_CHECKED = _load_driver_record()
 
 
 def _is_checked(name: str) -> bool:

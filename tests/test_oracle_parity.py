@@ -136,3 +136,64 @@ def test_driver_window_rotation_is_fair():
         n for n in window if CATALOG[n].oracle is None
     ]
     assert actual_rows_only_in_window == expected_rows_only_in_window
+
+
+def test_driver_record_derivation(tmp_path):
+    # the checked-record is DERIVED from the committed CORRECTNESS
+    # artifacts; pin the rules on synthetic files: crashed rows are
+    # not verdicts, no_oracle rows are driver-only, invalidated hash
+    # verdicts are suppressed until re-earned in a later round
+    import json
+
+    from pagerank_mapreduce_spark.queries import (
+        _RECORD_INVALIDATED,
+        _load_driver_record,
+    )
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "err": "no_oracle"}
+    crashed = {"rows_match": None, "schema_match": None,
+               "hash_match": None, "err": "Traceback ..."}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "err": None}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "green": ok, "rows_only_entry": rows_only, "broken": crashed,
+        "mismatch": red, "sim_ivf_topk": ok,
+    }))
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps({
+        "sim_ivf_topk": ok,
+    }))
+    driver, hashed = _load_driver_record(str(tmp_path))
+    assert driver == {"green", "rows_only_entry", "mismatch", "sim_ivf_topk"}
+    # r02's sim_ivf_topk verdict is invalidated (<= round 4) but the
+    # r06 re-check re-earns it; "mismatch" ran fine but never hashed
+    assert ("sim_ivf_topk", 4) in _RECORD_INVALIDATED
+    assert hashed == {"green", "sim_ivf_topk"}
+    # only the r02 file: the invalidated verdict stays suppressed
+    (tmp_path / "CORRECTNESS_r06.json").unlink()
+    _, hashed2 = _load_driver_record(str(tmp_path))
+    assert "sim_ivf_topk" not in hashed2
+    # an empty/missing record dir is safe: everything rotates unchecked
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    assert _load_driver_record(str(empty)) == (frozenset(), frozenset())
+
+
+def test_driver_record_matches_committed_history():
+    # anchors from the committed r02-r07 artifacts: a green hash row,
+    # the oracle-type-artifact red row (driver-checked, not hash),
+    # and an entry whose only r04 record was rows-only but whose r06
+    # re-check under its new exact oracle earned the hash verdict
+    from pagerank_mapreduce_spark.queries import (
+        _DRIVER_CHECKED,
+        _HASH_CHECKED,
+    )
+
+    assert "rel_q1_pricing" in _HASH_CHECKED
+    assert "rel_q12_ship_priority" in _DRIVER_CHECKED
+    assert "rel_q12_ship_priority" not in _HASH_CHECKED
+    assert "pagerank" in _HASH_CHECKED
+    assert "mr_kv_stats_detail" in _DRIVER_CHECKED
+    assert "mr_kv_stats_detail" not in _HASH_CHECKED
