@@ -6804,6 +6804,54 @@ def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_cohort_retention",
+    # the cohort-retention matrix: users grouped by first-activity
+    # week, distinct active users per (cohort, week offset); both
+    # engines derive the cohort with the same min-over-user shuffle
+    # and the offset with exact date arithmetic (day diff / 7)
+    """WITH fw AS (SELECT user_id,
+                          CAST(date_trunc('week', min(ts)) AS DATE)
+                            AS cohort
+                   FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+       act AS (SELECT DISTINCT e.user_id, f.cohort,
+                      CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                            - f.cohort) / 7 AS BIGINT) AS week_offset
+               FROM events e JOIN fw f ON e.user_id = f.user_id
+               WHERE e.ts IS NOT NULL)
+       SELECT cohort, week_offset,
+              CAST(count(*) AS BIGINT) AS active_users
+       FROM act GROUP BY cohort, week_offset""",
+)
+def q_ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the product-analytics staple: cohort = the user's first-activity
+    # week, matrix cell = distinct users of that cohort active
+    # week_offset weeks later. Two shuffles (per-user min, then the
+    # distinct/count on the cohort cell); the cohort relation joins
+    # back keyed on user_id — no window over the raw events
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    fw = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    act = (
+        ev.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", "ts")), F.col("cohort"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+
+
 # ============================================ driver-window rotation
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). To give EVERY catalog entry an external signal over the
