@@ -5826,6 +5826,47 @@ def q_ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_scd2_asof",
+    # time travel over the SCD2 dimension: the state of every user AS
+    # OF a fixed instant — the row whose validity interval contains T
+    # (open intervals via the NULL valid_to)
+    """WITH o AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       ch AS (SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM o WHERE prev IS NULL OR prev <> event_type),
+       h AS (SELECT user_id, event_type, valid_from,
+                    lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from, event_id)
+                      AS valid_to
+             FROM ch)
+       SELECT user_id, event_type, valid_from
+       FROM h
+       WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+         AND (valid_to IS NULL
+              OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""",
+)
+def q_ts_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the read side SCD2 exists for: reconstruct the dimension as of
+    # an instant with one interval-containment filter over the
+    # history — no scan of the raw events at query time once the
+    # history is materialized
+    from pagerank_mapreduce_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(ev, ["user_id"], "event_type", ["ts", "event_id"])
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_type", "valid_from")
+
+
+@_q(
     "rel_window_cume",
     """WITH w AS (
          SELECT o_orderkey, o_orderpriority,
