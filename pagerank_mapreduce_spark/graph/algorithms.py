@@ -1385,3 +1385,91 @@ def ktruss_oracle_sql(
       )
       SELECT a, b, CAST(s AS BIGINT) AS support
       FROM t WHERE stable AND it = (SELECT max(it) FROM t)"""
+
+
+# ------------------------------------------- modularity (round 8)
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the canonical
+    undirected simple graph:
+
+        Q = sum_c [ in_c/m - (deg_c/(2m))^2 ]
+          = (4*m*sum_c(in_c) - sum_c(deg_c^2)) / (4*m^2)
+
+    computed in the SECOND form: every aggregate (m, within-community
+    edge count, per-community degree sums and their squares) is exact
+    integer arithmetic, and the single float division happens once at
+    the end — so the result is bit-identical across engines and
+    partitionings with no summation-order caveat (the termwise float
+    sum would carry one). int64 bounds the exact form to m < ~1.5e9
+    edges; beyond that, compute the two numerator terms as DECIMAL.
+    Output: one row (modularity, m_edges, n_comms).
+
+    ``communities``: (id, comm) — e.g. label_propagation's output.
+    Scale shape: two keyed joins of the edge list against the
+    assignment, three algebraic aggregates, one tiny cross join of
+    scalar rows."""
+    und = edge_upper(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ca = communities.select(F.col("id").alias("a"), F.col("comm").alias("ca"))
+    cb = communities.select(F.col("id").alias("b"), F.col("comm").alias("cb"))
+    lab = und.join(ca, "a").join(cb, "b")
+    m_row = und.agg(F.count(F.lit(1)).alias("m"))
+    sin_row = lab.agg(
+        F.count(F.when(F.col("ca") == F.col("cb"), 1)).alias("s")
+    )
+    dc = (
+        communities.join(deg, "id")
+        .groupBy("comm")
+        .agg(F.sum("d").alias("dc"))
+    )
+    sd2_row = dc.agg(F.sum(F.col("dc") * F.col("dc")).alias("s2"))
+    ncomm_row = communities.agg(
+        F.countDistinct("comm").alias("n_comms")
+    )
+    out = (
+        m_row.crossJoin(sin_row).crossJoin(sd2_row).crossJoin(ncomm_row)
+    )
+    num = 4 * F.col("m") * F.col("s") - F.col("s2")
+    return out.select(
+        F.round(
+            num.cast("double") / (4 * F.col("m") * F.col("m")).cast("double"),
+            6,
+        ).alias("modularity"),
+        F.col("m").cast("bigint").alias("m_edges"),
+        F.col("n_comms").cast("bigint").alias("n_comms"),
+    )
+
+
+def modularity_sql(edges_sql: str, communities_sql: str) -> str:
+    """DuckDB oracle: the same exact-integer numerator over the same
+    canonical graph; ``communities_sql`` yields (id, comm) — e.g.
+    lpa_oracle_sql's full query inlined as a CTE."""
+    return f"""
+      WITH comm AS ({communities_sql}),
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT a AS id FROM up UNION ALL SELECT b FROM up)
+              GROUP BY id),
+      m AS (SELECT count(*) AS m FROM up),
+      lab AS (SELECT u.a, u.b, x.comm AS ca, y.comm AS cb
+              FROM up u JOIN comm x ON u.a = x.id
+                        JOIN comm y ON u.b = y.id),
+      sin AS (SELECT count(*) FILTER (ca = cb) AS s FROM lab),
+      dc AS (SELECT c.comm, sum(d.d) AS dc
+             FROM comm c JOIN deg d ON c.id = d.id GROUP BY c.comm),
+      sd2 AS (SELECT sum(dc * dc) AS s2 FROM dc),
+      nc AS (SELECT count(DISTINCT comm) AS n FROM comm)
+      SELECT round(CAST(4 * m.m * sin.s - sd2.s2 AS DOUBLE)
+                   / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity,
+             CAST(m.m AS BIGINT) AS m_edges,
+             CAST(nc.n AS BIGINT) AS n_comms
+      FROM m, sin, sd2, nc"""

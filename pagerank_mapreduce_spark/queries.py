@@ -5302,6 +5302,36 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e, rounds=4)
 
 
+def _modularity_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        lpa_oracle_sql,
+        modularity_sql,
+    )
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    rmat = rmat_oracle_sql(scale=9, edge_factor=8, seed=42)
+    # rounds=2: by round 4 LPA floods this R-MAT into one
+    # community (Q identically 0) — the 2-round partition retains
+    # structure, so the hash checks a non-degenerate value
+    return modularity_sql(rmat, lpa_oracle_sql(rmat, rounds=2))
+
+
+@_q("graph_modularity", _modularity_oracle())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity of the LPA communities — the standard quality
+    # score for a partition; the exact-integer numerator form makes
+    # the value bit-identical across engines with one final float
+    # division (graph/algorithms.py: modularity)
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        label_propagation,
+        modularity,
+    )
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    e = rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
+    return modularity(e, label_propagation(e, rounds=2))
+
+
 # ============================== HITS hubs & authorities (round 7)
 
 

@@ -657,3 +657,29 @@ def test_ktruss_matches_python_peel_on_random_graph(spark):
 def test_ktruss_rejects_small_k(spark):
     with pytest.raises(ValueError, match="ktruss"):
         GA.ktruss(_edges(spark, [(1, 2)]), k=2)
+
+
+# ------------------------------------------------------ modularity
+
+
+def test_modularity_hand_computed(spark):
+    from pagerank_mapreduce_spark.graph.algorithms import modularity
+
+    # two triangles joined by one bridge edge; the natural partition
+    edges = _edges(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+    )
+    comm = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "id bigint, comm bigint",
+    )
+    got = modularity(edges, comm).first()
+    # m=7, in_c=3+3, deg_c=7+7: Q = (4*7*6 - (49+49)) / (4*49)
+    assert got["modularity"] == round((4 * 7 * 6 - 98) / (4 * 49), 6)
+    assert (got["m_edges"], got["n_comms"]) == (7, 2)
+    # the all-one-community partition scores exactly 0
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "id bigint, comm bigint"
+    )
+    assert modularity(edges, one).first()["modularity"] == 0.0
