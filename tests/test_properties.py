@@ -396,3 +396,44 @@ def test_fuzzy_pairs_brute_force_on_random_strings(spark, words):
         if a < b and lev(wa, wb) <= 1
     )
     assert got == expect, words
+
+
+@SPARK_SETTINGS
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(10, 24),
+    k=st.integers(2, 4),
+)
+def test_lloyd_build_matches_numpy_model(spark, seed, n, k):
+    # deterministic Lloyd must reproduce a NumPy re-implementation of
+    # its exact spec: smallest-id init, squared-L2 argmin with
+    # lowest-index ties, per-dim mean rounded to 9, empty clusters
+    # keeping the previous centroid, fixed 2 iterations
+    import numpy as np
+
+    from pagerank_mapreduce_spark.operators import similarity as S
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.randint(0, 5, size=(n, 4)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centroids = S.lloyd_build(emb, n_lists=k, iters=2)
+
+    c = vecs[:k].astype("float64")
+    for _ in range(2):
+        d = ((vecs[:, None, :].astype("float64") - c[None]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin takes the first minimum
+        nxt = c.copy()
+        for j in range(k):
+            if (lab == j).any():
+                nxt[j] = np.round(
+                    vecs[lab == j].astype("float64").mean(axis=0), 9
+                )
+        c = nxt
+    d = ((vecs[:, None, :].astype("float64") - c[None]) ** 2).sum(axis=2)
+    lab = d.argmin(axis=1)
+
+    got_c = np.array(centroids)
+    assert np.array_equal(got_c, c), (got_c, c)
+    got_lab = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    assert got_lab == {i: int(lab[i]) for i in range(n)}
