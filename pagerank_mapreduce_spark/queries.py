@@ -6876,6 +6876,48 @@ def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_activity_streaks",
+    # gaps-and-islands: consecutive active DAYS collapse to one island
+    # via the classic date - row_number anchor; both engines group on
+    # the same derived date
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events WHERE ts IS NOT NULL),
+       r AS (SELECT user_id, day,
+                    day - CAST(row_number() OVER (
+                            PARTITION BY user_id ORDER BY day)
+                          AS INT) AS grp
+             FROM d),
+       i AS (SELECT user_id, grp, count(*) AS len
+             FROM r GROUP BY user_id, grp)
+       SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+              CAST(count(*) AS BIGINT) AS n_streaks
+       FROM i GROUP BY user_id""",
+)
+def q_ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engagement staple next to cohort retention: per user, runs
+    # of consecutive active calendar days (sessionize's gap logic at
+    # day granularity, via the gaps-and-islands anchor) — longest
+    # streak and streak count; the per-user window sorts only that
+    # user's distinct days
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn(
+            "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+
+
+@_q(
     "ts_cohort_retention",
     # the cohort-retention matrix: users grouped by first-activity
     # week, distinct active users per (cohort, week offset); both
