@@ -174,10 +174,10 @@ def rmat_oracle_sql(
         FROM grid),
       folded AS (
         SELECT i,
-               sum(CASE WHEN u >= {t2} THEN 1 ELSE 0 END
-                   * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS src,
-               sum(CASE WHEN (u >= {t1} AND u < {t2}) OR u >= {t3}
+               CAST(sum(CASE WHEN u >= {t2} THEN 1 ELSE 0 END
+                   * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS BIGINT) AS src,
+               CAST(sum(CASE WHEN (u >= {t1} AND u < {t2}) OR u >= {t3}
                         THEN 1 ELSE 0 END
-                   * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS dst
+                   * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS BIGINT) AS dst
         FROM coins GROUP BY i)
       SELECT DISTINCT src, dst FROM folded"""

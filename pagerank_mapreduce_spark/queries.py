@@ -6697,7 +6697,7 @@ def q_rel_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "text_mixture_plan",
     f"""WITH {_TOKS_CTE},
-       tt AS (SELECT d.source, sum(len(x.t)) AS toks
+       tt AS (SELECT d.source, CAST(sum(len(x.t)) AS BIGINT) AS toks
               FROM documents d JOIN toks x ON d.doc_id = x.doc_id
               GROUP BY d.source),
        z AS (SELECT sum(sqrt(CAST(toks AS DOUBLE))) AS z FROM tt)

@@ -97,6 +97,38 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     assert_frames_match(name, spark_rows, duck_rows, sdf.columns, duck_cols)
 
 
+@pytest.mark.skipif(
+    bool(_SHARD) and not _SHARD.startswith("0/"),
+    reason="whole-catalog check runs in parity shard 0 only",
+)
+def test_no_oracle_output_column_is_hugeint(sf_dir):
+    # Round-9 hardening: DuckDB integer sums widen to HUGEINT (int128),
+    # which Spark has no counterpart for — the driver's value hash then
+    # mismatches even when every value is identical. This artifact
+    # class produced the ONLY driver-red rows in rounds 7 (rel_q12) and
+    # 8 (graph_lpa, graph_kcore). Compile every oracle (bind + plan, no
+    # execution) and assert no output column is HUGEINT/UHUGEINT; the
+    # fix at the source is always a CAST(... AS BIGINT).
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    offenders = {}
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        bad = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(ty).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"HUGEINT-typed oracle outputs: {offenders}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(spark, sf_dir, name):
     sdf = CATALOG[name].fn(spark, sf_dir)
@@ -182,18 +214,31 @@ def test_driver_record_derivation(tmp_path):
 
 
 def test_driver_record_matches_committed_history():
-    # anchors from the committed r02-r07 artifacts: a green hash row,
-    # the oracle-type-artifact red row (driver-checked, not hash),
-    # and an entry whose only r04 record was rows-only but whose r06
-    # re-check under its new exact oracle earned the hash verdict
+    # TIME-STABLE anchors only (round-9 fix: the old version froze
+    # r07's record as an invariant — "q12 not yet hash-checked" — and
+    # went red the moment the driver's r08 artifact flipped q12 green).
+    # Now we pin (a) monotone positives: verdicts earned in rounds long
+    # past and never invalidated can only stay earned; (b) structural
+    # facts: an entry with no oracle can run driver-green but can never
+    # earn a hash verdict; (c) consistency: the import-time sets are
+    # exactly a fresh derivation from the artifacts present, so a new
+    # CORRECTNESS_r*.json landing in the tree can never desync them.
     from pagerank_mapreduce_spark.queries import (
         _DRIVER_CHECKED,
         _HASH_CHECKED,
+        _load_driver_record,
     )
 
+    # (a) monotone: hash-green since r02/r06, no invalidation entries
     assert "rel_q1_pricing" in _HASH_CHECKED
-    assert "rel_q12_ship_priority" in _DRIVER_CHECKED
-    assert "rel_q12_ship_priority" not in _HASH_CHECKED
     assert "pagerank" in _HASH_CHECKED
-    assert "mr_kv_stats_detail" in _DRIVER_CHECKED
-    assert "mr_kv_stats_detail" not in _HASH_CHECKED
+    # (b) structural: irreducibly rows-only entries are driver-checked
+    # but can never be hash-checked while they carry no oracle
+    for n in ROWS_ONLY_NAMES:
+        if n in _DRIVER_CHECKED:
+            assert n not in _HASH_CHECKED, n
+    # (c) import-time state == fresh derivation from the repo root
+    driver_now, hashed_now = _load_driver_record()
+    assert _DRIVER_CHECKED == driver_now
+    assert _HASH_CHECKED == hashed_now
+    assert _HASH_CHECKED <= _DRIVER_CHECKED
