@@ -11,9 +11,13 @@ operators/packing.py, the sequence-packing precedent):
 
 1. collapse to DISTINCT score values (groupBy — algebraic, map-side
    partial aggregation absorbs heavy ties),
-2. range-bucket the distinct values (width_bucket over a broadcast
-   min/max), per-bucket prefix sums under a window PARTITIONED by
-   bucket,
+2. bucket the distinct values by RANK POSITION: the bucket edges are
+   broadcast approx-percentiles of the distinct-value relation, so
+   each bucket holds ~N/n_buckets distinct values BY CONSTRUCTION —
+   a value-skewed distribution (one outlier max) cannot collapse the
+   bucketing into a single giant window partition the way a
+   min/max-range width_bucket would (round-9 ADVICE fix). Per-bucket
+   prefix sums run under a window PARTITIONED by bucket,
 3. bucket offsets from a window over the tiny (≤ n_buckets rows)
    bucket-totals relation — the only unpartitioned orderBy, on a
    provably constant-size input.
@@ -36,6 +40,7 @@ def _avg_ranks(
     score_col: str,
     agg_cols: list[Column],
     n_buckets: int = 1024,
+    _keep_bucket: bool = False,
 ) -> DataFrame:
     """Average rank (1-based, ties averaged) per DISTINCT value of
     ``score_col``, plus the caller's per-value aggregates.
@@ -47,16 +52,31 @@ def _avg_ranks(
     per_score = df.groupBy(score_col).agg(
         F.count(F.lit(1)).alias("n"), *agg_cols
     )
-    lo_hi = per_score.agg(
-        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    # bucket edges = approx percentiles of the DISTINCT values, so the
+    # window partitions are balanced by rank position regardless of the
+    # value distribution (an outlier max under a min/max width_bucket
+    # would put ~every distinct value in one bucket and degenerate the
+    # partitioned window into the global sort this module exists to
+    # avoid). The edges relation is one row with a ≤(n_buckets-1)-wide
+    # array — broadcast, never collected. Ties with an edge value land
+    # deterministically via <=; duplicate edges just leave empty
+    # buckets. The assignment is O(n_buckets) comparisons per distinct
+    # value inside codegen — the price of skew-immunity, paid per
+    # DISTINCT value (post-collapse), not per row.
+    edges = per_score.agg(
+        F.percentile_approx(
+            F.col(score_col).cast("double"),
+            F.array(
+                *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+            ),
+        ).alias("_edges")
     )
-    bucketed = per_score.join(F.broadcast(lo_hi)).withColumn(
+    bucketed = per_score.join(F.broadcast(edges)).withColumn(
         "_bkt",
-        F.when(
-            F.col("_lo") == F.col("_hi"), F.lit(1)
-        ).otherwise(
-            F.width_bucket(
-                F.col(score_col), "_lo", "_hi", F.lit(n_buckets)
+        F.size(
+            F.filter(
+                "_edges",
+                lambda e: e < F.col(score_col).cast("double"),
             )
         ),
     )
@@ -89,7 +109,10 @@ def _avg_ranks(
         + F.col("_below_in_bkt")
         + (F.col("n") + F.lit(1)) / F.lit(2.0),
     )
-    return ranked.drop("_bkt", "_lo", "_hi", "_below_in_bkt", "_offset")
+    drop = ["_edges", "_below_in_bkt", "_offset"]
+    if not _keep_bucket:
+        drop.append("_bkt")
+    return ranked.drop(*drop)
 
 
 def roc_auc(

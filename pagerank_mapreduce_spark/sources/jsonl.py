@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -46,7 +46,11 @@ def read_jsonl(
         schema = StructType.fromDDL(schema)
     if strict:
         return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
-    with_corrupt = schema.add(CORRUPT_COL, StringType(), True)
+    # build a COPY — StructType.add mutates in place, so it would
+    # permanently append the corrupt column to a caller-owned schema
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
     return (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")

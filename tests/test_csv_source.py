@@ -60,3 +60,20 @@ def test_split_requires_permissive_read(spark, tmp_path):
     df = read_csv_quarantine(spark, path, SCHEMA, strict=True)
     with pytest.raises(ValueError, match="split_corrupt_csv"):
         split_corrupt_csv(df)
+
+
+def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    # StructType.add mutates in place; the reader must copy, or a
+    # reused caller-owned schema accretes _corrupt_record fields and a
+    # later strict read / write carries the stray column (r9 ADVICE)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(SCHEMA)
+    path = _write(tmp_path, GOOD)
+    before = [f.name for f in schema.fields]
+    read_csv_quarantine(spark, path, schema)
+    read_csv_quarantine(spark, path, schema)
+    assert [f.name for f in schema.fields] == before
+    # and the strict read with the same object stays three-column
+    strict = read_csv_quarantine(spark, path, schema, strict=True)
+    assert strict.columns == before

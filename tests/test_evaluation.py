@@ -123,3 +123,29 @@ def test_auc_excludes_null_rows(spark):
     out = roc_auc(df, "score", "y").first()
     assert (out["n_pos"], out["n_neg"]) == (2, 1)
     assert out["auc"] == 1.0
+
+
+def test_rank_buckets_balanced_under_value_skew(spark):
+    # round-9 ADVICE: value-range bucketing (width_bucket over min/max)
+    # degenerates under one outlier max — nearly every distinct score
+    # lands in bucket 1 and the per-bucket window becomes the global
+    # sort this module exists to avoid. Percentile-edge bucketing must
+    # keep the LARGEST bucket ~N/n_buckets even when the value range
+    # is dominated by a single outlier.
+    from pagerank_mapreduce_spark.operators.evaluation import _avg_ranks
+
+    n, k = 4000, 8
+    rows = [(float(i),) for i in range(n)] + [(1e15,)]
+    df = spark.createDataFrame(rows, ["s"])
+    ranked = _avg_ranks(df, "s", [], n_buckets=k, _keep_bucket=True)
+    sizes = {
+        r["_bkt"]: r["c"]
+        for r in ranked.groupBy("_bkt").agg(F.count("*").alias("c")).collect()
+    }
+    # with value-range buckets the max size would be n (all but the
+    # outlier in one bucket); with rank buckets it's ~(n+1)/k
+    assert max(sizes.values()) < 2 * (n + 1) / k, sizes
+    assert len(sizes) >= k // 2, sizes
+    # and the ranks themselves are still exact: 1..n then the outlier
+    got = {r["s"]: r["avg_rank"] for r in ranked.collect()}
+    assert got[0.0] == 1.0 and got[1e15] == float(n + 1)

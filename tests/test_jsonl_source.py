@@ -82,3 +82,17 @@ def test_jsonl_write_read_round_trip(spark, tmp_path):
     assert bad.count() == 0
     got = sorted(map(tuple, clean.collect()))
     assert got == sorted(rows, key=lambda r: r[0])
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    # same no-mutation contract as the CSV reader (r9 ADVICE): a
+    # caller-owned StructType must not accrete _corrupt_record fields
+    from pyspark.sql.types import StructType
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n')
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    before = [f.name for f in schema.fields]
+    read_jsonl(spark, str(p), schema)
+    read_jsonl(spark, str(p), schema)
+    assert [f.name for f in schema.fields] == before
