@@ -131,13 +131,18 @@ def main() -> None:
     # plans. N=1 restores the old single-shot behavior.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
+        reps_here = []
         for _ in range(reps):
             t0 = time.monotonic()
             materialize(CATALOG[name].fn(spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            reps_here.append(round(time.monotonic() - t0, 3))
+        # the min is the interference-robust headline, but EVERY rep is
+        # recorded so round-over-round comparisons can't be flattered
+        # by selective minima across runs (r8 verdict item 8)
+        runs[name] = reps_here
+        timings[name] = min(reps_here)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -147,6 +152,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

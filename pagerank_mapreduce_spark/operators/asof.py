@@ -625,10 +625,16 @@ def resample_interpolate(
     NULL values are excluded up front (module-wide convention).
 
     Scale stance: identical to carry-forward — obs and grid union
-    into ONE relation, ONE shuffle on the key, and the two direction
-    scans are two window passes over the SAME sort/exchange (Catalyst
-    plans one Exchange + one Sort; the scd2 plan pin shape). Never a
-    grid x observation join.
+    into ONE relation, ONE shuffle on the key; the forward scan is a
+    running window over the ascending sort and the backward scan a
+    running window over the DESCENDING sort of the same exchange.
+    Never a grid x observation join, and never an
+    [currentRow, unboundedFollowing) frame: Spark executes that frame
+    by re-scanning the partition remainder per row — O(rows²) per key,
+    measured 3.0 s vs 0.78 s at sf0.1 (721-row keys) and quadratically
+    worse as per-key spans grow (round-9 profile, SCALE.md). The
+    second sort is O(n log n) map-side work on the already-shuffled
+    partition — the cheap direction.
     """
     df = df.filter(F.col(on).isNotNull() & F.col(value_col).isNotNull())
     obs = df.select(
@@ -669,10 +675,15 @@ def resample_interpolate(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the backward scan runs as a RUNNING frame over the exact reverse
+    # of the same total order — "first obs at-or-after this row" under
+    # asc == "last obs at-or-before this row" under desc; both frames
+    # include the current row, which is a NULL-obs grid row wherever
+    # the output filter keeps it, so the two forms agree row for row
     w_bwd = (
         Window.partitionBy(by)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_obs = F.col("_src") == 0
     ot = F.when(is_obs, F.col("_t"))
@@ -680,8 +691,8 @@ def resample_interpolate(
     out = (
         un.withColumn("_pt", F.last(ot, ignorenulls=True).over(w_fwd))
         .withColumn("_pv", F.last(ov, ignorenulls=True).over(w_fwd))
-        .withColumn("_nt", F.first(ot, ignorenulls=True).over(w_bwd))
-        .withColumn("_nv", F.first(ov, ignorenulls=True).over(w_bwd))
+        .withColumn("_nt", F.last(ot, ignorenulls=True).over(w_bwd))
+        .withColumn("_nv", F.last(ov, ignorenulls=True).over(w_bwd))
     )
     g_us = F.unix_micros(F.col("_t"))
     p_us = F.unix_micros(F.col("_pt"))
