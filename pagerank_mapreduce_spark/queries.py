@@ -1151,11 +1151,49 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN quality path: KMeans codebook + probe-pruned search;
     # with nprobe == n_lists it reproduces sim_cosine_topk exactly
-    # (tests/test_text_dedup.py asserts that invariant)
+    # (tests/test_text_dedup.py asserts that invariant).
+    #
+    # Strengthened rows-only contract (round 9): the learned codebook
+    # can never have an exact oracle, so its QUALITY rides in the row
+    # itself, cross-checked against two in-query twins — the exact
+    # brute-force top-k (`in_exact_topk` per row, `recall10` overall)
+    # and the deterministic-Lloyd IVF (`lloyd_agree`), whose own
+    # catalog entry is hash-green. `quality_ok` = recall floor 0.3
+    # (the regression bound test_ivf_kmeans_narrow_probe_recall_floor
+    # documents: a broken assignment lands near k/n ≈ 0.02) AND the
+    # query's own vector present at cos 1. Tests pin quality_ok true;
+    # the driver's rows/schema check now carries a verdict, not just
+    # a row count.
     emb = _t(spark, sf_dir, "embeddings")
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     assigned, centroids = S.ivf_build(emb, n_lists=8)
-    return S.ivf_topk(assigned, centroids, query, k=10, nprobe=2)
+    out = S.ivf_topk(assigned, centroids, query, k=10, nprobe=2)
+    exact = S.cosine_topk(emb, query, k=10).select("vec_id")
+    l_assigned, l_centroids = S.lloyd_build(emb, n_lists=8, iters=2)
+    lloyd = S.ivf_topk(l_assigned, l_centroids, query, k=10, nprobe=2).select(
+        "vec_id"
+    )
+    out = out.join(
+        exact.withColumn("in_exact_topk", F.lit(True)), "vec_id", "left"
+    ).withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
+    metrics = out.join(lloyd.withColumn("_l", F.lit(True)), "vec_id", "left").agg(
+        (F.sum(F.col("in_exact_topk").cast("int")) / F.lit(10.0)).alias(
+            "recall10"
+        ),
+        (F.sum(F.col("_l").cast("int")) / F.lit(10.0)).alias("lloyd_agree"),
+        F.max(
+            (F.col("vec_id") == 0) & (F.round("cos", 6) == 1.0)
+        ).alias("_self_hit"),
+    )
+    quality_ok = (F.col("recall10") >= 0.3) & F.col("_self_hit")
+    return out.crossJoin(F.broadcast(metrics)).select(
+        "vec_id",
+        F.round("cos", 6).alias("cos"),
+        "in_exact_topk",
+        "recall10",
+        "lloyd_agree",
+        quality_ok.alias("quality_ok"),
+    )
 
 
 @_q(

@@ -996,3 +996,21 @@ def test_ivfpq_guards(spark):
         ivfpq_build(emb, n_lists=4, n_sub=8, n_centroids=4)
     with pytest.raises(ValueError, match="divisible"):
         ivfpq_build(emb.limit(6), n_lists=3, n_sub=3, n_centroids=3)
+
+
+def test_ivf_kmeans_catalog_entry_carries_quality_verdict(spark, sf_dir):
+    # round-9 strengthening of the rows-only contract: the catalog
+    # entry itself must ship the quality cross-check columns (recall
+    # vs exact brute force, agreement with the hash-green Lloyd twin)
+    # and the verdict must be TRUE — the driver's rows/schema check
+    # then records a self-judging relation, not a bare row count
+    from pagerank_mapreduce_spark.queries import CATALOG
+
+    rows = CATALOG["sim_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["quality_ok"] for r in rows)
+    assert all(0.0 <= r["recall10"] <= 1.0 for r in rows)
+    # the exact-topk flags must be consistent with the scalar recall
+    assert sum(r["in_exact_topk"] for r in rows) == round(
+        rows[0]["recall10"] * 10
+    )
