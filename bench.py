@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "dedup_fuzzy_pairs",
     "sim_ivf_lloyd_topk",
     "sim_ivfpq_topk",
+    # round-9 additions: scorer diagnostics, quantized ANN, dedup census
+    "ml_ks_statistic",
+    "ml_auc_by_source",
+    "ml_calibration_bins",
+    "sim_int8_topk",
+    "dedup_cluster_stats",
 ]
 
 

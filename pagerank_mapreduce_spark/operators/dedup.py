@@ -1143,3 +1143,45 @@ def fuzzy_match_pairs(
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
+
+
+def dup_cluster_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster census over the exact-dedup fingerprint — the
+    curation report that tells you WHAT dedup would remove before you
+    remove it: one row per observed cluster size with the number of
+    clusters, documents, and removable duplicates at that size, plus
+    corpus-level totals and the overall duplicate ratio riding on
+    every row (broadcast scalar, so the relation is self-contained).
+
+    Two algebraic shuffles, both narrow: fingerprint → cluster sizes,
+    sizes → histogram. The histogram's key cardinality is the number
+    of DISTINCT cluster sizes (≤ a few hundred even at corpus scale —
+    duplicate-count distributions are heavy-tailed but their support
+    is tiny), so the second aggregation is effectively free."""
+    from pagerank_mapreduce_spark.functions.text import fingerprint
+
+    sizes = (
+        df.select(fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.col("sz") - 1).alias("dup_docs"),
+    )
+    totals = F.broadcast(
+        hist.agg(
+            F.sum("n_docs").alias("_total"),
+            F.sum("dup_docs").alias("_dups"),
+        )
+    )
+    return hist.crossJoin(totals).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        "dup_docs",
+        F.round(F.col("_dups") / F.col("_total"), 6).alias("corpus_dup_ratio"),
+    )

@@ -5,8 +5,8 @@ A training-data pipeline scores corpora with quality classifiers
 those scorers against labels at corpus scale. The metrics here are
 rank statistics, whose textbook formulation ("sort everything, walk
 the ranks") is a single-partition global sort — the one thing a
-100 TB job must never do. Both operators compute exact average ranks
-with the repo's two-phase distributed prefix-sum shape (see
+100 TB job must never do. Every operator computes exact answers with
+the repo's two-phase distributed prefix-sum shape (see
 operators/packing.py, the sequence-packing precedent):
 
 1. collapse to DISTINCT score values (groupBy — algebraic, map-side
@@ -18,14 +18,16 @@ operators/packing.py, the sequence-packing precedent):
    bucketing into a single giant window partition the way a
    min/max-range width_bucket would (round-9 ADVICE fix). Per-bucket
    prefix sums run under a window PARTITIONED by bucket,
-3. bucket offsets from a window over the tiny (≤ n_buckets rows)
-   bucket-totals relation — the only unpartitioned orderBy, on a
-   provably constant-size input.
+3. bucket offsets from a window over the tiny (≤ n_buckets rows per
+   group) bucket-totals relation — the only coarse orderBy, on a
+   provably bounded input.
 
-Global rank of a value = bucket offset + within-bucket prefix; ties
-get the textbook average rank (min rank + (count-1)/2), so results
-match scipy.stats.rankdata("average") / SQL rank()-based oracles
-exactly.
+Global prefix of a value = bucket offset + within-bucket prefix.
+Average ranks give ties the textbook mid-rank (min rank +
+(count-1)/2), so results match scipy.stats.rankdata("average") /
+SQL rank()-based oracles exactly. The same prefix machinery yields
+cumulative distribution functions (Kolmogorov-Smirnov) and grouped
+variants (per-source AUC) — rank statistics share one scale shape.
 """
 
 from __future__ import annotations
@@ -33,6 +35,85 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _bucketed_prefix(
+    per_score: DataFrame,
+    score_col: str,
+    sum_cols: list[str],
+    group_cols: tuple[str, ...] = (),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Append ``_below_<c>`` = the EXCLUSIVE prefix sum of each
+    ``sum_cols`` entry under the ascending ``score_col`` order
+    (within each ``group_cols`` combination when given), plus
+    ``_bkt``, to a one-row-per-distinct-score relation.
+
+    The edges are GLOBAL percentiles even in grouped mode: balance
+    only needs each (group, bucket) window partition bounded, and a
+    shared edge array keeps the edges relation one broadcastable row.
+    Ungrouped, the bucket-offsets relation is ≤ n_buckets rows and
+    broadcast; grouped, it is ≤ n_buckets rows PER GROUP and joins on
+    (group, bucket) — each offset window partition is per-group and
+    ≤ n_buckets rows, never data-sized."""
+    edges = per_score.agg(
+        F.percentile_approx(
+            F.col(score_col).cast("double"),
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+        ).alias("_edges")
+    )
+    # O(n_buckets) comparisons per DISTINCT value inside codegen — the
+    # price of skew-immunity, paid post-collapse, not per input row
+    bucketed = (
+        per_score.join(F.broadcast(edges))
+        .withColumn(
+            "_bkt",
+            F.size(
+                F.filter(
+                    "_edges", lambda e: e < F.col(score_col).cast("double")
+                )
+            ),
+        )
+        .drop("_edges")
+    )
+    gcols = list(group_cols)
+    in_bucket = Window.partitionBy(*gcols, "_bkt").orderBy(score_col)
+    for c in sum_cols:
+        bucketed = bucketed.withColumn(
+            f"_below_{c}",
+            F.coalesce(
+                F.sum(c).over(
+                    in_bucket.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    totals = bucketed.groupBy(*gcols, "_bkt").agg(
+        *[F.sum(c).alias(f"_bn_{c}") for c in sum_cols]
+    )
+    off_w = (
+        Window.partitionBy(*gcols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *gcols,
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_bn_{c}").over(off_w), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    if not gcols:
+        offsets = F.broadcast(offsets)
+    joined = bucketed.join(offsets, [*gcols, "_bkt"])
+    for c in sum_cols:
+        joined = joined.withColumn(
+            f"_below_{c}", F.col(f"_off_{c}") + F.col(f"_below_{c}")
+        ).drop(f"_off_{c}")
+    return joined
 
 
 def _avg_ranks(
@@ -52,67 +133,28 @@ def _avg_ranks(
     per_score = df.groupBy(score_col).agg(
         F.count(F.lit(1)).alias("n"), *agg_cols
     )
-    # bucket edges = approx percentiles of the DISTINCT values, so the
-    # window partitions are balanced by rank position regardless of the
-    # value distribution (an outlier max under a min/max width_bucket
-    # would put ~every distinct value in one bucket and degenerate the
-    # partitioned window into the global sort this module exists to
-    # avoid). The edges relation is one row with a ≤(n_buckets-1)-wide
-    # array — broadcast, never collected. Ties with an edge value land
-    # deterministically via <=; duplicate edges just leave empty
-    # buckets. The assignment is O(n_buckets) comparisons per distinct
-    # value inside codegen — the price of skew-immunity, paid per
-    # DISTINCT value (post-collapse), not per row.
-    edges = per_score.agg(
-        F.percentile_approx(
-            F.col(score_col).cast("double"),
-            F.array(
-                *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
-            ),
-        ).alias("_edges")
-    )
-    bucketed = per_score.join(F.broadcast(edges)).withColumn(
-        "_bkt",
-        F.size(
-            F.filter(
-                "_edges",
-                lambda e: e < F.col(score_col).cast("double"),
-            )
-        ),
-    )
-    in_bucket = Window.partitionBy("_bkt").orderBy(score_col)
-    bucketed = bucketed.withColumn(
-        "_below_in_bkt",
-        F.coalesce(
-            F.sum("n").over(
-                in_bucket.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    )
-    totals = bucketed.groupBy("_bkt").agg(F.sum("n").alias("_bn"))
-    # ≤ n_buckets + 1 rows: the unpartitioned orderBy is safe here
-    offsets = totals.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_bn").over(
-                Window.orderBy("_bkt").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("_bkt", "_offset")
-    ranked = bucketed.join(F.broadcast(offsets), "_bkt").withColumn(
+    ranked = _bucketed_prefix(
+        per_score, score_col, ["n"], (), n_buckets
+    ).withColumn(
         "avg_rank",
-        F.col("_offset")
-        + F.col("_below_in_bkt")
-        + (F.col("n") + F.lit(1)) / F.lit(2.0),
+        F.col("_below_n") + (F.col("n") + F.lit(1)) / F.lit(2.0),
     )
-    drop = ["_edges", "_below_in_bkt", "_offset"]
+    drop = ["_below_n"]
     if not _keep_bucket:
         drop.append("_bkt")
     return ranked.drop(*drop)
+
+
+def _auc_from_ranks(ranked: DataFrame, *keep: str) -> DataFrame:
+    agg = ranked.groupBy(*keep).agg(
+        F.sum(F.col("_np") * F.col("avg_rank")).alias("_rpos"),
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("_np")).cast("bigint").alias("n_neg"),
+    )
+    return agg, (
+        F.col("_rpos")
+        - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0)
+    ) / (F.col("n_pos") * F.col("n_neg"))
 
 
 def roc_auc(
@@ -142,28 +184,156 @@ def roc_auc(
         # NULL label would poison the positive count
         F.col("_s").isNotNull() & F.col("_y").isNotNull()
     )
-    ranked = _avg_ranks(
-        base,
-        "_s",
-        [F.sum("_y").alias("_np")],
-        n_buckets,
-    )
-    agg = ranked.agg(
-        F.sum(F.col("_np") * F.col("avg_rank")).alias("_rpos"),
-        F.sum("_np").cast("bigint").alias("n_pos"),
-        F.sum(F.col("n") - F.col("_np")).cast("bigint").alias("n_neg"),
-    )
+    ranked = _avg_ranks(base, "_s", [F.sum("_y").alias("_np")], n_buckets)
+    agg, auc = _auc_from_ranks(ranked)
     return agg.select(
+        F.round(auc, round_to).alias("auc"), "n_pos", "n_neg"
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+    group_cols: list[str],
+    n_buckets: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group exact ROC-AUC — the quality-slicing staple ("is the
+    classifier as good on src3 as on src0?"). Same Mann-Whitney
+    identity as :func:`roc_auc`, with ranks computed WITHIN each
+    group: the distinct-score collapse keys on (group, score), the
+    prefix windows partition on (group, bucket), and the offsets join
+    on (group, bucket) — one pipeline over all groups at once, never
+    a per-group loop or a global sort. Groups with no positives or no
+    negatives yield NULL auc (undefined, kept so the caller sees the
+    degenerate slice). Output: one row per group
+    (group_cols..., auc, n_pos, n_neg)."""
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    base = df.select(
+        *group_cols, F.col(score_col).alias("_s"), y.alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    per_score = base.groupBy(*group_cols, "_s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("_np")
+    )
+    ranked = _bucketed_prefix(
+        per_score, "_s", ["n"], tuple(group_cols), n_buckets
+    ).withColumn(
+        "avg_rank",
+        F.col("_below_n") + (F.col("n") + F.lit(1)) / F.lit(2.0),
+    )
+    agg, auc = _auc_from_ranks(ranked, *group_cols)
+    return agg.select(
+        *group_cols,
         F.round(
-            (
-                F.col("_rpos")
-                - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0)
-            )
-            / (F.col("n_pos") * F.col("n_neg")),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc
+            ),
             round_to,
         ).alias("auc"),
         "n_pos",
         "n_neg",
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+    n_buckets: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the score
+    distributions of the positive and negative classes::
+
+        KS = max over distinct scores v of |F+(v) - F-(v)|
+
+    with F± the INCLUSIVE empirical CDFs — the classic separability
+    measure for a classifier score (KS = 0 useless, 1 perfectly
+    separated). Exact, via the same distinct-value prefix-sum shape
+    as the rank metrics: per distinct score, cumulative positive and
+    negative counts come from the bucketed prefix machinery, and the
+    max over distinct values is one scalar aggregate. Output: one row
+    (ks, n_pos, n_neg)."""
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    base = df.select(F.col(score_col).alias("_s"), y.alias("_y")).filter(
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
+    per_score = base.groupBy("_s").agg(
+        F.sum("_y").alias("np"),
+        F.sum(F.lit(1) - F.col("_y")).alias("nn"),
+    )
+    pre = _bucketed_prefix(per_score, "_s", ["np", "nn"], (), n_buckets)
+    tot = F.broadcast(
+        per_score.agg(
+            F.sum("np").cast("bigint").alias("n_pos"),
+            F.sum("nn").cast("bigint").alias("n_neg"),
+        )
+    )
+    gap = F.abs(
+        (F.col("_below_np") + F.col("np")) / F.col("n_pos")
+        - (F.col("_below_nn") + F.col("nn")) / F.col("n_neg")
+    )
+    return (
+        pre.crossJoin(tot)
+        .agg(
+            F.round(F.max(gap), round_to).alias("ks"),
+            F.first("n_pos").alias("n_pos"),
+            F.first("n_neg").alias("n_neg"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str | Column,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: partition
+    predictions into ``n_bins`` equal-width probability bins and
+    report, per bin, the count, mean predicted probability, observed
+    positive rate, and |gap|; every row also carries the overall
+    expected calibration error ECE = Σ (n_b/N)·|mean_p_b − frac_pos_b|
+    (Naeini et al. 2015, the standard binned estimator). One
+    algebraic groupBy over the bin id plus a broadcast scalar — the
+    cheapest metric in the module. Probabilities are clamped into
+    [0, 1); p = 1.0 lands in the top bin."""
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    p = F.col(prob_col).cast("double")
+    base = df.select(p.alias("_p"), y.alias("_y")).filter(
+        F.col("_p").isNotNull() & F.col("_y").isNotNull()
+    )
+    bin_id = F.least(
+        F.floor(F.col("_p") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = base.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_p").alias("_mp"),
+        F.avg("_y").alias("_fp"),
+    )
+    total = F.broadcast(
+        bins.agg(
+            F.sum("n").alias("_N"),
+            F.sum(
+                F.col("n") * F.abs(F.col("_mp") - F.col("_fp"))
+            ).alias("_werr"),
+        )
+    )
+    return bins.crossJoin(total).select(
+        "bin",
+        "n",
+        F.round("_mp", round_to).alias("mean_p"),
+        F.round("_fp", round_to).alias("frac_pos"),
+        F.round(F.abs(F.col("_mp") - F.col("_fp")), round_to).alias("gap"),
+        F.round(F.col("_werr") / F.col("_N"), round_to).alias("ece"),
     )
 
 

@@ -1014,3 +1014,86 @@ def ivfpq_topk(
             cosine(F.col(vec_col).cast("array<double>"), qcol), 8
         ).alias("cos"),
     )
+
+
+def int8_quantize(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q[j] = round(v[j]/scale) ∈ [-127, 127]`` (the standard
+    serving-side embedding compression — 4× less memory/bandwidth
+    than float32, which at 100 TB is the difference between an index
+    fitting executor memory or spilling). Zero vectors quantize to
+    all-zero with scale 0. Output: (id, scale DOUBLE, qvec ARRAY<INT>).
+
+    Pure built-in expressions (aggregate/transform), bit-replayable:
+    the division is IEEE double, round() is half-away-from-zero in
+    both Spark and DuckDB, so the oracle reproduces codes exactly."""
+    v = F.col(vec_col).cast("array<double>")
+    scaled = embeddings.select(
+        F.col(id_col),
+        (
+            F.aggregate(
+                v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+            )
+            / F.lit(127.0)
+        ).alias("scale"),
+        v.alias("_v"),
+    )
+    return scaled.select(
+        id_col,
+        "scale",
+        F.transform(
+            "_v",
+            lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+            .otherwise(F.round(x / F.col("scale")).cast("int"))
+            .cast("int"),
+        ).alias("qvec"),
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by QUANTIZED cosine: both sides int8-quantized, scored as
+    the cosine of the integer code vectors — the per-vector scales
+    cancel out of cosine entirely, so the score is pure integer dot /
+    integer norms (exact arithmetic up to the final sqrt). The exact
+    float cosine rides along per returned row, so callers see the
+    quantization error directly instead of trusting it. Scan shape is
+    identical to :func:`cosine_topk`: one pass, partial top-k per
+    partition, no shuffle beyond the final limit."""
+    # quantize the query through the SAME engine expression as the
+    # data side (one constant row) — a driver-side Python round()
+    # would be banker's rounding and disagree on exact halves
+    q = int8_quantize(
+        embeddings.sparkSession.createDataFrame(
+            [(0, [float(x) for x in query])],
+            f"{id_col} long, {vec_col} array<double>",
+        ),
+        vec_col,
+        id_col,
+    ).first()
+    qq = [int(x) for x in q["qvec"]]
+    coded = int8_quantize(embeddings, vec_col, id_col)
+    qi = F.col("qvec").cast("array<double>")
+    qlit = array_lit([float(x) for x in qq])
+    scored = coded.select(
+        F.col(id_col),
+        F.round(cosine(qi, qlit), 8).alias("q_cos"),
+    )
+    top = scored.orderBy(F.col("q_cos").desc(), F.col(id_col)).limit(k)
+    exact = embeddings.select(
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), array_lit(query)),
+            8,
+        ).alias("cos"),
+    )
+    return top.join(exact, id_col).select(id_col, "q_cos", "cos")

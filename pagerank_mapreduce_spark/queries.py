@@ -6082,12 +6082,12 @@ def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mann-Whitney rank-sum AUC replayed with average ranks
     # (rank() = min rank among ties; + (tie_count - 1)/2 = the
     # textbook average rank the engine's two-phase computation
-    # produces); score = the sim_vector_norm L2 convention, target =
-    # label >= 5 (the fixture's labels are 0..9)
+    # produces); score = the first-axis projection (round 9: the
+    # original L2-norm score was degenerate — the fixture embeddings
+    # are unit-normalized, so it had ONE distinct value and the rank
+    # machinery saw nothing but ties), target = label >= 5
     """WITH sc AS (SELECT CAST(label >= 5 AS INT) AS y,
-                          round(sqrt(list_dot_product(
-                              CAST(embedding AS DOUBLE[]),
-                              CAST(embedding AS DOUBLE[]))), 6) AS score
+                          round(CAST(embedding[1] AS DOUBLE), 6) AS score
                    FROM embeddings),
        r AS (SELECT y, rank() OVER (ORDER BY score)
                       + (count(*) OVER (PARTITION BY score) - 1) / 2.0
@@ -6108,14 +6108,10 @@ def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_mapreduce_spark.operators.evaluation import roc_auc
 
     e = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     scored = e.select(
-        F.round(F.sqrt(dot), 6).alias("score"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "score"
+        ),
         (F.col("label") >= 5).alias("y"),
     )
     return roc_auc(scored, "score", "y")
@@ -6154,6 +6150,203 @@ def q_ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("double").alias("y"),
     )
     return spearman_corr(both, "x", "y")
+
+
+# ============= scorer diagnostics / quantization / census (round 9)
+
+
+@_q(
+    "ml_ks_statistic",
+    # two-sample KS: max over distinct scores of |CDF+ - CDF-|, with
+    # INCLUSIVE empirical CDFs; same score/label convention as
+    # ml_roc_auc so the two diagnostics describe one scorer
+    """WITH sc AS (SELECT CAST(label >= 5 AS INT) AS y,
+                          round(CAST(embedding[1] AS DOUBLE), 6) AS score
+                   FROM embeddings),
+       d AS (SELECT score,
+                    count(CASE WHEN y = 1 THEN 1 END) AS np,
+                    count(CASE WHEN y = 0 THEN 1 END) AS nn
+             FROM sc GROUP BY score),
+       c AS (SELECT score,
+                    sum(np) OVER (ORDER BY score) AS cnp,
+                    sum(nn) OVER (ORDER BY score) AS cnn
+             FROM d),
+       t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+                    CAST(sum(nn) AS BIGINT) AS tn FROM d)
+       SELECT round(max(abs(cnp * 1.0 / tp - cnn * 1.0 / tn)), 6) AS ks,
+              first(tp) AS n_pos, first(tn) AS n_neg
+       FROM c CROSS JOIN t""",
+)
+def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classifier separability: the KS distance between the positive
+    # and negative score distributions — exact, via the same bucketed
+    # prefix-sum machinery as the rank metrics (never a global sort)
+    from pagerank_mapreduce_spark.operators.evaluation import ks_statistic
+
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "score"
+        ),
+        (F.col("label") >= 5).alias("y"),
+    )
+    return ks_statistic(scored, "score", "y")
+
+
+@_q(
+    "ml_auc_by_source",
+    # per-group AUC (quality slicing): does document length predict
+    # "mentions spark" equally well across sources? Groups with one
+    # class yield NULL auc (kept, the degenerate slice is the signal)
+    """WITH sc AS (SELECT source,
+                          CAST(n_chars AS DOUBLE) AS score,
+                          CAST(text LIKE '%spark%' AS INT) AS y
+                   FROM documents
+                   WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       r AS (SELECT source, y,
+                    rank() OVER (PARTITION BY source ORDER BY score)
+                    + (count(*) OVER (PARTITION BY source, score) - 1)
+                      / 2.0 AS ar
+             FROM sc),
+       agg AS (SELECT source,
+                      sum(CASE WHEN y = 1 THEN ar ELSE 0 END) AS rpos,
+                      count(CASE WHEN y = 1 THEN 1 END) AS np,
+                      count(CASE WHEN y = 0 THEN 1 END) AS nn
+               FROM r GROUP BY source)
+       SELECT source,
+              round(CASE WHEN np > 0 AND nn > 0
+                         THEN (rpos - np * (np + 1) / 2.0) / (np * nn)
+                    END, 6) AS auc,
+              np AS n_pos, nn AS n_neg
+       FROM agg""",
+)
+def q_ml_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouped exact AUC — one pipeline over all groups at once (the
+    # prefix windows partition on (group, bucket)); never a per-group
+    # loop, never a global sort (operators/evaluation.py)
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        roc_auc_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("score"),
+        F.col("text").contains("spark").alias("y"),
+    )
+    return roc_auc_by_group(scored, "score", "y", ["source"])
+
+
+@_q(
+    "ml_calibration_bins",
+    # reliability diagram + ECE for a [0,1) scorer; the pseudo-prob
+    # is integer-derived (user_id % 100 / 100) so bin assignment is
+    # exact cross-engine, and every row carries the corpus ECE
+    """WITH b AS (SELECT (user_id % 100) / 100.0 AS p,
+                         CAST(event_type = 'error' AS INT) AS y
+                  FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       bins AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                       count(*) AS n,
+                       avg(p) AS mp, avg(y) AS fp
+                FROM b GROUP BY 1),
+       t AS (SELECT sum(n) AS N, sum(n * abs(mp - fp)) AS werr
+             FROM bins)
+       SELECT bin, n, round(mp, 6) AS mean_p, round(fp, 6) AS frac_pos,
+              round(abs(mp - fp), 6) AS gap,
+              round((SELECT werr FROM t) / (SELECT N FROM t), 6) AS ece
+       FROM bins""",
+)
+def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binned calibration (Naeini et al. 2015): per-bin predicted-vs-
+    # observed positive rate plus the overall expected calibration
+    # error — one algebraic groupBy and a broadcast scalar
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        ((F.col("user_id") % 100) / 100.0).alias("p"),
+        (F.col("event_type") == "error").alias("y"),
+    )
+    return calibration_bins(scored, "p", "y", n_bins=10)
+
+
+@_q(
+    "sim_int8_topk",
+    # int8-quantized ANN: per-vector symmetric quantization (scale =
+    # max|v|/127, codes = round(v/scale)), scored as the cosine of
+    # the integer codes (scales cancel), exact float cosine alongside
+    # so the quantization error is visible per row. round() is
+    # half-away-from-zero in both engines, so codes replay exactly
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       qe AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM e),
+       qc AS (SELECT vec_id, v,
+                     list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                       ELSE CAST(round(x / s) AS INTEGER) END) AS q
+              FROM qe),
+       qq AS (SELECT q AS query_q FROM qc WHERE vec_id = 0),
+       qv AS (SELECT v AS query_v FROM e WHERE vec_id = 0),
+       scored AS (SELECT vec_id,
+                    round(list_dot_product(CAST(q AS DOUBLE[]),
+                                           CAST(query_q AS DOUBLE[]))
+                      / (sqrt(list_dot_product(CAST(q AS DOUBLE[]),
+                                               CAST(q AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(query_q AS DOUBLE[]),
+                                               CAST(query_q AS DOUBLE[])))),
+                      8) AS q_cos,
+                    round(list_dot_product(v, query_v)
+                      / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(query_v, query_v))),
+                      8) AS cos
+                  FROM qc CROSS JOIN qq CROSS JOIN qv)
+       SELECT vec_id, q_cos, cos FROM scored
+       ORDER BY q_cos DESC, vec_id LIMIT 10""",
+)
+def q_sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4x-compressed similarity search: int8 codes cut index memory/
+    # bandwidth 4x (the difference between fitting executor memory
+    # and spilling at 100 TB); quality is self-evident per row via
+    # the exact-cosine column (operators/similarity.py: int8_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return S.int8_topk(emb, query, k=10)
+
+
+@_q(
+    "dedup_cluster_stats",
+    # duplicate-cluster census on the exact-dedup fingerprint: per
+    # cluster-size histogram + corpus dup ratio on every row
+    """WITH fp AS (SELECT md5(regexp_replace(trim(lower(text)),
+                                             '\\s+', ' ', 'g')) AS f
+                   FROM documents),
+       s AS (SELECT f, count(*) AS sz FROM fp GROUP BY f),
+       h AS (SELECT sz AS cluster_size,
+                    CAST(count(*) AS BIGINT) AS n_clusters,
+                    CAST(sum(sz) AS BIGINT) AS n_docs,
+                    CAST(sum(sz - 1) AS BIGINT) AS dup_docs
+             FROM s GROUP BY sz),
+       t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+                    CAST(sum(dup_docs) AS BIGINT) AS dups FROM h)
+       SELECT cluster_size, n_clusters, n_docs, dup_docs,
+              round((SELECT dups FROM t) * 1.0 / (SELECT tot FROM t),
+                    6) AS corpus_dup_ratio
+       FROM h""",
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the "what would dedup remove" report a curation run starts
+    # from: two narrow algebraic shuffles (fingerprint -> sizes ->
+    # histogram); the histogram key space is the distinct cluster
+    # sizes, effectively constant (operators/dedup.py)
+    return D.dup_cluster_stats(_t(spark, sf_dir, "documents"))
 
 
 # ====================== PMI phrase mining / robust stats (round 7)

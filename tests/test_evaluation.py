@@ -149,3 +149,71 @@ def test_rank_buckets_balanced_under_value_skew(spark):
     # and the ranks themselves are still exact: 1..n then the outlier
     got = {r["s"]: r["avg_rank"] for r in ranked.collect()}
     assert got[0.0] == 1.0 and got[1e15] == float(n + 1)
+
+
+def test_ks_statistic_hand_computed(spark):
+    # scores 1,2,3,4 with labels 0,0,1,1: CDFs diverge maximally at
+    # score 2 (F- = 1.0, F+ = 0.0) -> KS = 1.0 (perfect separation)
+    from pagerank_mapreduce_spark.operators.evaluation import ks_statistic
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], ["s", "y"]
+    )
+    row = ks_statistic(df, "s", "y").first()
+    assert row["ks"] == 1.0 and row["n_pos"] == 2 and row["n_neg"] == 2
+    # identical distributions -> KS 0
+    df2 = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (2.0, 0), (2.0, 1)], ["s", "y"]
+    )
+    assert ks_statistic(df2, "s", "y").first()["ks"] == 0.0
+    # partial overlap, hand-walked: scores 1-,2+,3-,4+ ->
+    # cum at 1: |0 - .5| = .5; at 2: |.5-.5|=0; at 3: |.5-1|=.5; at 4: 0
+    df3 = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)], ["s", "y"]
+    )
+    assert ks_statistic(df3, "s", "y").first()["ks"] == 0.5
+
+
+def test_roc_auc_by_group_matches_ungrouped_per_slice(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        roc_auc,
+        roc_auc_by_group,
+    )
+
+    rows = [
+        ("a", 1.0, 0), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 4.0, 1),
+        ("b", 1.0, 1), ("b", 2.0, 0), ("b", 3.0, 1), ("b", 4.0, 0),
+        ("c", 1.0, 1), ("c", 2.0, 1),  # no negatives -> NULL auc
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    got = {
+        r["g"]: (r["auc"], r["n_pos"], r["n_neg"])
+        for r in roc_auc_by_group(df, "s", "y", ["g"]).collect()
+    }
+    for g in ("a", "b"):
+        solo = roc_auc(df.filter(F.col("g") == g), "s", "y").first()
+        assert got[g] == (solo["auc"], solo["n_pos"], solo["n_neg"]), g
+    assert got["c"][0] is None and got["c"] == (None, 2, 0)
+
+
+def test_calibration_bins_hand_computed(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    # two bins: p=0.1 twice (one positive -> frac 0.5, gap 0.4),
+    # p=0.95 twice (both positive -> frac 1.0, gap 0.05);
+    # ECE = (2*0.4 + 2*0.05)/4 = 0.225
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.1, 1), (0.95, 1), (0.95, 1)], ["p", "y"]
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df, "p", "y").collect()}
+    assert set(rows) == {1, 9}
+    assert rows[1]["frac_pos"] == 0.5 and rows[1]["gap"] == 0.4
+    assert rows[9]["mean_p"] == 0.95 and rows[9]["gap"] == 0.05
+    assert all(r["ece"] == 0.225 for r in rows.values())
+    # p = 1.0 clamps into the top bin instead of creating bin 10
+    top = calibration_bins(
+        spark.createDataFrame([(1.0, 1)], ["p", "y"]), "p", "y"
+    ).first()
+    assert top["bin"] == 9

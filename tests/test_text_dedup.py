@@ -1014,3 +1014,55 @@ def test_ivf_kmeans_catalog_entry_carries_quality_verdict(spark, sf_dir):
     assert sum(r["in_exact_topk"] for r in rows) == round(
         rows[0]["recall10"] * 10
     )
+
+
+def test_int8_quantize_codes_and_roundtrip(spark):
+    # hand-checked codes: max|v| = 2.54 -> scale 0.02; 1.27/0.02 =
+    # 63.5 rounds half-AWAY-from-zero to 64 (the cross-engine rule);
+    # zero vector -> scale 0, all-zero codes, no division blowup
+    rows = [(0, [2.54, -1.27, 0.01]), (1, [0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in S.int8_quantize(emb).collect()}
+    assert got[0]["qvec"] == [127, -64, 1]
+    assert abs(got[0]["scale"] - 0.02) < 1e-12
+    assert got[1]["qvec"] == [0, 0, 0] and got[1]["scale"] == 0.0
+    assert all(-127 <= q <= 127 for q in got[0]["qvec"])
+
+
+def test_int8_topk_tracks_exact_topk(spark, sf_dir):
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    rows = S.int8_topk(emb, query, k=10).collect()
+    assert len(rows) == 10
+    # the query's own vector must win with q_cos == cos == 1
+    self_row = [r for r in rows if r["vec_id"] == 0][0]
+    assert self_row["q_cos"] == 1.0 and self_row["cos"] == 1.0
+    # int8 distortion on 64-dim unit-ish vectors is small: every
+    # returned quantized cosine is within 0.05 of the exact one
+    assert all(abs(r["q_cos"] - r["cos"]) < 0.05 for r in rows)
+    # and recall vs exact top-10 clears a high floor (int8 is nearly
+    # lossless at this dimensionality, unlike the coarse IVF probes)
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, query, k=10).collect()}
+    assert len({r["vec_id"] for r in rows} & exact) >= 8
+
+
+def test_dup_cluster_stats_census(spark):
+    from pagerank_mapreduce_spark.operators.dedup import dup_cluster_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta"), (1, "ALPHA   beta"),  # same fp (size 2)
+            (2, "gamma"), (3, "gamma"), (4, "gamma"),  # size 3
+            (5, "unique one"),  # size 1
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["cluster_size"]: r for r in dup_cluster_stats(docs).collect()}
+    assert rows[1]["n_clusters"] == 1 and rows[1]["dup_docs"] == 0
+    assert rows[2]["n_clusters"] == 1 and rows[2]["dup_docs"] == 1
+    assert rows[3]["n_clusters"] == 1 and rows[3]["dup_docs"] == 2
+    # dup ratio = (1 + 2) removable / 6 docs = 0.5, on every row
+    assert all(r["corpus_dup_ratio"] == 0.5 for r in rows.values())
+    assert sum(r["n_docs"] for r in rows.values()) == 6
