@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ml_calibration_bins",
     "sim_int8_topk",
     "dedup_cluster_stats",
+    "text_split_leakproof",
 ]
 
 

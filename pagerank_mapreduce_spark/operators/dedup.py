@@ -1185,3 +1185,77 @@ def dup_cluster_stats(
         "dup_docs",
         F.round(F.col("_dups") / F.col("_total"), 6).alias("corpus_dup_ratio"),
     )
+
+
+def leakproof_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment report: hashing the
+    DOCUMENT id splits duplicates across sides (train/test leakage —
+    the eval contamination Lee et al. ACL'22 measure), while hashing
+    the exact-dedup FINGERPRINT sends every duplicate cluster to one
+    side by construction. Both methods run side by side so the
+    leakage is measured, not asserted: one row per (method, split)
+    with document/cluster counts and the method's count of clusters
+    that straddle splits (0 for by_cluster, by construction).
+
+    Scale shape: the split label is a pure md5 expression (no
+    shuffle); the census is two algebraic aggregations keyed on the
+    fingerprint — the same narrow-shuffle profile as exact_dedup.
+    The hash is the portable 60-bit md5 prefix, so the DuckDB oracle
+    replays assignments bit-for-bit."""
+    from pagerank_mapreduce_spark.functions.text import fingerprint
+
+    def label(h: Column) -> Column:
+        b = F.pmod(h, F.lit(100))
+        return (
+            F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    base = df.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("fp"),
+    ).select(
+        "fp",
+        label(portable_hash60(F.col(id_col).cast("string"))).alias(
+            "by_doc"
+        ),
+        label(portable_hash60(F.col("fp"))).alias("by_cluster"),
+    )
+    out = []
+    for method in ("by_doc", "by_cluster"):
+        per_cluster = base.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.count_distinct(method).alias("nsplits"),
+            F.first(method).alias("_any"),
+        )
+        leaky = F.broadcast(
+            per_cluster.agg(
+                F.sum((F.col("nsplits") > 1).cast("int")).alias(
+                    "leaky_clusters"
+                )
+            )
+        )
+        census = (
+            base.groupBy(F.col(method).alias("split"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("fp").alias("n_clusters"),
+            )
+            .crossJoin(leaky)
+            .select(
+                F.lit(method).alias("method"),
+                "split",
+                "n_docs",
+                "n_clusters",
+                F.col("leaky_clusters").cast("bigint"),
+            )
+        )
+        out.append(census)
+    return out[0].unionByName(out[1])

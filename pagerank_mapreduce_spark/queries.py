@@ -6349,6 +6349,53 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_cluster_stats(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "text_split_leakproof",
+    # dedup-aware train/val/test split census: hashing doc_id lets
+    # duplicate clusters straddle splits (train/test contamination);
+    # hashing the dedup fingerprint pins each cluster to one side.
+    # Both methods measured side by side; assignments replay via the
+    # portable 60-bit md5-prefix hash
+    """WITH b AS (SELECT
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 100 AS hd,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents),
+       l AS (SELECT fp,
+               CASE WHEN hd < 80 THEN 'train'
+                    WHEN hd < 90 THEN 'val' ELSE 'test' END AS by_doc,
+               CASE WHEN hf < 80 THEN 'train'
+                    WHEN hf < 90 THEN 'val' ELSE 'test' END AS by_cluster
+             FROM (SELECT fp, hd,
+                          ('0x' || substr(md5(fp), 1, 15))::BIGINT % 100
+                            AS hf
+                   FROM b)),
+       lk1 AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS leaky
+               FROM (SELECT count(DISTINCT by_doc) AS ns
+                     FROM l GROUP BY fp)),
+       lk2 AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS leaky
+               FROM (SELECT count(DISTINCT by_cluster) AS ns
+                     FROM l GROUP BY fp))
+       SELECT 'by_doc' AS method, by_doc AS split,
+              count(*) AS n_docs,
+              count(DISTINCT fp) AS n_clusters,
+              (SELECT leaky FROM lk1) AS leaky_clusters
+       FROM l GROUP BY 2
+       UNION ALL
+       SELECT 'by_cluster', by_cluster, count(*), count(DISTINCT fp),
+              (SELECT leaky FROM lk2)
+       FROM l GROUP BY 2""",
+)
+def q_text_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the leakage-safe split assignment a training run needs BEFORE
+    # eval numbers mean anything (Lee et al. ACL'22 measure dup-driven
+    # contamination); split labels are pure expressions — no shuffle —
+    # and the census is the exact_dedup narrow-shuffle profile
+    return D.leakproof_split(_t(spark, sf_dir, "documents"))
+
+
 # ====================== PMI phrase mining / robust stats (round 7)
 
 

@@ -1066,3 +1066,25 @@ def test_dup_cluster_stats_census(spark):
     # dup ratio = (1 + 2) removable / 6 docs = 0.5, on every row
     assert all(r["corpus_dup_ratio"] == 0.5 for r in rows.values())
     assert sum(r["n_docs"] for r in rows.values()) == 6
+
+
+def test_leakproof_split_pins_clusters_to_one_side(spark):
+    from pagerank_mapreduce_spark.operators.dedup import leakproof_split
+
+    # many duplicate pairs -> the by-doc split must leak SOME cluster
+    # (ids hash independently), the by-cluster split must leak none
+    rows = [(i, f"dup text {i % 20}") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakproof_split(docs).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["method"], []).append(r)
+    cl = by["by_cluster"]
+    assert all(r["leaky_clusters"] == 0 for r in cl)
+    assert sum(r["n_docs"] for r in cl) == 200
+    assert sum(r["n_clusters"] for r in cl) == 20  # no straddling
+    dd = by["by_doc"]
+    assert dd[0]["leaky_clusters"] > 0  # 10-doc clusters straddle
+    assert sum(r["n_docs"] for r in dd) == 200
+    # straddling inflates the per-split cluster-appearance total
+    assert sum(r["n_clusters"] for r in dd) > 20
