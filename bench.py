@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "sim_int8_topk",
     "dedup_cluster_stats",
     "text_split_leakproof",
+    "ml_psi",
+    "ml_bootstrap_ci",
 ]
 
 

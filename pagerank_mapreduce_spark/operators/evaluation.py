@@ -32,9 +32,19 @@ variants (per-source AUC) — rank statistics share one scale shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# inverse-CDF thresholds for Poisson(1), k = 0..5: e^-1 · partial sums
+# of 1/k!. Shared with the DuckDB oracles (queries.py embeds the same
+# repr'd doubles), so the coin → weight mapping is bit-identical.
+POISSON1_CDF = tuple(
+    sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1))
+    for k in range(6)
+)
 
 
 def _bucketed_prefix(
@@ -366,4 +376,135 @@ def spearman_corr(
     return joined.agg(
         F.round(F.corr("_rx", "_ry"), round_to).alias("rho"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    is_reference: Column,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 10.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between the reference and current
+    distributions of ``value_col``::
+
+        PSI = Σ over bins (p_cur - p_ref) · ln(p_cur / p_ref)
+
+    the standard drift monitor for a feature/score between a training
+    snapshot and live data (rule of thumb: < 0.1 stable, > 0.25
+    shifted). Fixed-width bins over [lo, hi] with clamping — fixed
+    edges are the POINT for drift (percentiles of the pooled data
+    would mask the shift), and they make the op one algebraic groupBy.
+    Empty bins take the standard ε = 1e-6 floor on either proportion
+    so the log stays finite. Output: one row per bin
+    (bin, n_ref, n_cur, p_ref, p_cur, contrib) with the scalar psi on
+    every row."""
+    v = F.col(value_col).cast("double")
+    ref = is_reference.cast("int")
+    base = df.select(v.alias("_v"), ref.alias("_r")).filter(
+        F.col("_v").isNotNull() & F.col("_r").isNotNull()
+    )
+    width = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("_v") - lo) / width).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    bins = base.groupBy(bin_id.alias("bin")).agg(
+        F.sum("_r").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("_r")).alias("n_cur"),
+    )
+    tot = F.broadcast(
+        bins.agg(
+            F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+        )
+    )
+    eps = F.lit(1e-6)
+    scored = bins.crossJoin(tot).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.greatest(F.col("n_ref") / F.col("_tr"), eps).alias("p_ref"),
+        F.greatest(F.col("n_cur") / F.col("_tc"), eps).alias("p_cur"),
+    )
+    contrib = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    scored = scored.withColumn("contrib", contrib)
+    total = F.broadcast(scored.agg(F.sum("contrib").alias("_psi")))
+    return scored.crossJoin(total).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", round_to).alias("p_ref"),
+        F.round("p_cur", round_to).alias("p_cur"),
+        F.round("contrib", round_to).alias("contrib"),
+        F.round("_psi", round_to).alias("psi"),
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+    seed: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): instead of materializing B
+    resamples of n rows (impossible at scale), every row contributes
+    to replicate b with weight ~ Poisson(1) — independent across
+    (row, b), preserving E[resample size] = n — so B replicate means
+    come out of ONE pass over an explode(×B) of the data, shuffled
+    only by the B-sized replicate key. Weights are deterministic
+    md5-coin Poisson draws keyed on (``id_col``, b, seed) — an
+    INTEGER row id, because integer→string casts are bit-identical
+    across engines while float formatting is not — via an inverse-CDF
+    walk over k = 0..5 (truncated; P[k>5] ≈ 6e-4 of Poisson(1) mass
+    folds into k=6). Bit-replayable in the oracle. Output: one row
+    (mean, lo95, hi95, n_replicates) where the CI is the 2.5/97.5
+    percentile of replicate means (exact over the B-row relation)."""
+    from pagerank_mapreduce_spark.operators.dedup import portable_hash60
+
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(id_col).alias("_i"), v.alias("_v")).filter(
+        F.col("_v").isNotNull() & F.col("_i").isNotNull()
+    )
+    b_ids = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("_b")
+    expl = base.select("_v", "_i", b_ids)
+    u = (
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("_i").cast("string"),
+                F.col("_b").cast("string"),
+                F.lit(str(seed)),
+            )
+        )
+        / F.lit(float(2**60))
+    )
+    wgt = F.lit(6)
+    for k in range(5, -1, -1):
+        wgt = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(wgt)
+    reps = (
+        expl.select("_b", (F.col("_v") * wgt).alias("_wv"), wgt.alias("_w"))
+        .groupBy("_b")
+        .agg(
+            (F.sum("_wv") / F.sum("_w")).alias("_m")
+        )
+    )
+    # B rows: exact percentiles over the replicate means are cheap
+    return reps.agg(
+        F.round(F.avg("_m"), round_to).alias("mean"),
+        F.round(F.percentile("_m", 0.025), round_to).alias("lo95"),
+        F.round(F.percentile("_m", 0.975), round_to).alias("hi95"),
+        F.count(F.lit(1)).alias("n_replicates"),
     )

@@ -6396,6 +6396,101 @@ def q_text_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.leakproof_split(_t(spark, sf_dir, "documents"))
 
 
+from pagerank_mapreduce_spark.operators.evaluation import (  # noqa: E402
+    POISSON1_CDF as _P1CDF,
+)
+
+
+@_q(
+    "ml_psi",
+    # Population Stability Index: drift of the events value
+    # distribution between the first half of the month (reference)
+    # and the rest (current); fixed-width bins over [0, 10) — fixed
+    # edges are the point for drift detection. ln() replays
+    # bit-identically (the adamic_adar precedent)
+    """WITH b AS (SELECT CAST(value AS DOUBLE) AS v,
+                         CAST(day(ts) <= 15 AS INT) AS r
+                  FROM events
+                  WHERE value IS NOT NULL AND ts IS NOT NULL),
+       bins AS (SELECT least(greatest(CAST(floor(v / 1.0) AS INT), 0),
+                             9) AS bin,
+                       CAST(sum(r) AS BIGINT) AS n_ref,
+                       CAST(sum(1 - r) AS BIGINT) AS n_cur
+                FROM b GROUP BY 1),
+       t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM bins),
+       s AS (SELECT bin, n_ref, n_cur,
+                    greatest(n_ref * 1.0 / (SELECT tr FROM t), 1e-6)
+                      AS p_ref,
+                    greatest(n_cur * 1.0 / (SELECT tc FROM t), 1e-6)
+                      AS p_cur
+             FROM bins),
+       c AS (SELECT bin, n_ref, n_cur, p_ref, p_cur,
+                    (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib
+             FROM s)
+       SELECT bin, n_ref, n_cur,
+              round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+              round(contrib, 6) AS contrib,
+              round((SELECT sum(contrib) FROM c), 6) AS psi
+       FROM c""",
+)
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the drift monitor a scoring pipeline runs between a training
+    # snapshot and live data — one algebraic groupBy over the bin id
+    # plus two broadcast scalars (operators/evaluation.py: psi)
+    from pagerank_mapreduce_spark.operators.evaluation import psi
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return psi(
+        ev, "value", F.dayofmonth("ts") <= 15, n_bins=10, lo=0.0, hi=10.0
+    )
+
+
+@_q(
+    "ml_bootstrap_ci",
+    # Poisson bootstrap (Chamandy et al. 2012): per (row, replicate)
+    # md5-coin Poisson(1) weights via the shared inverse-CDF
+    # thresholds, B=100 replicate weighted means, exact interpolated
+    # 2.5/97.5 percentiles over the B-row relation
+    f"""WITH v AS (SELECT event_id AS i, CAST(value AS DOUBLE) AS v
+                   FROM events
+                   WHERE value IS NOT NULL AND event_id IS NOT NULL),
+       e AS (SELECT i, v, b.range AS b FROM v CROSS JOIN range(100) b),
+       u AS (SELECT v, b,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                   CAST(b AS VARCHAR) || ':' || '9'),
+                               1, 15))::BIGINT
+                 / 1152921504606846976.0 AS u
+             FROM e),
+       w AS (SELECT v, b,
+               CASE WHEN u < {_P1CDF[0]!r} THEN 0
+                    WHEN u < {_P1CDF[1]!r} THEN 1
+                    WHEN u < {_P1CDF[2]!r} THEN 2
+                    WHEN u < {_P1CDF[3]!r} THEN 3
+                    WHEN u < {_P1CDF[4]!r} THEN 4
+                    WHEN u < {_P1CDF[5]!r} THEN 5
+                    ELSE 6 END AS w
+             FROM u),
+       m AS (SELECT b, sum(v * w) / sum(w) AS m FROM w GROUP BY b)
+       SELECT round(avg(m), 6) AS mean,
+              round(quantile_cont(m, 0.025), 6) AS lo95,
+              round(quantile_cont(m, 0.975), 6) AS hi95,
+              count(*) AS n_replicates
+       FROM m""",
+)
+def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uncertainty for a corpus-scale mean WITHOUT materializing B
+    # resamples: every row carries B tiny Poisson weights, one pass,
+    # shuffled only by the B-sized replicate key
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(ev, "value", "event_id", n_replicates=100)
+
+
 # ====================== PMI phrase mining / robust stats (round 7)
 
 

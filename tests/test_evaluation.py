@@ -217,3 +217,46 @@ def test_calibration_bins_hand_computed(spark):
         spark.createDataFrame([(1.0, 1)], ["p", "y"]), "p", "y"
     ).first()
     assert top["bin"] == 9
+
+
+def test_psi_zero_on_identical_and_positive_on_shift(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import psi
+
+    # identical ref/cur distributions -> every contrib 0, psi 0
+    same = spark.createDataFrame(
+        [(float(v), r) for v in (1, 2, 3, 4) for r in (0, 1)], ["v", "r"]
+    )
+    rows = psi(same, "v", F.col("r") == 1, n_bins=10, lo=0.0, hi=10.0).collect()
+    assert all(r["psi"] == 0.0 and r["contrib"] == 0.0 for r in rows)
+    # a shifted current distribution -> positive psi, and the scalar
+    # equals the sum of the per-bin contributions
+    shifted = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (1.5, 1), (8.0, 0), (9.0, 0), (8.5, 0)],
+        ["v", "r"],
+    )
+    rows = psi(shifted, "v", F.col("r") == 1, n_bins=10, lo=0.0, hi=10.0).collect()
+    assert rows[0]["psi"] > 0.25  # fully disjoint = strong drift
+    assert abs(sum(r["contrib"] for r in rows) - rows[0]["psi"]) < 2e-6
+    # clamping: out-of-range values land in edge bins, not new ones
+    edge = spark.createDataFrame([(-5.0, 1), (99.0, 0)], ["v", "r"])
+    bins = {r["bin"] for r in psi(edge, "v", F.col("r") == 1).collect()}
+    assert bins <= {0, 9}
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], ["id", "v"]
+    )
+    a = bootstrap_mean_ci(df, "v", "id").first()
+    b = bootstrap_mean_ci(df, "v", "id").first()
+    assert a == b  # md5 coins: bit-deterministic across runs
+    assert a["n_replicates"] == 100
+    # true mean 4.5; the bootstrap CI must bracket it and be tight-ish
+    assert a["lo95"] < 4.5 < a["hi95"]
+    assert a["hi95"] - a["lo95"] < 1.0
+    # the replicate-mean average stays near the sample mean
+    assert abs(a["mean"] - 4.5) < 0.3
