@@ -66,10 +66,16 @@ def _bucketed_prefix(
     broadcast; grouped, it is ≤ n_buckets rows PER GROUP and joins on
     (group, bucket) — each offset window partition is per-group and
     ≤ n_buckets rows, never data-sized."""
+    from pagerank_mapreduce_spark.functions.vectors import array_lit
+
+    # the percentage array is ONE parsed SQL literal, not n_buckets
+    # F.lit py4j calls — same driver-time lesson as the ANN codebooks
+    # (functions/vectors.py array_lit docstring; measured ~2x on
+    # ml_spearman_corr, which builds two of these)
     edges = per_score.agg(
         F.percentile_approx(
             F.col(score_col).cast("double"),
-            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+            array_lit([i / n_buckets for i in range(1, n_buckets)]),
         ).alias("_edges")
     )
     # O(n_buckets) comparisons per DISTINCT value inside codegen — the
@@ -463,34 +469,48 @@ def bootstrap_mean_ci(
     (row, b), preserving E[resample size] = n — so B replicate means
     come out of ONE pass over an explode(×B) of the data, shuffled
     only by the B-sized replicate key. Weights are deterministic
-    md5-coin Poisson draws keyed on (``id_col``, b, seed) — an
-    INTEGER row id, because integer→string casts are bit-identical
-    across engines while float formatting is not — via an inverse-CDF
-    walk over k = 0..5 (truncated; P[k>5] ≈ 6e-4 of Poisson(1) mass
-    folds into k=6). Bit-replayable in the oracle. Output: one row
-    (mean, lo95, hi95, n_replicates) where the CI is the 2.5/97.5
-    percentile of replicate means (exact over the B-row relation)."""
-    from pagerank_mapreduce_spark.operators.dedup import portable_hash60
+    Poisson draws via an inverse-CDF walk over k = 0..5 (truncated;
+    P[k>5] ≈ 6e-4 of Poisson(1) mass folds into k=6), from uniform
+    coins built Kirsch-Mitzenmacher style: TWO md5 hashes per row
+    keyed on (``id_col``, seed) — an INTEGER row id, because
+    integer→string casts are bit-identical across engines while
+    float formatting is not — and u_b = (h1 + b·h2) mod P / P for
+    every replicate. One md5 per (row, replicate) was measured
+    crypto-bound (29.6 s at sf0.1 × B=100; SCALE.md); double hashing
+    is 2 md5s per row plus an integer multiply-add per replicate —
+    the same trick (and prime) as the MinHash family. Bit-replayable
+    in the oracle. Output: one row (mean, lo95, hi95, n_replicates)
+    where the CI is the 2.5/97.5 percentile of replicate means
+    (exact over the B-row relation)."""
+    from pagerank_mapreduce_spark.operators.dedup import (
+        _MH_PRIME,
+        portable_hash60,
+    )
 
     v = F.col(value_col).cast("double")
-    base = df.select(F.col(id_col).alias("_i"), v.alias("_v")).filter(
-        F.col("_v").isNotNull() & F.col("_i").isNotNull()
-    )
+    p = F.lit(_MH_PRIME)
+
+    def h(salt: str) -> Column:
+        return F.pmod(
+            portable_hash60(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.lit(str(seed)),
+                    F.lit(salt),
+                )
+            ),
+            p,
+        )
+
+    base = df.select(
+        v.alias("_v"), h("a").alias("_h1"), h("b").alias("_h2")
+    ).filter(F.col("_v").isNotNull() & F.col(id_col).isNotNull())
     b_ids = F.explode(
         F.sequence(F.lit(0), F.lit(n_replicates - 1))
     ).alias("_b")
-    expl = base.select("_v", "_i", b_ids)
-    u = (
-        portable_hash60(
-            F.concat_ws(
-                ":",
-                F.col("_i").cast("string"),
-                F.col("_b").cast("string"),
-                F.lit(str(seed)),
-            )
-        )
-        / F.lit(float(2**60))
-    )
+    expl = base.select("_v", "_h1", "_h2", b_ids)
+    u = F.pmod(F.col("_h1") + F.col("_b") * F.col("_h2"), p) / p
     wgt = F.lit(6)
     for k in range(5, -1, -1):
         wgt = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(wgt)

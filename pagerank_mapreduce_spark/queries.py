@@ -6449,19 +6449,24 @@ def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "ml_bootstrap_ci",
-    # Poisson bootstrap (Chamandy et al. 2012): per (row, replicate)
-    # md5-coin Poisson(1) weights via the shared inverse-CDF
-    # thresholds, B=100 replicate weighted means, exact interpolated
-    # 2.5/97.5 percentiles over the B-row relation
+    # Poisson bootstrap (Chamandy et al. 2012): Kirsch-Mitzenmacher
+    # coins (2 md5s per row, u_b = (h1 + b*h2) mod P / P — one md5
+    # per (row, replicate) measured crypto-bound), Poisson(1) weights
+    # via the shared inverse-CDF thresholds, B=100 replicate weighted
+    # means, exact interpolated 2.5/97.5 percentiles over the B rows
     f"""WITH v AS (SELECT event_id AS i, CAST(value AS DOUBLE) AS v
                    FROM events
                    WHERE value IS NOT NULL AND event_id IS NOT NULL),
-       e AS (SELECT i, v, b.range AS b FROM v CROSS JOIN range(100) b),
+       hh AS (SELECT v,
+                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':9:a'),
+                                1, 15))::BIGINT % 2038074743 AS h1,
+                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':9:b'),
+                                1, 15))::BIGINT % 2038074743 AS h2
+              FROM v),
+       e AS (SELECT v, h1, h2, b.range AS b
+             FROM hh CROSS JOIN range(100) b),
        u AS (SELECT v, b,
-               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
-                                   CAST(b AS VARCHAR) || ':' || '9'),
-                               1, 15))::BIGINT
-                 / 1152921504606846976.0 AS u
+               ((h1 + b * h2) % 2038074743) / 2038074743.0 AS u
              FROM e),
        w AS (SELECT v, b,
                CASE WHEN u < {_P1CDF[0]!r} THEN 0
