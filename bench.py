@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "text_split_leakproof",
     "ml_psi",
     "ml_bootstrap_ci",
+    "stream_drift_psi",
 ]
 
 

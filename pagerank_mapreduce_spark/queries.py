@@ -6496,6 +6496,60 @@ def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(ev, "value", "event_id", n_replicates=100)
 
 
+@_q(
+    "stream_drift_psi",
+    # windowed drift monitor: PSI of each post-snapshot hourly window
+    # against the first-half-of-month reference distribution; the
+    # full bin grid is materialized per window so a MISSING bin still
+    # contributes (eps vs p_ref) — drift never under-counts
+    """WITH base AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                least(greatest(CAST(floor(CAST(value AS DOUBLE) / 1.0)
+                                    AS INT), 0), 9) AS bin
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL),
+       refc AS (SELECT bin, count(*) AS n FROM base
+                WHERE day(ws) <= 15 GROUP BY bin),
+       rt AS (SELECT sum(n) AS t FROM refc),
+       ref AS (SELECT b.range AS bin,
+                      coalesce(greatest(n * 1.0 / (SELECT t FROM rt),
+                                        1e-6), 1e-6) AS p_ref
+               FROM range(10) b LEFT JOIN refc ON refc.bin = b.range),
+       cur AS (SELECT ws, bin, count(*) AS n FROM base
+               WHERE day(ws) > 15 GROUP BY ws, bin),
+       wt AS (SELECT ws, sum(n) AS t FROM cur GROUP BY ws),
+       grid AS (SELECT wt.ws, wt.t, b.range AS bin
+                FROM wt CROSS JOIN range(10) b),
+       j AS (SELECT g.ws, coalesce(cur.n, 0) AS n,
+                    greatest(coalesce(cur.n, 0) * 1.0 / g.t, 1e-6)
+                      AS p_cur,
+                    g.bin
+             FROM grid g
+             LEFT JOIN cur ON cur.ws = g.ws AND cur.bin = g.bin),
+       c AS (SELECT j.ws, j.n,
+                    (j.p_cur - r.p_ref) * ln(j.p_cur / r.p_ref)
+                      AS contrib
+             FROM j JOIN ref r ON r.bin = j.bin)
+       SELECT ws, CAST(sum(n) AS BIGINT) AS n_events,
+              round(sum(contrib), 6) AS psi
+       FROM c GROUP BY ws""",
+)
+def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the monitor a scoring service runs continuously: the bin-count
+    # half is stream-safe (watermarked windowed agg); the PSI step is
+    # the foreachBatch / complete-sink stage over an n_bins-per-window
+    # relation — real-stream parity in test_streaming.py
+    from pagerank_mapreduce_spark.streaming.windows import (
+        drift_bin_counts,
+        reference_bins,
+        windowed_psi,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_bins(ev.filter(F.dayofmonth("ts") <= 15))
+    cur = drift_bin_counts(ev).filter(F.dayofmonth("ws") > 15)
+    return windowed_psi(cur, ref)
+
+
 # ====================== PMI phrase mining / robust stats (round 7)
 
 

@@ -187,3 +187,123 @@ def topk_trending(counts: DataFrame, k: int = 3) -> DataFrame:
         Window.partitionBy("ws").orderBy(F.desc("cnt"), F.asc("event_type"))
     )
     return counts.withColumn("rk", rk).filter(F.col("rk") <= k).drop("rk")
+
+
+def drift_bin_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    lo: float = 0.0,
+    hi: float = 10.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-(1h window, value bin) counts — the stream-safe half of a
+    windowed PSI drift monitor (fixed-width bins over [lo, hi] with
+    clamping, the operators/evaluation.py psi convention). Works
+    identically on batch and streaming frames; the PSI step lives in
+    :func:`windowed_psi` because it needs the full bin grid per
+    window and a broadcast reference — the foreachBatch / complete-
+    sink stage, same two-stage shape as trending."""
+    ev = events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    width = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("value").cast("double") - lo) / width).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), bin_id.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "bin", "n")
+    )
+
+
+def reference_bins(
+    events: DataFrame,
+    lo: float = 0.0,
+    hi: float = 10.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reference bin PROPORTIONS from a training snapshot (batch) —
+    n_bins rows, broadcast into :func:`windowed_psi`. ε-floored so a
+    bin empty in the snapshot cannot produce an infinite log."""
+    counts = drift_bin_counts(events, lo=lo, hi=hi, n_bins=n_bins)
+    tot = counts.groupBy("bin").agg(F.sum("n").alias("n"))
+    t = F.broadcast(tot.agg(F.sum("n").alias("_t")))
+    return tot.crossJoin(t).select(
+        "bin",
+        F.greatest(F.col("n") / F.col("_t"), F.lit(1e-6)).alias("p_ref"),
+    )
+
+
+def windowed_psi(
+    cur_counts: DataFrame,
+    ref_props: DataFrame,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI per window of the current bin counts against the broadcast
+    reference proportions. The full 0..n_bins-1 grid is materialized
+    per window (a window missing a bin the reference has MUST
+    contribute (ε - p_ref)·ln(ε/p_ref), else drift under-counts), so
+    the per-window relation is exactly n_bins rows — the grid explode
+    is bins × windows, never data-sized. Output: (ws, n_events, psi),
+    one row per window."""
+    wins = cur_counts.groupBy("ws").agg(F.sum("n").alias("_t"))
+    grid = wins.select(
+        "ws",
+        "_t",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    # grid derives FROM cur_counts, so a bare ["ws", "bin"] join is a
+    # self-join with shared attribute ids; re-aliasing the right side
+    # mints fresh ids and makes the join unambiguous
+    cur2 = cur_counts.select(
+        F.col("ws").alias("_cws"),
+        F.col("bin").alias("_cbin"),
+        F.col("n").alias("_cn"),
+    )
+    joined = (
+        grid.join(
+            cur2,
+            (F.col("ws") == F.col("_cws"))
+            & (F.col("bin") == F.col("_cbin")),
+            "left",
+        )
+        .select(
+            "ws",
+            "bin",
+            "_t",
+            F.coalesce(F.col("_cn"), F.lit(0)).alias("n"),
+        )
+        .withColumn(
+            "p_cur", F.greatest(F.col("n") / F.col("_t"), F.lit(1e-6))
+        )
+        .join(
+            F.broadcast(
+                cur_counts.sparkSession.range(n_bins)
+                .select(F.col("id").cast("int").alias("bin"))
+                .join(ref_props, "bin", "left")
+                .select(
+                    "bin",
+                    F.coalesce("p_ref", F.lit(1e-6)).alias("p_ref"),
+                )
+            ),
+            "bin",
+        )
+    )
+    contrib = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    return (
+        joined.groupBy("ws")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum(contrib), round_to).alias("psi"),
+        )
+    )
