@@ -167,10 +167,14 @@ def _auc_from_ranks(ranked: DataFrame, *keep: str) -> DataFrame:
         F.sum("_np").cast("bigint").alias("n_pos"),
         F.sum(F.col("n") - F.col("_np")).cast("bigint").alias("n_neg"),
     )
-    return agg, (
+    # try_divide, not /: a one-class input makes the denominator 0 and
+    # under ANSI mode a plain division throws even inside a CASE WHEN
+    # guard — AUC is undefined there, so NULL is the contract
+    return agg, F.try_divide(
         F.col("_rpos")
-        - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0)
-    ) / (F.col("n_pos") * F.col("n_neg"))
+        - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0),
+        F.col("n_pos") * F.col("n_neg"),
+    )
 
 
 def roc_auc(

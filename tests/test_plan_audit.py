@@ -374,3 +374,52 @@ def test_fuzzy_pairs_plan_is_bucket_shaped(spark, sf_dir):
     df = _q(spark, sf_dir, "dedup_fuzzy_pairs")
     js = join_strategies(df)
     assert not js, f"fuzzy pair generation grew a join: {js}"
+
+
+def test_ks_prefix_machinery_shuffles_on_the_score_key(spark, sf_dir):
+    # same contract as the AUC pin: the distinct-score collapse is a
+    # keyed hash aggregate (partial -> exchange -> final), and the
+    # only SinglePartition consumers are the tiny bucket-offsets
+    # window and scalar aggregates — never the per-score relation
+    df = _q(spark, sf_dir, "ml_ks_statistic")
+    plan = formatted_plan(df)
+    assert "hashpartitioning(_s" in plan, plan
+    assert "Window" in plan
+
+
+def test_grouped_auc_windows_partition_on_group_and_bucket(spark, sf_dir):
+    # the grouped rank machinery must keep ALL windows partitioned —
+    # one pipeline over all groups, never a global sort of the score
+    # relation; the offsets window partitions on the group
+    df = _q(spark, sf_dir, "ml_auc_by_source")
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source" in plan, plan
+    # no unpartitioned data-sized window: every Window in this plan
+    # declares a partition spec (the formatted node lists its
+    # partitionBy inside the window definition arguments)
+    import re
+
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert spec.strip().startswith(("source", "_bkt")), spec
+
+
+def test_bootstrap_single_keyed_exchange(spark, sf_dir):
+    # the replicate means must come from ONE keyed shuffle on _b
+    # (map-side partial sums absorb the x100 explode); the final CI
+    # is a scalar aggregate over B rows
+    df = _q(spark, sf_dir, "ml_bootstrap_ci")
+    plan = formatted_plan(df)
+    assert "hashpartitioning(_b" in plan, plan
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+
+
+def test_windowed_psi_reference_is_broadcast(spark, sf_dir):
+    # the per-window grid joins the reference proportions via
+    # broadcast — the ref side is n_bins rows and must never shuffle
+    # the window relation to meet it
+    df = _q(spark, sf_dir, "stream_drift_psi")
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    assert "CartesianProduct" not in js, js

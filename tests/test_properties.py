@@ -437,3 +437,62 @@ def test_lloyd_build_matches_numpy_model(spark, seed, n, k):
     assert np.array_equal(got_c, c), (got_c, c)
     got_lab = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
     assert got_lab == {i: int(lab[i]) for i in range(n)}
+
+
+score_label_rows = st.lists(
+    st.tuples(
+        st.integers(-50, 50),  # score (int -> exact float, heavy ties)
+        st.integers(0, 1),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@SPARK_SETTINGS
+@given(rows=score_label_rows)
+def test_ks_statistic_matches_python_cdf_walk(spark, rows):
+    # exact KS vs a brute-force python walk over the sorted distinct
+    # scores (inclusive CDFs), including all-one-class degeneracy
+    from pagerank_mapreduce_spark.operators.evaluation import ks_statistic
+
+    n_pos = sum(y for _, y in rows)
+    n_neg = len(rows) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return  # KS undefined (division by zero class size)
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], ["s", "y"]
+    )
+    got = ks_statistic(df, "s", "y").first()
+    cp = cn = 0
+    best = 0.0
+    for s in sorted({s for s, _ in rows}):
+        cp += sum(1 for x, y in rows if x == s and y == 1)
+        cn += sum(1 for x, y in rows if x == s and y == 0)
+        best = max(best, abs(cp / n_pos - cn / n_neg))
+    assert abs(got["ks"] - round(best, 6)) <= 1e-6
+    assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
+
+
+@SPARK_SETTINGS
+@given(rows=score_label_rows, k=st.sampled_from([3, 16]))
+def test_auc_bucket_count_invariance_extends_to_grouped(spark, rows, k):
+    # grouped AUC must be invariant to n_buckets (it only re-shapes
+    # the prefix computation) and equal the ungrouped AUC per slice
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        roc_auc,
+        roc_auc_by_group,
+    )
+
+    data = [("g" + str(i % 2), float(s), y) for i, (s, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["g", "s", "y"])
+    a = {
+        r["g"]: r["auc"]
+        for r in roc_auc_by_group(df, "s", "y", ["g"], n_buckets=k).collect()
+    }
+    for g in sorted({d[0] for d in data}):
+        solo = roc_auc(
+            df.filter(df.g == g), "s", "y", n_buckets=1024
+        ).first()
+        want = solo["auc"] if solo["n_pos"] > 0 and solo["n_neg"] > 0 else None
+        assert a[g] == want, (g, a[g], want)
