@@ -95,6 +95,34 @@ def _emb_copies(src_dir: str, copies: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _event_copies(src_dir: str, copies: int) -> pa.Table:
+    """events × copies with USER-DISJOINT replication: copy k offsets
+    user_id (and event_id) by k·ID_STRIDE and leaves ts/value/type
+    untouched — k× more keys at CONSTANT per-key span and density,
+    the honest scaling shape for the per-key window family (asof,
+    resample/interpolate, sessionize, streaks): per-key work must
+    stay flat while total work tracks k. An accidental global sort or
+    key-crossing join shows up super-linearly."""
+    t = pq.read_table(f"{src_dir}/events.parquet")
+    event_id = t.column("event_id").to_numpy()
+    user_id = t.column("user_id").to_numpy()
+    parts = []
+    for k in range(copies):
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pa.array(event_id + k * ID_STRIDE),
+                    "ts": t.column("ts"),
+                    "user_id": pa.array(user_id + k * ID_STRIDE),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                    "props": t.column("props"),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".scale", "sf1")
@@ -104,7 +132,12 @@ def main() -> None:
     pq.write_table(docs, f"{out}/documents.parquet")
     embs = _emb_copies(SRC, copies)
     pq.write_table(embs, f"{out}/embeddings.parquet")
-    print(f"wrote {docs.num_rows} documents, {embs.num_rows} embeddings -> {out}")
+    evs = _event_copies(SRC, copies)
+    pq.write_table(evs, f"{out}/events.parquet")
+    print(
+        f"wrote {docs.num_rows} documents, {embs.num_rows} embeddings, "
+        f"{evs.num_rows} events -> {out}"
+    )
 
 
 if __name__ == "__main__":
