@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "ml_psi",
     "ml_bootstrap_ci",
     "stream_drift_psi",
+    "graph_betweenness",
 ]
 
 

@@ -1473,3 +1473,196 @@ def modularity_sql(edges_sql: str, communities_sql: str) -> str:
              CAST(m.m AS BIGINT) AS m_edges,
              CAST(nc.n AS BIGINT) AS n_comms
       FROM m, sin, sd2, nc"""
+
+
+# -------------------------------------- betweenness (sampled Brandes)
+
+
+def betweenness_sampled(
+    edges: DataFrame, n_sources: int = 4, max_depth: int = 30
+) -> DataFrame:
+    """Betweenness centrality contributions from a deterministic
+    sample of source vertices — Brandes' algorithm (2001) restricted
+    to the ``n_sources`` smallest vertex ids, the standard sampled
+    estimator (Brandes-Pich 2007) when all-sources is unaffordable::
+
+        bc(v) = Σ over s in S of δ_s(v),
+        δ_s(v) = Σ over w: (v,w) edge, d(w) = d(v)+1 of
+                 σ(v)/σ(w) · (1 + δ_s(w))
+
+    over the canonical undirected graph. Output: (id, bc) for EVERY
+    vertex (unreached/terminal vertices at 0), bc rounded to 6.
+
+    Scale shape: the forward phase is a multi-source BFS — ALL
+    sources advance in one frontier relation keyed (s, v), so each
+    level is ONE join against the cached adjacency + one algebraic
+    σ-sum + one anti-join against the visited set, regardless of
+    |S|. The backward phase walks levels deepest-first: per level,
+    one join to the level-below δ relation and one algebraic sum.
+    Rounds are bounded by the BFS depth both ways. The driver holds
+    only the source-id list and the max depth (two constant-size
+    actions); σ stays integral (BIGINT) so the only float work is
+    the final dependency division — the oracle replays the same
+    quantities via the pair-dependency identity
+    δ_s(v) = Σ_t σ_sv·σ_vt/σ_st over an all-pairs closure (O(V²)
+    state the ORACLE can afford precisely because the engine must
+    not — the scc oracle precedent)."""
+    sym = symmetrize(edges)
+    with _loop_confs(sym) as sym:
+        adj = sym.repartition("src").persist()
+        verts = (
+            adj.select(F.col("src").alias("id")).distinct().persist()
+        )
+        sources = [
+            r["id"]
+            for r in verts.orderBy("id").limit(n_sources).collect()
+        ]
+        spark = edges.sparkSession
+        seed = spark.createDataFrame(
+            [(s, s, 0, 1) for s in sources], "s long, v long, d int, sig long"
+        )
+        visited = seed.localCheckpoint()
+        frontier = visited
+        depth = 0
+        while depth < max_depth:
+            nxt = (
+                frontier.join(adj, frontier["v"] == adj["src"])
+                .select("s", F.col("dst").alias("v"), "sig")
+                .groupBy("s", "v")
+                .agg(F.sum("sig").alias("sig"))
+                .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(depth + 1).alias("d"), "sig")
+            )
+            obs = Observation(f"bc_fwd_{depth}")
+            nxt = nxt.observe(obs, F.count(F.lit(1)).alias("m"))
+            nxt = nxt.localCheckpoint()
+            if obs.get["m"] == 0:
+                break
+            frontier = nxt
+            visited = visited.unionByName(nxt).localCheckpoint()
+            depth += 1
+        # backward: deepest level has no successors -> delta 0
+        delta = frontier.select("s", "v", F.lit(0.0).alias("delta"))
+        acc = delta
+        for lvl in range(depth - 1, -1, -1):
+            cur = visited.filter(F.col("d") == lvl)
+            below = (
+                visited.filter(F.col("d") == lvl + 1)
+                .join(delta, ["s", "v"])
+                .select(
+                    "s",
+                    F.col("v").alias("_w"),
+                    (F.lit(1.0) + F.col("delta")).alias("_t"),
+                    F.col("sig").alias("_wsig"),
+                )
+            )
+            contrib = (
+                cur.join(adj, cur["v"] == adj["src"])
+                .select("s", "v", "sig", F.col("dst").alias("_w"))
+                .join(below, ["s", "_w"])
+                .groupBy("s", "v")
+                .agg(
+                    F.sum(
+                        F.col("sig")
+                        / F.col("_wsig").cast("double")
+                        * F.col("_t")
+                    ).alias("delta")
+                )
+            )
+            delta = (
+                cur.select("s", "v")
+                .join(contrib, ["s", "v"], "left")
+                .select(
+                    "s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta")
+                )
+                .localCheckpoint()
+            )
+            acc = acc.unionByName(delta)
+        bc = (
+            acc.filter(F.col("v") != F.col("s"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("delta").alias("_b"))
+        )
+        out = (
+            verts.join(bc, "id", "left")
+            .select(
+                "id",
+                F.round(F.coalesce("_b", F.lit(0.0)), 6).alias("bc"),
+            )
+        )
+        # materialize before the persists drop out of scope
+        out = out.localCheckpoint()
+        adj.unpersist()
+        verts.unpersist()
+    return out
+
+
+def betweenness_oracle_sql(
+    edges_sql: str, n_sources: int = 4, max_rounds: int = 30
+) -> str:
+    """DuckDB oracle replaying sampled-source Brandes phase for
+    phase (the kcore/lpa generation pattern): a forward generation
+    BFS from the n_sources smallest ids accumulates (s, v, d, σ);
+    the backward recursion walks levels deepest-first, each
+    generation computing δ for the level above from the previous
+    generation's δ — the exact quantities the engine computes, so
+    only float summation order differs (bounded by round-6). State
+    is O(S·V), never the all-pairs closure."""
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      sym AS (SELECT a AS u, b AS w FROM up
+              UNION ALL SELECT b, a FROM up),
+      verts AS (SELECT DISTINCT u FROM sym),
+      src AS (SELECT u AS s FROM verts ORDER BY u LIMIT {n_sources}),
+      f(it, s, v, d, sig, stable) AS (
+        SELECT 0, s, s, 0, CAST(1 AS BIGINT), FALSE FROM src
+        UNION ALL
+        (WITH cur AS (SELECT it, s, v, d, sig FROM f
+                      WHERE NOT stable AND it < {max_rounds}),
+         fr AS (SELECT s, v, sig FROM cur WHERE d = it),
+         ex AS (SELECT f2.s, e.w AS v, CAST(sum(f2.sig) AS BIGINT) AS sig
+                FROM fr f2 JOIN sym e ON f2.v = e.u
+                GROUP BY f2.s, e.w),
+         new AS (SELECT x.s, x.v, x.sig FROM ex x
+                 WHERE NOT EXISTS (SELECT 1 FROM cur c
+                                   WHERE c.s = x.s AND c.v = x.v)),
+         chk AS (SELECT (SELECT count(*) FROM new) = 0 AS stable)
+         SELECT it + 1, s, v, d, sig, (SELECT stable FROM chk)
+         FROM (SELECT c.it, c.s, c.v, c.d, c.sig FROM cur c
+               UNION ALL
+               SELECT (SELECT max(it) FROM cur), s, v,
+                      (SELECT max(it) FROM cur) + 1, sig FROM new))
+      ),
+      fwd AS (SELECT s, v, d, sig FROM f
+              WHERE it = (SELECT max(it) FROM f)),
+      maxd AS (SELECT max(d) AS m FROM fwd),
+      b(lvl, s, v, delta) AS (
+        SELECT (SELECT m FROM maxd), s, v, CAST(0.0 AS DOUBLE)
+        FROM fwd WHERE d = (SELECT m FROM maxd)
+        UNION ALL
+        (WITH cur AS (SELECT lvl, s, v, delta FROM b),
+         lv AS (SELECT min(lvl) AS l FROM cur),
+         nx AS (SELECT s, v, sig FROM fwd
+                WHERE d = (SELECT l FROM lv) - 1),
+         wd AS (SELECT c.s, c.v, c.delta, f3.sig AS sigw
+                FROM cur c JOIN fwd f3 ON f3.s = c.s AND f3.v = c.v),
+         contrib AS (SELECT n.s, n.v,
+                            sum(CAST(n.sig AS DOUBLE) / w.sigw
+                                * (1.0 + w.delta)) AS dl
+                     FROM nx n
+                     JOIN sym e ON n.v = e.u
+                     JOIN wd w ON w.s = n.s AND w.v = e.w
+                     GROUP BY n.s, n.v),
+         stop AS (SELECT (SELECT l FROM lv) > 0 AS go)
+         SELECT (SELECT l FROM lv) - 1, n.s, n.v,
+                coalesce(c2.dl, 0.0)
+         FROM nx n LEFT JOIN contrib c2 ON c2.s = n.s AND c2.v = n.v
+         WHERE (SELECT go FROM stop))
+      ),
+      dep AS (SELECT v, sum(delta) AS bsum FROM b
+              WHERE v <> s GROUP BY v)
+      SELECT verts.u AS id, round(coalesce(dep.bsum, 0.0), 6) AS bc
+      FROM verts LEFT JOIN dep ON dep.v = verts.u"""

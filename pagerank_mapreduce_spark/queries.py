@@ -2937,6 +2937,26 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_betweenness",
+    # sampled-source Brandes over the sparse 10000-vertex derivation
+    # (same regime argument as adamic_adar: centrality presumes a
+    # graph with real path structure; the 1000-vertex derivation is
+    # ~1/4 dense with diameter ~2). Oracle = pair-dependency identity
+    # over an all-pairs closure — O(V^2) state the ORACLE can afford
+    # precisely because the engine must not
+    GA.betweenness_oracle_sql(derive_edges_sql(10000), n_sources=4),
+)
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # who sits on the shortest paths: Brandes forward multi-source
+    # BFS + level-reversed dependency accumulation, both phases one
+    # join + one algebraic aggregate per level
+    # (graph/algorithms.py: betweenness_sampled)
+    return GA.betweenness_sampled(
+        derive_edges(spark, sf_dir, 10000), n_sources=4
+    )
+
+
+@_q(
     "graph_vertex_extract",
     f"""SELECT DISTINCT v FROM (
           SELECT src AS v FROM ({_EDGES_SQL})

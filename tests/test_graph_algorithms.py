@@ -683,3 +683,79 @@ def test_modularity_hand_computed(spark):
         [(i, 0) for i in range(6)], "id bigint, comm bigint"
     )
     assert modularity(edges, one).first()["modularity"] == 0.0
+
+
+# ------------------------------------------- betweenness (round 9)
+
+
+def _brandes_py(edges, sources):
+    # textbook Brandes for the test oracle: per source BFS with path
+    # counts, then dependency accumulation in reverse BFS order
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    bc = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sig = defaultdict(int)
+        sig[s] = 1
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sig[w] += sig[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    delta[v] += sig[v] / sig[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_path_and_star(spark):
+    # path 0-1-2-3-4, sources {0,1}: every interior vertex's bc is
+    # hand-checkable; star center carries all pairs
+    path = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    got = {r["id"]: r["bc"] for r in GA.betweenness_sampled(df, n_sources=2).collect()}
+    want = _brandes_py(path, [0, 1])
+    assert got == {v: round(want.get(v, 0.0), 6) for v in range(5)}
+    star = [(0, i) for i in range(1, 6)]
+    sdf = spark.createDataFrame(star, ["src", "dst"])
+    gots = {r["id"]: r["bc"] for r in GA.betweenness_sampled(sdf, n_sources=3).collect()}
+    wants = _brandes_py(star, [0, 1, 2])
+    assert gots == {v: round(wants.get(v, 0.0), 6) for v in range(6)}
+
+
+def test_betweenness_matches_python_brandes_on_random_graph(spark):
+    # deterministic pseudo-random graph: md5-free LCG pairs, multiple
+    # components, duplicate and self-loop edges included
+    rng = 12345
+    edges = []
+    for _ in range(60):
+        rng = (rng * 1103515245 + 12345) % (1 << 31)
+        a = rng % 18
+        rng = (rng * 1103515245 + 12345) % (1 << 31)
+        b = rng % 18
+        edges.append((a, b))
+    edges += [(3, 3), (0, 1), (0, 1)]  # self-loop + dups
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["bc"] for r in GA.betweenness_sampled(df, n_sources=4).collect()}
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    verts = sorted({v for e in und for v in e})
+    want = _brandes_py(sorted(und), verts[:4])
+    assert set(got) == set(verts)
+    for v in verts:
+        assert abs(got[v] - want.get(v, 0.0)) < 1e-6, (v, got[v], want.get(v))
