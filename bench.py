@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "ml_bootstrap_ci",
     "stream_drift_psi",
     "graph_betweenness",
+    "graph_harmonic",
 ]
 
 

@@ -1666,3 +1666,105 @@ def betweenness_oracle_sql(
               WHERE v <> s GROUP BY v)
       SELECT verts.u AS id, round(coalesce(dep.bsum, 0.0), 6) AS bc
       FROM verts LEFT JOIN dep ON dep.v = verts.u"""
+
+
+def harmonic_sampled(
+    edges: DataFrame, n_sources: int = 8, max_depth: int = 30
+) -> DataFrame:
+    """Sampled harmonic centrality: ``h(v) = Σ over s in S, s ≠ v of
+    1/d(s, v)`` over the canonical undirected graph, S = the
+    ``n_sources`` smallest vertex ids (Boldi-Vigna's axiomatically
+    preferred closeness variant — unreachable pairs contribute 0
+    instead of poisoning the sum, so disconnected graphs need no
+    special case). Output: (id, harmonic) for every vertex, round 6.
+
+    Same multi-source BFS frontier as :func:`betweenness_sampled`'s
+    forward phase (one (s, v)-keyed join + anti-join per level, all
+    sources at once) — only distances are needed, so σ bookkeeping
+    is dropped and the result is one algebraic aggregate over the
+    visited relation."""
+    sym = symmetrize(edges)
+    with _loop_confs(sym) as sym:
+        adj = sym.repartition("src").persist()
+        verts = adj.select(F.col("src").alias("id")).distinct().persist()
+        sources = [
+            r["id"]
+            for r in verts.orderBy("id").limit(n_sources).collect()
+        ]
+        spark = edges.sparkSession
+        visited = spark.createDataFrame(
+            [(s, s, 0) for s in sources], "s long, v long, d int"
+        ).localCheckpoint()
+        frontier = visited
+        depth = 0
+        while depth < max_depth:
+            nxt = (
+                frontier.join(adj, frontier["v"] == adj["src"])
+                .select("s", F.col("dst").alias("v"))
+                .distinct()
+                .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+                .withColumn("d", F.lit(depth + 1))
+            )
+            obs = Observation(f"hc_fwd_{depth}")
+            nxt = nxt.observe(obs, F.count(F.lit(1)).alias("m"))
+            nxt = nxt.localCheckpoint()
+            if obs.get["m"] == 0:
+                break
+            frontier = nxt
+            visited = visited.unionByName(nxt).localCheckpoint()
+            depth += 1
+        h = (
+            visited.filter(F.col("d") > 0)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum(F.lit(1.0) / F.col("d")).alias("_h"))
+        )
+        out = (
+            verts.join(h, "id", "left")
+            .select(
+                "id",
+                F.round(F.coalesce("_h", F.lit(0.0)), 6).alias("harmonic"),
+            )
+            .localCheckpoint()
+        )
+        adj.unpersist()
+        verts.unpersist()
+    return out
+
+
+def harmonic_oracle_sql(
+    edges_sql: str, n_sources: int = 8, max_rounds: int = 30
+) -> str:
+    """DuckDB oracle: the same generation BFS from the sampled
+    sources (distance only), then Σ 1/d per reached vertex."""
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      sym AS (SELECT a AS u, b AS w FROM up
+              UNION ALL SELECT b, a FROM up),
+      verts AS (SELECT DISTINCT u FROM sym),
+      src AS (SELECT u AS s FROM verts ORDER BY u LIMIT {n_sources}),
+      f(it, s, v, d, stable) AS (
+        SELECT 0, s, s, 0, FALSE FROM src
+        UNION ALL
+        (WITH cur AS (SELECT it, s, v, d FROM f
+                      WHERE NOT stable AND it < {max_rounds}),
+         fr AS (SELECT s, v FROM cur WHERE d = it),
+         ex AS (SELECT DISTINCT f2.s, e.w AS v
+                FROM fr f2 JOIN sym e ON f2.v = e.u),
+         new AS (SELECT x.s, x.v FROM ex x
+                 WHERE NOT EXISTS (SELECT 1 FROM cur c
+                                   WHERE c.s = x.s AND c.v = x.v)),
+         chk AS (SELECT (SELECT count(*) FROM new) = 0 AS stable)
+         SELECT it + 1, s, v, d, (SELECT stable FROM chk)
+         FROM (SELECT c.it, c.s, c.v, c.d FROM cur c
+               UNION ALL
+               SELECT (SELECT max(it) FROM cur), s, v,
+                      (SELECT max(it) FROM cur) + 1 FROM new))
+      ),
+      fwd AS (SELECT s, v, d FROM f WHERE it = (SELECT max(it) FROM f)),
+      h AS (SELECT v, sum(CAST(1.0 AS DOUBLE) / d) AS hs
+           FROM fwd WHERE d > 0 GROUP BY v)
+      SELECT verts.u AS id, round(coalesce(h.hs, 0.0), 6) AS harmonic
+      FROM verts LEFT JOIN h ON h.v = verts.u"""

@@ -2957,6 +2957,23 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_harmonic",
+    # sampled harmonic centrality (Boldi-Vigna): sum of 1/d to the 8
+    # smallest ids; unreachable pairs contribute 0, so disconnected
+    # components need no special case — same sparse derivation and
+    # multi-source BFS as graph_betweenness
+    GA.harmonic_oracle_sql(derive_edges_sql(10000), n_sources=8),
+)
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distance-only byproduct of the betweenness frontier: one
+    # (s, v)-keyed join + anti-join per BFS level, then a single
+    # algebraic 1/d aggregate (graph/algorithms.py: harmonic_sampled)
+    return GA.harmonic_sampled(
+        derive_edges(spark, sf_dir, 10000), n_sources=8
+    )
+
+
+@_q(
     "graph_vertex_extract",
     f"""SELECT DISTINCT v FROM (
           SELECT src AS v FROM ({_EDGES_SQL})

@@ -759,3 +759,18 @@ def test_betweenness_matches_python_brandes_on_random_graph(spark):
     assert set(got) == set(verts)
     for v in verts:
         assert abs(got[v] - want.get(v, 0.0)) < 1e-6, (v, got[v], want.get(v))
+
+
+def test_harmonic_hand_computed_and_disconnected(spark):
+    # path 0-1-2-3 + isolated pair 10-11, sources = {0, 1, 2, 3}:
+    # h(0) = 1/1(from 1) + 1/2(from 2) + 1/3(from 3); the pair is
+    # unreachable from all sources -> harmonic 0 (not poisoned)
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["harmonic"] for r in GA.harmonic_sampled(df, n_sources=4).collect()}
+    assert got[0] == round(1 + 1 / 2 + 1 / 3, 6)
+    assert got[1] == round(1 + 1 + 1 / 2, 6)
+    assert got[2] == got[1]  # symmetry of the path under S={0..3}
+    assert got[3] == got[0]
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert set(got) == {0, 1, 2, 3, 10, 11}
