@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "stream_drift_psi",
     "graph_betweenness",
     "graph_harmonic",
+    "ts_cusum_alerts",
 ]
 
 

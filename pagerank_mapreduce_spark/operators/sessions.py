@@ -209,3 +209,80 @@ def weighted_sample(
         .limit(n)
         .drop("_es_key")
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    target: float,
+    threshold: float,
+    *tiebreak_cols: str,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection per key (Page 1954)::
+
+        S_0 = 0;  S_i = max(0, S_{i-1} + (x_i - target))
+
+    alerting when S crosses ``threshold`` — the classic sequential
+    monitor for a sustained upward shift in a per-key series (the
+    changepoint complement to the distributional PSI monitor). Output
+    one row per key: (by, n, max_cusum, alert_at, alert) where
+    ``alert_at`` is the 1-based observation index of the first
+    crossing (NULL if never) under the (on, tiebreak) total order.
+
+    The recurrence's max(0, ·) clamp breaks every prefix-sum
+    decomposition (unlike plain cumsum, it is not expressible as a
+    window aggregate), so this is a legitimate ``applyInPandas`` use:
+    Arrow-batched per-key groups, a C-double sequential fold inside —
+    exactly the order the oracle's recursive CTE replays, so values
+    are bit-identical. Keys partition the shuffle; per-key series
+    length bounds the task, the same regime as every window op in
+    the module family. NULL timestamps/values are excluded up front
+    (module convention)."""
+    import pandas as pd
+
+    src = df.filter(
+        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+    )
+    sort_cols = ["_t"] + [f"_tb_{c}" for c in tiebreak_cols]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        s = 0.0
+        mx = 0.0
+        at = None
+        for i, v in enumerate(pdf["_v"].to_numpy()):
+            s = s + (v - target)
+            if s < 0.0:
+                s = 0.0
+            if s > mx:
+                mx = s
+            if at is None and s > threshold:
+                at = i + 1
+        return pd.DataFrame(
+            {
+                "_k": [pdf["_k"].iloc[0]],
+                "n": [len(pdf)],
+                "max_cusum": [round(mx, 6)],
+                "alert_at": [at],
+                "alert": [at is not None],
+            }
+        )
+
+    out_schema = (
+        f"_k {dict(df.dtypes)[by]}, n long, max_cusum double, "
+        "alert_at long, alert boolean"
+    )
+    return (
+        src.groupBy("_k")
+        .applyInPandas(fold, out_schema)
+        .select(
+            F.col("_k").alias(by), "n", "max_cusum", "alert_at", "alert"
+        )
+    )

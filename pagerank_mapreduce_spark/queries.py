@@ -6534,6 +6534,50 @@ def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_cusum_alerts",
+    # Page's one-sided CUSUM per user: S_i = max(0, S_{i-1} + (x_i -
+    # target)); the clamp breaks prefix-sum decomposition, so the
+    # engine runs an Arrow-batched per-key fold and the oracle
+    # replays the identical sequential recurrence as a recursive CTE
+    # (same order, same parenthesization -> bit-identical doubles)
+    """WITH RECURSIVE
+       ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+       t(rn, user_id, s) AS (
+         SELECT 1, user_id, greatest(CAST(0 AS DOUBLE), v - 5.5)
+         FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e.rn, e.user_id,
+                greatest(CAST(0 AS DOUBLE), t.s + (e.v - 5.5))
+         FROM t JOIN ev e
+           ON e.user_id = t.user_id AND e.rn = t.rn + 1
+       ),
+       agg AS (SELECT user_id,
+                      CAST(max(rn) AS BIGINT) AS n,
+                      round(greatest(max(s), 0.0), 6) AS max_cusum,
+                      CAST(min(CASE WHEN s > 20.0 THEN rn END)
+                           AS BIGINT) AS alert_at
+               FROM t GROUP BY user_id)
+       SELECT user_id, n, max_cusum, alert_at,
+              alert_at IS NOT NULL AS alert
+       FROM agg""",
+)
+def q_ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sequential changepoint monitor (sustained upward shift in a
+    # per-user value series) — complements the distributional PSI
+    # drift monitor (operators/sessions.py: cusum_alerts)
+    from pagerank_mapreduce_spark.operators.sessions import cusum_alerts
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_alerts(
+        ev, "ts", "user_id", "value", 5.5, 20.0, "event_id"
+    )
+
+
+@_q(
     "stream_drift_psi",
     # windowed drift monitor: PSI of each post-snapshot hourly window
     # against the first-half-of-month reference distribution; the

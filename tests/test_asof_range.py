@@ -595,3 +595,45 @@ def test_asof_randomized_against_python_model(spark):
             for r in asof_join(ldf, rdf, tolerance=5.0).collect()
         }
         assert got == model("backward", tolerance=5.0), (trial, "tolerance")
+
+
+def test_cusum_alerts_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.sessions import cusum_alerts
+
+    # user 1: values 9,9,9 vs target 5 -> S = 4, 8, 12; crosses 10 at
+    # the 3rd observation. user 2: dips below clamp then recovers:
+    # 1 -> S=0 (clamped), 9 -> 4, 2 -> 1 -> never crosses.
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 9.0),
+        (2, 1, "2024-01-01 01:00:00", 9.0),
+        (3, 1, "2024-01-01 02:00:00", 9.0),
+        (4, 2, "2024-01-01 00:00:00", 1.0),
+        (5, 2, "2024-01-01 01:00:00", 9.0),
+        (6, 2, "2024-01-01 02:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r
+        for r in cusum_alerts(
+            df, "ts", "user_id", "value", 5.0, 10.0, "event_id"
+        ).collect()
+    }
+    assert got[1]["max_cusum"] == 12.0 and got[1]["alert_at"] == 3
+    assert got[1]["alert"] is True and got[1]["n"] == 3
+    assert got[2]["max_cusum"] == 4.0 and got[2]["alert_at"] is None
+    assert got[2]["alert"] is False
+    # NULL value rows are excluded, not folded as zeros
+    df2 = df.withColumn(
+        "value", F.when(F.col("event_id") == 2, None).otherwise(F.col("value"))
+    )
+    g2 = {
+        r["user_id"]: r
+        for r in cusum_alerts(
+            df2, "ts", "user_id", "value", 5.0, 10.0, "event_id"
+        ).collect()
+    }
+    assert g2[1]["n"] == 2 and g2[1]["max_cusum"] == 8.0
