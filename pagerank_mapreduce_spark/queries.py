@@ -7526,16 +7526,19 @@ def _load_driver_record(
     root: str | None = None,
 ) -> tuple[frozenset[str], frozenset[str]]:
     """(driver_checked, hash_checked) derived from CORRECTNESS_r*.json
-    files under ``root`` (default: the repo root above this package).
-    Unreadable files are skipped — an empty record just means every
-    entry rotates as unchecked, which is safe."""
+    files under ``root`` (default: $SPARK_GRAFT_RECORD_ROOT if set,
+    else the repo root above this package). The env override exists so
+    the meta-meta guard test can re-import the catalog against a
+    synthetic FUTURE artifact set and prove no driver drop can redden
+    the suite. Unreadable files are skipped — an empty record just
+    means every entry rotates as unchecked, which is safe."""
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
 
     if root is None:
-        root = _os.path.dirname(
+        root = _os.environ.get("SPARK_GRAFT_RECORD_ROOT") or _os.path.dirname(
             _os.path.dirname(_os.path.abspath(__file__))
         )
     driver: set[str] = set()
