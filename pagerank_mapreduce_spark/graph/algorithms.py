@@ -1502,11 +1502,12 @@ def betweenness_sampled(
     Rounds are bounded by the BFS depth both ways. The driver holds
     only the source-id list and the max depth (two constant-size
     actions); σ stays integral (BIGINT) so the only float work is
-    the final dependency division — the oracle replays the same
-    quantities via the pair-dependency identity
-    δ_s(v) = Σ_t σ_sv·σ_vt/σ_st over an all-pairs closure (O(V²)
-    state the ORACLE can afford precisely because the engine must
-    not — the scc oracle precedent)."""
+    the final dependency division — the oracle
+    (betweenness_oracle_sql) replays the same forward-BFS +
+    backward-accumulation quantities as a recursive CTE (O(S·V)
+    state), so only float summation order differs; the INDEPENDENT
+    check is the Python Brandes re-implementation in
+    tests/test_graph_algorithms.py, not the oracle."""
     sym = symmetrize(edges)
     with _loop_confs(sym) as sym:
         adj = sym.repartition("src").persist()

@@ -161,7 +161,9 @@ def _avg_ranks(
     return ranked.drop(*drop)
 
 
-def _auc_from_ranks(ranked: DataFrame, *keep: str) -> DataFrame:
+def _auc_from_ranks(
+    ranked: DataFrame, *keep: str
+) -> tuple[DataFrame, Column]:
     agg = ranked.groupBy(*keep).agg(
         F.sum(F.col("_np") * F.col("avg_rank")).alias("_rpos"),
         F.sum("_np").cast("bigint").alias("n_pos"),
@@ -294,9 +296,12 @@ def ks_statistic(
             F.sum("nn").cast("bigint").alias("n_neg"),
         )
     )
+    # try_divide, not /: a one-class input makes one class total 0 and
+    # a plain division throws under ANSI mode (Spark 4 default) — KS is
+    # undefined there, so NULL is the contract, matching roc_auc
     gap = F.abs(
-        (F.col("_below_np") + F.col("np")) / F.col("n_pos")
-        - (F.col("_below_nn") + F.col("nn")) / F.col("n_neg")
+        F.try_divide(F.col("_below_np") + F.col("np"), F.col("n_pos"))
+        - F.try_divide(F.col("_below_nn") + F.col("nn"), F.col("n_neg"))
     )
     return (
         pre.crossJoin(tot)
@@ -438,8 +443,16 @@ def psi(
         "bin",
         "n_ref",
         "n_cur",
-        F.greatest(F.col("n_ref") / F.col("_tr"), eps).alias("p_ref"),
-        F.greatest(F.col("n_cur") / F.col("_tc"), eps).alias("p_cur"),
+        # try_divide: a one-sided input (all rows reference, or all
+        # current) zeroes that side's total and a plain division throws
+        # under ANSI mode; greatest() skips the resulting NULL, so the
+        # degenerate side degrades to the ε floor instead of erroring
+        F.greatest(
+            F.try_divide(F.col("n_ref"), F.col("_tr")), eps
+        ).alias("p_ref"),
+        F.greatest(
+            F.try_divide(F.col("n_cur"), F.col("_tc")), eps
+        ).alias("p_cur"),
     )
     contrib = (F.col("p_cur") - F.col("p_ref")) * F.log(
         F.col("p_cur") / F.col("p_ref")
@@ -522,8 +535,15 @@ def bootstrap_mean_ci(
         expl.select("_b", (F.col("_v") * wgt).alias("_wv"), wgt.alias("_w"))
         .groupBy("_b")
         .agg(
-            (F.sum("_wv") / F.sum("_w")).alias("_m")
+            # try_divide: a replicate can draw all-zero Poisson weights
+            # (P ≈ e^-n per replicate — ~37% for a 1-row input), which
+            # zeroes the denominator and throws under ANSI mode; such
+            # replicates are empty resamples with no defined mean, so
+            # they are dropped below, exactly as a materialized
+            # bootstrap would skip an empty resample
+            F.try_divide(F.sum("_wv"), F.sum("_w")).alias("_m")
         )
+        .filter(F.col("_m").isNotNull())
     )
     # B rows: exact percentiles over the replicate means are cheap
     return reps.agg(

@@ -2941,9 +2941,11 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampled-source Brandes over the sparse 10000-vertex derivation
     # (same regime argument as adamic_adar: centrality presumes a
     # graph with real path structure; the 1000-vertex derivation is
-    # ~1/4 dense with diameter ~2). Oracle = pair-dependency identity
-    # over an all-pairs closure — O(V^2) state the ORACLE can afford
-    # precisely because the engine must not
+    # ~1/4 dense with diameter ~2). Oracle = a recursive-CTE replay of
+    # the same Brandes forward BFS + backward accumulation (O(S·V)
+    # state, generation-exact); engine-independence comes from the
+    # Python Brandes cross-check in tests/test_graph_algorithms.py,
+    # not from this oracle
     GA.betweenness_oracle_sql(derive_edges_sql(10000), n_sources=4),
 )
 def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -260,3 +260,38 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert a["hi95"] - a["lo95"] < 1.0
     # the replicate-mean average stays near the sample mean
     assert abs(a["mean"] - 4.5) < 0.3
+
+
+def test_degenerate_inputs_yield_null_not_ansi_error(spark):
+    # Round-10 ADVICE: every scorer diagnostic must DEGRADE on a
+    # degenerate input (NULL / ε-floor), never throw DIVIDE_BY_ZERO
+    # under ANSI mode (the Spark 4 default) — the same contract
+    # roc_auc already pinned for one-class inputs.
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+        ks_statistic,
+        psi,
+    )
+
+    # ks: one-class input -> NULL ks, counts still reported
+    one_class = _df(spark, [(1.0, 1), (2.0, 1), (3.0, 1)])
+    out = ks_statistic(one_class, "score", "y").first()
+    assert out["ks"] is None
+    assert (out["n_pos"], out["n_neg"]) == (3, 0)
+
+    # psi: one-sided input (all rows reference) -> the empty side's
+    # proportion takes the ε floor, psi finite and positive
+    ref_only = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1)], ["v", "r"]
+    )
+    rows = psi(ref_only, "v", F.col("r") == 1).collect()
+    assert rows and all(r["psi"] is not None for r in rows)
+    assert all(r["p_cur"] == 1e-6 for r in rows)  # floored, not crashed
+
+    # bootstrap: 1-row input -> ~37% of replicates draw weight 0 and
+    # have no defined mean; they are dropped, the rest average to the
+    # single value exactly
+    one_row = spark.createDataFrame([(1, 7.0)], ["id", "v"])
+    ci = bootstrap_mean_ci(one_row, "v", "id").first()
+    assert ci["mean"] == 7.0 and ci["lo95"] == 7.0 and ci["hi95"] == 7.0
+    assert 0 < ci["n_replicates"] <= 100

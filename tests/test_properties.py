@@ -458,12 +458,17 @@ def test_ks_statistic_matches_python_cdf_walk(spark, rows):
 
     n_pos = sum(y for _, y in rows)
     n_neg = len(rows) - n_pos
-    if n_pos == 0 or n_neg == 0:
-        return  # KS undefined (division by zero class size)
     df = spark.createDataFrame(
         [(float(s), y) for s, y in rows], ["s", "y"]
     )
     got = ks_statistic(df, "s", "y").first()
+    if n_pos == 0 or n_neg == 0:
+        # pinned contract (round-10, was skipped before): a one-class
+        # input yields NULL ks — same NULL-on-degenerate contract as
+        # roc_auc — never an ANSI DIVIDE_BY_ZERO error
+        assert got["ks"] is None
+        assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
+        return
     cp = cn = 0
     best = 0.0
     for s in sorted({s for s, _ in rows}):
