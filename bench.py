@@ -1,9 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints per-run detail as an earlier JSON line, then ONE compact final
+JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "geo_cmp": {"vs": ..., "n": ..., "ratio": ...}}
+
+The FINAL line is kept under 1900 chars (compact separators, per-run
+arrays moved to the detail line) because the driver records only the
+last 2000 chars of stdout and parses the bench JSON out of that tail
+— round 9's committed artifact had `parsed: null` and a mid-line
+truncation because `runs` pushed the single line past the capture
+window (r9 verdict item 5). `geo_cmp` is the geometric-mean runtime
+ratio over queries shared with the newest committed BENCH_r*_local.json,
+so round-over-round drift stays machine-checkable as the headline set
+grows (r9 verdict item 8).
 
 Each query is materialized with the noop writer (full computation,
 no driver collect). The flagship PageRank runs to convergence on the
@@ -158,19 +170,74 @@ def main() -> None:
         timings[name] = min(reps_here)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
-    )
+    # per-run detail rides an EARLIER line: complete, but expendable
+    # if the driver's 2000-char tail window cuts it
+    print(json.dumps({"detail": "per_run", "runs": runs},
+                     separators=(",", ":")))
+    print(final_line(timings, total, sf))
     spark.stop()
+
+
+def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
+    """Geomean runtime ratio vs the newest committed BENCH_r*_local.json
+    over the queries present in both (current/previous, <1 = faster)."""
+    import glob
+    import math
+
+    best = None
+    for path in glob.glob(os.path.join(root, "BENCH_r*_local.json")):
+        m = re.search(r"BENCH_r(\d+)_local\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return None
+    shared = [
+        q for q in timings
+        if isinstance(prev.get(q), (int, float)) and prev[q] > 0
+        and timings[q] > 0
+    ]
+    if not shared:
+        return None
+    lg = sum(math.log(timings[q] / prev[q]) for q in shared) / len(shared)
+    return {"vs": f"r{best[0]:02d}_local", "n": len(shared),
+            "ratio": round(math.exp(lg), 3)}
+
+
+def final_line(
+    timings: dict[str, float], total: float, sf: float, budget: int = 1900
+) -> str:
+    """The one line the driver must be able to parse out of its
+    2000-char stdout tail: compact separators, and if the headline set
+    ever grows the line past ``budget``, per-query values degrade to
+    2 decimals (10 ms granularity — the detail line keeps 3) before
+    anything structural is at risk. Asserts the budget holds so growth
+    past both levers fails HERE, at bench time, not silently at the
+    driver."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    doc = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    cmp_ = geo_cmp(timings, root)
+    if cmp_:
+        doc["geo_cmp"] = cmp_
+    line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > budget:
+        doc["queries"] = {q: round(v, 2) for q, v in timings.items()}
+        line = json.dumps(doc, separators=(",", ":"))
+    assert len(line) <= budget, (
+        f"final bench line {len(line)} chars > {budget}: the headline "
+        "set has outgrown the driver's tail capture — trim or split it"
+    )
+    return line
 
 
 if __name__ == "__main__":
