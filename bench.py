@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "graph_betweenness",
     "graph_harmonic",
     "ts_cusum_alerts",
+    # round-10 additions
+    "stream_drift_ks",
 ]
 
 

