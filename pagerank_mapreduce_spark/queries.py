@@ -612,15 +612,40 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("rel_approx_count_distinct", None)  # approximate — no exact oracle
+@_q(
+    "rel_approx_count_distinct",
+    # HLL++ internals are engine-private, so no cross-engine REPLAY
+    # can exist (rel_fm_distinct is the portable twin that replays) —
+    # but the estimate is fully DETERMINISTIC for a fixed input and
+    # rsd, so the oracle pins committed GOLDEN values per fixture
+    # scale (r9 verdict item 3; keyed on the lineitem rowcount;
+    # regenerate with the one-liner in tests/test_approx_aggregates.py
+    # if the fixtures or Spark's HLL++ ever change). exact counts,
+    # rel_err and the ±5% envelope verdict are replayed exactly.
+    """WITH ex AS (SELECT l_returnflag,
+                          count(DISTINCT l_partkey) AS exact_parts
+                   FROM lineitem GROUP BY l_returnflag),
+       n AS (SELECT count(*) AS c FROM lineitem),
+       golden(flag, sfc, approx) AS (VALUES
+         ('A',   6000,   199), ('N',   6000,   199), ('R',   6000,   199),
+         ('A',  60000,  2013), ('N',  60000,  2013), ('R',  60000,  2013),
+         ('A', 600000, 19864), ('N', 600000, 19864), ('R', 600000, 19867))
+       SELECT ex.l_returnflag,
+              CAST(g.approx AS BIGINT) AS approx_parts,
+              CAST(ex.exact_parts AS BIGINT) AS exact_parts,
+              round(abs(g.approx - ex.exact_parts) * 1.0
+                    / ex.exact_parts, 6) AS rel_err,
+              (abs(g.approx - ex.exact_parts) * 1.0
+               / ex.exact_parts <= 0.05) AS within_envelope
+       FROM ex JOIN golden g
+         ON g.flag = ex.l_returnflag AND g.sfc = (SELECT c FROM n)""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # HLL++-based; the sketch internals are engine-private so the
-    # ESTIMATE can never have a cross-engine oracle (rel_fm_distinct
-    # is the portable twin that can). Strengthened rows-only contract:
-    # the exact count rides alongside and `within_envelope` asserts
-    # the estimate inside 5× the requested rsd (0.01 → ±5%) — a
-    # broken HLL shows up as a visible false, not a silent wrong
-    # number (tests/test_approx_aggregates.py pins it true).
+    # HLL++-based estimate with the exact count riding alongside;
+    # `within_envelope` asserts the estimate inside 5× the requested
+    # rsd (0.01 → ±5%) — a broken HLL shows up as a visible false
+    # AND a golden-value hash mismatch, never a silent wrong number
+    # (tests/test_approx_aggregates.py pins the envelope true).
     li = _t(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
@@ -1446,29 +1471,32 @@ def q_mr_map_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.mr_map_tasks(spark, 8, gen, "task_id bigint, i bigint")
 
 
-@_q("mr_kv_stats_detail", None)  # partition layout varies → rows-only
-def q_mr_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # kv_stats per-processor histogram (src/mapreduce.cpp:2845-2913).
-    # The histogram depends on the physical partition layout, so no
-    # cross-engine oracle can exist; strengthened rows-only contract:
-    # conservation invariants ride in the row itself — the histogram
-    # must account for every pair of an INDEPENDENT exact count, and
-    # min/max must bound the mean (tests pin `conserved` true).
+@_q(
+    "mr_kv_stats_detail",
+    # kv_stats per-processor histogram (src/mapreduce.cpp:2845-2913)
+    # AFTER the MR-MPI aggregate() hash distribution, proc =
+    # hash(key) % nprocs (src/mapreduce.cpp:382-536) — the state the
+    # reference actually prints the histogram over. With the
+    # distribution made EXPLICIT via the portable 60-bit md5 hash,
+    # the per-proc counts replay exactly in SQL (r9 verdict item 3:
+    # this entry was rows-only only while it reported Spark's
+    # physical partition ids; the physical variant remains as
+    # M.kv_stats with its own unit tests).
+    """SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                   1, 15))::BIGINT % 32 AS INT) AS proc,
+              count(*) AS pairs
+       FROM lineitem GROUP BY 1""",
+)
+def q_mr_kv_stats_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-proc pair histogram under aggregate()'s hash routing —
+    # 32 rows, deterministic, engine-independent
+    from pagerank_mapreduce_spark.operators.dedup import portable_hash60
+
     li = _t(spark, sf_dir, "lineitem")
-    stats = M.kv_stats(li)
-    exact = li.agg(F.count("*").alias("exact_pairs"))
-    conserved = (
-        (F.col("total_pairs") == F.col("exact_pairs"))
-        & (F.col("min_pairs") * F.col("partitions") <= F.col("total_pairs"))
-        & (F.col("max_pairs") * F.col("partitions") >= F.col("total_pairs"))
-    )
-    return stats.crossJoin(F.broadcast(exact)).select(
-        "total_pairs",
-        "partitions",
-        "min_pairs",
-        "max_pairs",
-        conserved.alias("conserved"),
-    )
+    proc = F.pmod(
+        portable_hash60(F.col("l_orderkey").cast("string")), F.lit(32)
+    ).cast("int")
+    return li.groupBy(proc.alias("proc")).agg(F.count("*").alias("pairs"))
 
 
 @_q(
