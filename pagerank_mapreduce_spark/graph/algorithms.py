@@ -1521,9 +1521,18 @@ def betweenness_sampled(
         spark = edges.sparkSession
         seed = spark.createDataFrame(
             [(s, s, 0, 1) for s in sources], "s long, v long, d int, sig long"
-        )
-        visited = seed.localCheckpoint()
-        frontier = visited
+        ).localCheckpoint()
+        # `levels[d]` holds ONLY level d's rows, checkpointed once;
+        # `visited` is a LAZY union over those frames. The r9 shape
+        # re-checkpointed the full union every level — O(depth·S·V)
+        # checkpoint I/O and block-manager storage for a relation
+        # that is the repo's largest intermediate at 100×. Each row
+        # is now written exactly once (total S·V), the anti-join
+        # reads the same rows either way, and the backward phase
+        # indexes levels directly instead of re-filtering the union.
+        levels = [seed]
+        visited = seed
+        frontier = seed
         depth = 0
         while depth < max_depth:
             nxt = (
@@ -1540,15 +1549,16 @@ def betweenness_sampled(
             if obs.get["m"] == 0:
                 break
             frontier = nxt
-            visited = visited.unionByName(nxt).localCheckpoint()
+            levels.append(nxt)
+            visited = visited.unionByName(nxt)
             depth += 1
         # backward: deepest level has no successors -> delta 0
         delta = frontier.select("s", "v", F.lit(0.0).alias("delta"))
         acc = delta
         for lvl in range(depth - 1, -1, -1):
-            cur = visited.filter(F.col("d") == lvl)
+            cur = levels[lvl]
             below = (
-                visited.filter(F.col("d") == lvl + 1)
+                levels[lvl + 1]
                 .join(delta, ["s", "v"])
                 .select(
                     "s",
@@ -1693,10 +1703,14 @@ def harmonic_sampled(
             for r in verts.orderBy("id").limit(n_sources).collect()
         ]
         spark = edges.sparkSession
-        visited = spark.createDataFrame(
+        seed = spark.createDataFrame(
             [(s, s, 0) for s in sources], "s long, v long, d int"
         ).localCheckpoint()
-        frontier = visited
+        # lazy union over once-checkpointed level frames — same
+        # O(depth·S·V) → O(S·V) checkpoint-storage fix as
+        # betweenness_sampled (the two share the frontier shape)
+        visited = seed
+        frontier = seed
         depth = 0
         while depth < max_depth:
             nxt = (
@@ -1712,7 +1726,7 @@ def harmonic_sampled(
             if obs.get["m"] == 0:
                 break
             frontier = nxt
-            visited = visited.unionByName(nxt).localCheckpoint()
+            visited = visited.unionByName(nxt)
             depth += 1
         h = (
             visited.filter(F.col("d") > 0)
