@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "ts_cusum_alerts",
     # round-10 additions
     "stream_drift_ks",
+    "ml_average_precision",
+    "text_dsir_weights",
+    "ts_seasonal_decompose",
 ]
 
 
@@ -216,9 +219,9 @@ def final_line(
     """The one line the driver must be able to parse out of its
     2000-char stdout tail: compact separators, and if the headline set
     ever grows the line past ``budget``, per-query values degrade to
-    2 decimals (10 ms granularity — the detail line keeps 3) before
-    anything structural is at risk. Asserts the budget holds so growth
-    past both levers fails HERE, at bench time, not silently at the
+    2 then 1 decimals (the detail line keeps 3) before anything
+    structural is at risk. Asserts the budget holds so growth past
+    every lever fails HERE, at bench time, not silently at the
     driver."""
     root = os.path.dirname(os.path.abspath(__file__))
     doc = {
@@ -232,8 +235,10 @@ def final_line(
     if cmp_:
         doc["geo_cmp"] = cmp_
     line = json.dumps(doc, separators=(",", ":"))
-    if len(line) > budget:
-        doc["queries"] = {q: round(v, 2) for q, v in timings.items()}
+    for digits in (2, 1):
+        if len(line) <= budget:
+            break
+        doc["queries"] = {q: round(v, digits) for q, v in timings.items()}
         line = json.dumps(doc, separators=(",", ":"))
     assert len(line) <= budget, (
         f"final bench line {len(line)} chars > {budget}: the headline "

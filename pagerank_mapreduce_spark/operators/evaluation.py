@@ -325,6 +325,76 @@ def ks_statistic(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+    n_buckets: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact average precision — the step-wise area under the
+    precision-recall curve (sklearn's ``average_precision_score``)::
+
+        AP = Σ over distinct scores v, DESCENDING, of
+             (tp_v / n_pos) · P(v),   P(v) = cum_tp(v) / cum_all(v)
+
+    with the cumulatives inclusive over scores ≥ v. Computed from the
+    SAME ascending bucketed-prefix relation as roc_auc — the
+    descending cumulative at v is just total − exclusive-below(v), so
+    no second pipeline is needed.
+
+    Cross-engine determinism: unlike roc_auc's rank sum (whose terms
+    are dyadic rationals and therefore sum exactly in any order), the
+    precision terms are arbitrary quotients, so a naive float Σ is
+    summation-order-dependent. Each per-row precision is quantized to
+    integer nano-units (round(P·1e9) as BIGINT) and the Σ runs over
+    BIGINT products — exact and order-independent; the oracle replays
+    the identical quantized arithmetic. Quantization error ≤ 1e-9 per
+    term, invisible at round_to=6. Overflow envelope: Σ tp_v·P_u ≤
+    n_pos·1e9, safe in BIGINT for n_pos up to ~9.2e9 positives.
+    Output: one row (ap, n_pos, n_neg); NULL ap on one-class input,
+    the roc_auc contract."""
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    base = df.select(F.col(score_col).alias("_s"), y.alias("_y")).filter(
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
+    per_score = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("np")
+    )
+    pre = _bucketed_prefix(per_score, "_s", ["n", "np"], (), n_buckets)
+    tot = F.broadcast(
+        per_score.agg(
+            F.sum("np").cast("bigint").alias("n_pos"),
+            F.sum(F.col("n") - F.col("np")).cast("bigint").alias("n_neg"),
+        )
+    )
+    cum_tp = F.col("n_pos") - F.col("_below_np")
+    cum_all = F.col("n_pos") + F.col("n_neg") - F.col("_below_n")
+    p_u = F.round(cum_tp / cum_all * F.lit(1e9), 0).cast("bigint")
+    return (
+        pre.crossJoin(tot)
+        .select(
+            "np",
+            "n_pos",
+            "n_neg",
+            (F.col("np").cast("bigint") * p_u).alias("_term_u"),
+        )
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum("_term_u").cast("double"),
+                    F.first("n_pos") * F.lit(1e9),
+                ),
+                round_to,
+            ).alias("ap"),
+            F.first("n_pos").alias("n_pos"),
+            F.first("n_neg").alias("n_neg"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     prob_col: str,

@@ -5282,6 +5282,66 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT user_id, t AS grid_ts, round(fill, 6) AS value
        FROM f WHERE src = 1 AND fill IS NOT NULL""",
 )
+@_q(
+    "ts_seasonal_decompose",
+    # additive decomposition count = trend + seasonal + resid over the
+    # zero-filled hourly grid per event_type: trend = centered 24-row
+    # moving average, seasonal = per-(type, hour-of-day) mean of the
+    # detrended series. ALL arithmetic in integer micro-units (div =
+    # truncation toward zero; DuckDB's // floors, so the negative-sum
+    # seasonal division is replayed sign-split) — no float summation
+    # order anywhere (operators/sessions.py: seasonal_decompose_hourly)
+    """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                          count(*) AS cnt
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       span AS (SELECT event_type, min(hour) AS a, max(hour) AS b
+                FROM hc GROUP BY 1),
+       grid AS (SELECT event_type,
+                       unnest(generate_series(a, b, INTERVAL '1 hour'))
+                         AS hour
+                FROM span),
+       f AS (SELECT g.event_type, g.hour, coalesce(hc.cnt, 0) AS cnt
+             FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type
+                                     AND hc.hour = g.hour),
+       t AS (SELECT event_type, hour, cnt,
+                    CAST(sum(cnt) OVER w24 AS BIGINT) AS s24,
+                    count(*) OVER w24 AS n24
+             FROM f
+             WINDOW w24 AS (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 12 PRECEDING
+                            AND 11 FOLLOWING)),
+       tr AS (SELECT event_type, hour, cnt,
+                     CASE WHEN n24 = 24
+                          THEN CAST((s24 * 1000000) // 24 AS BIGINT)
+                     END AS trend_u
+              FROM t),
+       se AS (SELECT event_type, hour(hour) AS hod,
+                     CAST(sum(cnt * 1000000 - trend_u) AS BIGINT) AS sd,
+                     count(*) AS nd
+              FROM tr WHERE trend_u IS NOT NULL GROUP BY 1, 2),
+       se2 AS (SELECT event_type, hod,
+                      CASE WHEN sd >= 0 THEN sd // nd
+                           ELSE -((-sd) // nd) END AS seas_u
+               FROM se)
+       SELECT tr.event_type, tr.hour, tr.cnt,
+              round(trend_u / CAST(1e6 AS DOUBLE), 6) AS trend,
+              round(seas_u / CAST(1e6 AS DOUBLE), 6) AS seasonal,
+              round(CASE WHEN trend_u IS NOT NULL
+                         THEN (tr.cnt * 1000000 - trend_u - seas_u)
+                              / CAST(1e6 AS DOUBLE) END, 6) AS resid
+       FROM tr LEFT JOIN se2 ON se2.event_type = tr.event_type
+                            AND se2.hod = hour(tr.hour)""",
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the first step of time-series monitoring: split hourly volumes
+    # into trend / daily-shape / anomaly-residual components
+    from pagerank_mapreduce_spark.operators.sessions import (
+        seasonal_decompose_hourly,
+    )
+
+    return seasonal_decompose_hourly(_t(spark, sf_dir, "events"))
+
+
 def q_ts_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regularize each user's event series onto an hourly grid with
     # last-observation-carried-forward fill — union + one window
@@ -6141,6 +6201,60 @@ def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_dsir_weights",
+    # DSIR importance weights (Xie et al. 2023): log p_target/q_raw
+    # under add-1-smoothed hashed unigram+bigram models, target =
+    # lang 'en'. The bucket hash is the portable md5-60 and each
+    # bucket's log-ratio is quantized to integer nano-units, so the
+    # per-doc sum is a BIGINT dot product — order-independent, exact
+    # (operators/selection.py). Every float literal is CAST to DOUBLE
+    # (bare 1.0 is DECIMAL in DuckDB — the pagerank oracle lesson).
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS t
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       g0 AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+                     unnest(list_filter(list_concat(t,
+                       CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1]) END),
+                       x -> x <> '')) AS g
+              FROM toks),
+       gb AS (SELECT doc_id, tgt,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+              FROM g0),
+       cnt AS (SELECT b, CAST(sum(tgt) AS BIGINT) AS ct,
+                      CAST(sum(1 - tgt) AS BIGINT) AS cr
+               FROM gb GROUP BY b),
+       tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                      CAST(sum(cr) AS BIGINT) AS tr FROM cnt),
+       grid AS (SELECT r.range AS b,
+                  CAST(round((ln((coalesce(c.ct, 0) + CAST(1.0 AS DOUBLE))
+                                 / (t.tt + CAST(1024.0 AS DOUBLE)))
+                            - ln((coalesce(c.cr, 0) + CAST(1.0 AS DOUBLE))
+                                 / (t.tr + CAST(1024.0 AS DOUBLE))))
+                             * CAST(1e9 AS DOUBLE)) AS BIGINT) AS lr_u
+                FROM range(1024) r
+                LEFT JOIN cnt c ON c.b = r.range
+                CROSS JOIN tot t)
+       SELECT gb.doc_id, count(*) AS n_grams,
+              round(CAST(sum(g2.lr_u) AS DOUBLE)
+                    / CAST(1e9 AS DOUBLE), 6) AS dsir_logw
+       FROM gb JOIN grid g2 ON g2.b = gb.b
+       GROUP BY gb.doc_id""",
+)
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # which raw documents look like the target domain — the data-
+    # selection scorer an LLM pipeline runs before resampling
+    # (resampling itself = the existing weighted-sample machinery)
+    from pagerank_mapreduce_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
 # ============================ rank-statistic evaluation (round 8)
 
 
@@ -6182,6 +6296,59 @@ def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") >= 5).alias("y"),
     )
     return roc_auc(scored, "score", "y")
+
+
+@_q(
+    "ml_average_precision",
+    # step-wise area under the precision-recall curve (sklearn's
+    # average_precision_score): AP = sum over distinct scores,
+    # descending, of (tp_v/n_pos)·P(v). Precision terms are arbitrary
+    # quotients (not dyadic like the AUC rank sum), so both engines
+    # quantize each P(v) to integer nano-units and sum BIGINT products
+    # — exact, summation-order-independent, quantization < 1e-9 per
+    # term (operators/evaluation.py: average_precision)
+    """WITH base AS (SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS s,
+                            CAST(label >= 5 AS INT) AS y
+                     FROM embeddings
+                     WHERE embedding[1] IS NOT NULL
+                       AND label IS NOT NULL),
+       ps AS (SELECT s, count(*) AS n, sum(y) AS np FROM base GROUP BY s),
+       tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                      CAST(sum(n - np) AS BIGINT) AS n_neg FROM ps),
+       pre AS (SELECT s, n, np,
+                      coalesce(sum(n) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS below_n,
+                      coalesce(sum(np) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS below_np
+               FROM ps),
+       terms AS (SELECT p.np,
+                        CAST(round((t.n_pos - p.below_np) * 1.0
+                                   / (t.n_pos + t.n_neg - p.below_n)
+                                   * 1e9) AS BIGINT) AS p_u,
+                        t.n_pos, t.n_neg
+                 FROM pre p CROSS JOIN tot t)
+       SELECT round(CAST(sum(np * p_u) AS DOUBLE)
+                    / (max(n_pos) * 1e9), 6) AS ap,
+              max(n_pos) AS n_pos, max(n_neg) AS n_neg
+       FROM terms""",
+)
+def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the PR-curve twin of ml_roc_auc over the same scorer/labels —
+    # the metric that matters when positives are rare (AUC saturates)
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "score"
+        ),
+        (F.col("label") >= 5).alias("y"),
+    )
+    return average_precision(scored, "score", "y")
 
 
 @_q(

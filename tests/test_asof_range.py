@@ -637,3 +637,41 @@ def test_cusum_alerts_hand_computed(spark):
         ).collect()
     }
     assert g2[1]["n"] == 2 and g2[1]["max_cusum"] == 8.0
+
+
+def test_seasonal_decompose_recovers_pure_daily_pattern(spark):
+    # a series that is EXACTLY a repeating daily shape must decompose
+    # into constant trend + the shape + zero residual — and the
+    # integer micro-unit arithmetic makes "zero" exact, not approx
+    import datetime as dt
+
+    from pagerank_mapreduce_spark.operators.sessions import (
+        seasonal_decompose_hourly,
+    )
+
+    pattern = [h % 6 + 1 for h in range(24)]  # counts 1..6 by hour
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 3, 1)
+    for day in range(6):
+        for h in range(24):
+            for _ in range(pattern[h]):
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day, hours=h), "a")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = seasonal_decompose_hourly(ev).collect()
+    mid = [r for r in out if r["trend"] is not None]
+    assert mid, "no full centered windows"
+    daily_mean = sum(pattern) / 24
+    for r in mid:
+        # trend = the daily mean everywhere (up to the 1e-6 quantum)
+        assert abs(r["trend"] - daily_mean) < 2e-6, r
+        # decomposition identity, exactly, in micro-units
+        assert r["resid"] == 0.0, r
+        assert abs(r["cnt"] - (r["trend"] + r["seasonal"])) < 2e-6, r
+    # edges without a full centered window carry NULLs
+    assert any(r["trend"] is None for r in out)

@@ -295,3 +295,32 @@ def test_degenerate_inputs_yield_null_not_ansi_error(spark):
     ci = bootstrap_mean_ci(one_row, "v", "id").first()
     assert ci["mean"] == 7.0 and ci["lo95"] == 7.0 and ci["hi95"] == 7.0
     assert 0 < ci["n_replicates"] <= 100
+
+
+def test_average_precision_hand_computed(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    # sklearn.average_precision_score([1,0,1,1], [4,3,2,1]) = 1/3·1
+    # + 1/3·(2/3) + 1/3·(3/4) = 0.805556 (descending thresholds 4,3,2,1)
+    out = average_precision(
+        _df(spark, [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 1)]), "score", "y"
+    ).first()
+    assert out["ap"] == 0.805556
+    assert (out["n_pos"], out["n_neg"]) == (3, 1)
+    # perfect separation -> AP 1; ties collapse to one threshold
+    perfect = average_precision(
+        _df(spark, [(1.0, 0), (1.0, 0), (2.0, 1), (2.0, 1)]), "score", "y"
+    ).first()
+    assert perfect["ap"] == 1.0
+    # one-class -> NULL (the roc_auc degenerate contract)
+    deg = average_precision(
+        _df(spark, [(1.0, 0), (2.0, 0)]), "score", "y"
+    ).first()
+    assert deg["ap"] is None
+    # bucket-count invariance: the distribution knob never moves AP
+    df = _df(spark, [(float(i % 7), int(i % 3 == 0)) for i in range(60)])
+    a = average_precision(df, "score", "y", n_buckets=3).first()["ap"]
+    b = average_precision(df, "score", "y", n_buckets=256).first()["ap"]
+    assert a == b

@@ -167,3 +167,37 @@ def test_nb_classify_tie_breaks_to_smallest_label(spark):
     )
     out = {r.doc_id: r.pred for r in nb_classify(docs).collect()}
     assert out == {1: "x", 2: "x"}
+
+
+def test_dsir_weights_separate_target_like_documents(spark):
+    # DSIR (Xie et al. 2023): under hashed unigram+bigram models fit
+    # on target vs raw, documents written in the target vocabulary
+    # must score strictly above documents in the raw vocabulary, with
+    # a mixed document in between
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.selection import dsir_weights
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha beta", 1))  # target
+    for i in range(20, 40):
+        rows.append((i, "delta epsilon zeta delta epsilon", 0))  # raw
+    rows.append((100, "alpha beta gamma beta alpha", 0))  # target-like raw
+    rows.append((101, "delta epsilon zeta epsilon", 0))  # raw-like raw
+    rows.append((102, "alpha delta beta epsilon", 0))  # mixed
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, F.col("tgt") == 1).collect()
+    }
+    # n_grams = tokens + bigrams = 2n - 1
+    assert out[100]["n_grams"] == 9
+    assert out[100]["dsir_logw"] > 0 > out[101]["dsir_logw"]
+    assert out[101]["dsir_logw"] < out[102]["dsir_logw"] < out[100]["dsir_logw"]
+    # single-token doc: unigram only, no degenerate bigram
+    one = spark.createDataFrame(
+        [(0, "alpha", 1), (1, "beta", 0)], "doc_id long, text string, tgt int"
+    )
+    got = dsir_weights(one, F.col("tgt") == 1).collect()
+    assert {r["n_grams"] for r in got} == {1}
