@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "ml_average_precision",
     "text_dsir_weights",
     "ts_seasonal_decompose",
+    "sim_mmr_rerank",
 ]
 
 

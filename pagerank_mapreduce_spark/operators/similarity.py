@@ -1097,3 +1097,160 @@ def int8_topk(
         ).alias("cos"),
     )
     return top.join(exact, id_col).select(id_col, "q_cos", "cos")
+
+
+# ------------------------------------------------ MMR diversity re-rank
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: tuple[int, ...] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select ``k`` of the top-``n_candidates`` cosine
+    hits, trading relevance against redundancy with the selected set::
+
+        mmr(c) = λ·rel(c) − (1−λ)·max over selected s of sim(c, s)
+
+    (max over the empty set = 0, so the first pick is pure scaled
+    relevance). The retrieval diversifier: near-duplicate hits stop
+    crowding out distinct-but-relevant ones.
+
+    Scale shape: relevance scoring is the one full distributed scan
+    (same as cosine_topk); everything after runs over the CONSTANT-
+    size candidate relation — n_candidates rows, ≤ n² pairwise sims,
+    both localCheckpointed once — so the k greedy steps are k tiny
+    fixed-size jobs regardless of corpus size, the same constant-size
+    discipline as the IVF codebook collects. The greedy argmax chain
+    is inherently sequential (each pick changes the next step's
+    objective); no distributed formulation exists that is not this.
+
+    Determinism: rel, pairwise sims and mmr are all rounded
+    (HALF_UP = DuckDB's half-away-from-zero for positives and
+    negatives alike), ties break by id; λ and 1−λ are embedded via
+    repr() by :func:`mmr_oracle_sql` so both engines combine
+    bit-identical doubles. Output: (rank, ``id_col``, mmr)."""
+    spark = embeddings.sparkSession
+    one_minus = 1.0 - lam
+    base = embeddings
+    if exclude_ids:
+        base = base.filter(~F.col(id_col).isin(*exclude_ids))
+    cand = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), array_lit(query)),
+                round_to,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(n_candidates)
+        .localCheckpoint()
+    )
+    cv = cand.join(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "id",
+    ).select("id", "_v")
+    a, b = cv.alias("a"), cv.alias("b")
+    sims = (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("u"),
+            F.col("b.id").alias("v"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), round_to).alias(
+                "s"
+            ),
+        )
+        .localCheckpoint()
+    )
+    picked: list[tuple[int, int, float]] = []
+    for step in range(1, k + 1):
+        rem = cand
+        if picked:
+            sel_ids = [p[1] for p in picked]
+            rem = rem.filter(~F.col("id").isin(*sel_ids))
+            maxsim = (
+                sims.filter(F.col("v").isin(*sel_ids))
+                .groupBy("u")
+                .agg(F.max("s").alias("_ms"))
+            )
+            rem = rem.join(maxsim, rem["id"] == maxsim["u"], "left")
+        else:
+            rem = rem.withColumn("_ms", F.lit(None).cast("double"))
+        mmr = F.round(
+            F.lit(lam) * F.col("rel")
+            - F.lit(one_minus) * F.coalesce(F.col("_ms"), F.lit(0.0)),
+            round_to,
+        )
+        top = (
+            rem.select("id", mmr.alias("_mmr"))
+            .orderBy(F.col("_mmr").desc(), F.col("id"))
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        picked.append((step, top["id"], float(top["_mmr"])))
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} long, mmr double"
+    )
+
+
+def mmr_oracle_sql(
+    query_id: int = 0,
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`mmr_rerank` against the embeddings
+    table with the query = vector ``query_id`` (excluded from the
+    candidates, mirroring the catalog entry): the greedy recursion
+    carries the selected set as a LIST and each generation picks the
+    argmax via a correlated max-sim subquery — the identical rounded
+    arithmetic, λ literals repr()'d from the same Python doubles."""
+    lm = repr(float(lam))
+    om = repr(1.0 - float(lam))
+    r = int(round_to)
+    return f"""
+      WITH RECURSIVE
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = {query_id}),
+      cand AS (SELECT e.vec_id AS id,
+                      round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), q.qv), {r}) AS rel
+               FROM embeddings e, q WHERE e.vec_id <> {query_id}
+               ORDER BY rel DESC, e.vec_id LIMIT {n_candidates}),
+      cv AS (SELECT c.id, CAST(e.embedding AS DOUBLE[]) AS v
+             FROM cand c JOIN embeddings e ON e.vec_id = c.id),
+      sims AS (SELECT a.id AS u, b.id AS v2,
+                      round(list_cosine_similarity(a.v, b.v), {r}) AS s
+               FROM cv a JOIN cv b ON a.id <> b.id),
+      sel(step, picked, id, mmr) AS (
+        (SELECT 1, [c.id], c.id, round({lm} * c.rel, {r}) FROM cand c
+         ORDER BY round({lm} * c.rel, {r}) DESC, c.id LIMIT 1)
+        UNION ALL
+        (SELECT cur.step + 1, list_append(cur.picked, pick.id),
+                pick.id, pick.m
+         FROM sel cur, LATERAL (
+           SELECT c.id,
+                  round({lm} * c.rel - {om} * coalesce(
+                    (SELECT max(s.s) FROM sims s
+                     WHERE s.u = c.id
+                       AND list_contains(cur.picked, s.v2)),
+                    CAST(0.0 AS DOUBLE)), {r}) AS m
+           FROM cand c WHERE NOT list_contains(cur.picked, c.id)
+           ORDER BY m DESC, c.id LIMIT 1) pick
+         WHERE cur.step < {k})
+      )
+      SELECT step AS rank, id AS vec_id, mmr FROM sel"""

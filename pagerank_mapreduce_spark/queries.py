@@ -935,6 +935,26 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+@_q(
+    "sim_mmr_rerank",
+    # MMR diversity re-rank (Carbonell & Goldstein 1998) of the top-50
+    # cosine hits for query vector 0: greedy λ·rel − (1−λ)·max-sim
+    # chain, fully replayed as a recursive CTE carrying the selected
+    # set as a LIST (operators/similarity.py: mmr_rerank /
+    # mmr_oracle_sql; λ literals repr()'d from the same doubles)
+    S.mmr_oracle_sql(query_id=0, k=10, n_candidates=50, lam=0.7),
+)
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the retrieval diversifier: stop near-duplicate hits crowding out
+    # distinct-but-relevant ones — the post-ANN step a dedup-aware
+    # similarity search runs before returning results
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.mmr_rerank(
+        emb, list(query), k=10, n_candidates=50, lam=0.7, exclude_ids=(0,)
+    )
+
+
 def _lsh_probe_oracle(
     dim: int = 64, n_planes: int = 8, seed: int = 7,
     k: int = 10, probe_hamming: int = 1,

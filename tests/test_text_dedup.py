@@ -1088,3 +1088,38 @@ def test_leakproof_split_pins_clusters_to_one_side(spark):
     assert sum(r["n_docs"] for r in dd) == 200
     # straddling inflates the per-split cluster-appearance total
     assert sum(r["n_clusters"] for r in dd) > 20
+
+
+def test_mmr_rerank_diversifies_near_duplicate_hits(spark):
+    # two near-identical highly-relevant vectors + one moderately
+    # relevant orthogonal-ish one: plain top-2 returns the twins, MMR
+    # (lambda=0.5) must swap the second twin for the diverse vector
+    from pagerank_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.14, 0.0]),    # hit A
+        (2, [0.99, 0.141, 0.0]),   # hit A' (near-dup of A)
+        (3, [0.7, 0.0, 0.7]),      # diverse, less relevant
+        (4, [0.0, 1.0, 0.0]),      # irrelevant
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    plain = [
+        r["vec_id"]
+        for r in cosine_topk(emb.filter("vec_id <> 0"), [1.0, 0.0, 0.0], k=2)
+        .collect()
+    ]
+    assert plain == [1, 2]  # the twins crowd the top
+    mmr = mmr_rerank(
+        emb, [1.0, 0.0, 0.0], k=2, n_candidates=4, lam=0.5,
+        exclude_ids=(0,),
+    ).collect()
+    assert [r["vec_id"] for r in mmr] == [1, 3]
+    assert [r["rank"] for r in mmr] == [1, 2]
+    # first pick's mmr = lambda * rel (empty selected set)
+    assert abs(mmr[0]["mmr"] - 0.5 * 0.990148) < 1e-5
