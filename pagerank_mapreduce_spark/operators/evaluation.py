@@ -158,9 +158,14 @@ def _avg_ranks(
     ``avg_rank``, ``n`` (multiplicity), and each of ``agg_cols``
     (aggregate expressions over the tied rows, e.g. how many are
     positive)."""
+    # localCheckpoint: the distinct-score relation is tiny (one row
+    # per distinct value) but feeds the prefix machinery THREE ways
+    # (percentile edges, the bucketed join, the bucket totals) —
+    # without materialization each consumer re-runs the full scan +
+    # collapse. Measured 1.14 → 0.84 s on roc_auc at sf0.1 (r10).
     per_score = df.groupBy(score_col).agg(
         F.count(F.lit(1)).alias("n"), *agg_cols
-    )
+    ).localCheckpoint()
     ranked = _bucketed_prefix(
         per_score, score_col, ["n"], (), n_buckets
     ).withColumn(
@@ -249,9 +254,11 @@ def roc_auc_by_group(
     base = df.select(
         *group_cols, F.col(score_col).alias("_s"), y.alias("_y")
     ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    # same distinct-collapse materialization as _avg_ranks (grouped:
+    # one row per (group, score) — still collapse-sized)
     per_score = base.groupBy(*group_cols, "_s").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("_np")
-    )
+    ).localCheckpoint()
     ranked = _bucketed_prefix(
         per_score, "_s", ["n"], tuple(group_cols), n_buckets
     ).withColumn(
@@ -300,7 +307,7 @@ def ks_statistic(
     per_score = base.groupBy("_s").agg(
         F.sum("_y").alias("np"),
         F.sum(F.lit(1) - F.col("_y")).alias("nn"),
-    )
+    ).localCheckpoint()  # see _avg_ranks: feeds prefix 3 ways + totals
     pre = _bucketed_prefix(per_score, "_s", ["np", "nn"], (), n_buckets)
     tot = F.broadcast(
         per_score.agg(
@@ -362,7 +369,7 @@ def average_precision(
     )
     per_score = base.groupBy("_s").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("np")
-    )
+    ).localCheckpoint()  # see _avg_ranks: feeds prefix 3 ways + totals
     pre = _bucketed_prefix(per_score, "_s", ["n", "np"], (), n_buckets)
     tot = F.broadcast(
         per_score.agg(

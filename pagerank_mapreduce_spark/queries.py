@@ -6750,14 +6750,11 @@ def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(ev, "value", "event_id", n_replicates=100)
 
 
-@_q(
-    "ts_cusum_alerts",
-    # Page's one-sided CUSUM per user: S_i = max(0, S_{i-1} + (x_i -
-    # target)); the clamp breaks prefix-sum decomposition, so the
-    # engine runs an Arrow-batched per-key fold and the oracle
-    # replays the identical sequential recurrence as a recursive CTE
-    # (same order, same parenthesization -> bit-identical doubles)
-    """WITH RECURSIVE
+# Page's one-sided CUSUM per user, shared by the batch entry and the
+# streaming (transformWithStateInPandas) entry's batch analogue: the
+# recursive CTE replays the identical sequential recurrence (same
+# order, same parenthesization -> bit-identical doubles)
+_CUSUM_ORACLE = """WITH RECURSIVE
        ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS rn
@@ -6780,7 +6777,15 @@ def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM t GROUP BY user_id)
        SELECT user_id, n, max_cusum, alert_at,
               alert_at IS NOT NULL AS alert
-       FROM agg""",
+       FROM agg"""
+
+
+@_q(
+    "ts_cusum_alerts",
+    # the clamp S_i = max(0, S_{i-1} + (x_i - target)) breaks
+    # prefix-sum decomposition, so the engine runs an Arrow-batched
+    # per-key fold and the oracle replays the identical recurrence
+    _CUSUM_ORACLE,
 )
 def q_ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sequential changepoint monitor (sustained upward shift in a
@@ -6792,6 +6797,24 @@ def q_ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_alerts(
         ev, "ts", "user_id", "value", 5.5, 20.0, "event_id"
     )
+
+
+@_q(
+    "stream_cusum_alerts",
+    # streaming twin of ts_cusum_alerts: the CUSUM fold state lives in
+    # a named ValueState via transformWithStateInPandas and survives
+    # micro-batch boundaries (streaming/stateful.py: CusumProcessor);
+    # the batch analogue checked here runs the identical C-double fold
+    # (same stream_tws_totals pattern — TWS execution requires the
+    # protobuf-backed state protocol, gated in the tests)
+    _CUSUM_ORACLE,
+)
+def q_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.streaming.stateful import (
+        tws_cusum_alerts,
+    )
+
+    return tws_cusum_alerts(_t(spark, sf_dir, "events"))
 
 
 @_q(

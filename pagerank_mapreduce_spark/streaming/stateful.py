@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-__all__ = ["UserTotalsProcessor", "tws_user_totals"]
+__all__ = [
+    "CusumProcessor",
+    "UserTotalsProcessor",
+    "tws_cusum_alerts",
+    "tws_user_totals",
+]
 
 _STATE_SCHEMA = StructType(
     [
@@ -84,6 +89,105 @@ def tws_user_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserTotalsProcessor(),
         outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("n", LongType()),
+        StructField("alert_at", LongType()),
+    ]
+)
+
+_CUSUM_OUTPUT_SCHEMA = (
+    "user_id bigint, n bigint, max_cusum double, alert_at bigint, "
+    "alert boolean"
+)
+
+
+class CusumProcessor(StatefulProcessor):
+    """Streaming one-sided CUSUM per key (Page 1954), the
+    transformWithStateInPandas twin of operators.sessions.cusum_alerts:
+    S_i = max(0, S_{i-1} + (x_i − target)), alert at the first
+    crossing of ``threshold``. The fold state (S, running max, count,
+    first-alert index) lives in a named ValueState and survives
+    micro-batch boundaries, so the monitor keeps its memory across a
+    day of triggers — the property the batch operator cannot have.
+    Rows are folded in (ts, event_id) order WITHIN each batch; the
+    stream contract is in-order batches (a file source replaying a
+    log, or a watermarked upstream sort), the standard CUSUM
+    deployment. The fold arithmetic is the identical C-double
+    sequence as the batch operator, so a single-batch stream
+    reproduces the batch answer bit-for-bit."""
+
+    def __init__(self, target: float, threshold: float) -> None:
+        self._target = float(target)
+        self._threshold = float(threshold)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("cusum", _CUSUM_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        s, mx, n, at = 0.0, 0.0, 0, None
+        if self._st.exists():
+            prev = self._st.get()
+            s, mx, n = float(prev[0]), float(prev[1]), int(prev[2])
+            at = None if prev[3] is None else int(prev[3])
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in pdf["value"].to_numpy():
+            if v != v:  # NaN guard (NULL values excluded upstream)
+                continue
+            n += 1
+            s = s + (float(v) - self._target)
+            if s < 0.0:
+                s = 0.0
+            if s > mx:
+                mx = s
+            if at is None and s > self._threshold:
+                at = n
+        self._st.update((s, mx, n, at))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "max_cusum": [round(mx, 6)],
+                "alert_at": [at],
+                "alert": [at is not None],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_cusum_alerts(
+    events: DataFrame, target: float = 5.5, threshold: float = 20.0
+) -> DataFrame:
+    """Streaming: per-user CUSUM with cross-batch state via
+    transformWithStateInPandas. Batch: the oracle-checked Arrow fold
+    (operators.sessions.cusum_alerts) with the same parameters."""
+    if not events.isStreaming:
+        from pagerank_mapreduce_spark.operators.sessions import (
+            cusum_alerts,
+        )
+
+        return cusum_alerts(
+            events, "ts", "user_id", "value", target, threshold,
+            "event_id",
+        )
+    filtered = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return filtered.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CusumProcessor(target, threshold),
+        outputStructType=_CUSUM_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

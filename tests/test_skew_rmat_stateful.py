@@ -370,3 +370,102 @@ def test_temperature_resample_null_group_kept(spark):
     # alpha=1 keeps every row — including the NULL group, which must
     # not vanish through the threshold join
     assert out.count() == 100
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_tws_cusum_across_batches(spark, tmp_path):
+    # the CUSUM fold state (S, max, n, first alert) must survive the
+    # micro-batch boundary: user 1's series crosses the threshold
+    # only because batch 2 continues batch 1's accumulated S
+    from pagerank_mapreduce_spark.streaming.stateful import (
+        tws_cusum_alerts,
+    )
+
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:01:00"]
+            ),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [15.0, 15.0],  # S = 9.5 then 19.0 (target 5.5)
+            "props": ["{}"] * 2,
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 10:02:00"]),
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [15.0],  # S = 28.5 > 20 -> alert at obs 3
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "tws_cusum_src"
+    src.mkdir()
+    d1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = run_to_memory_sink(
+            tws_cusum_alerts(stream), "t_tws_cusum", mode="update"
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.table("t_tws_cusum").collect()
+    per_batch = [
+        (r["n"], r["max_cusum"], r["alert_at"], r["alert"])
+        for r in rows
+        if r["user_id"] == 1
+    ]
+    # batch 1: no alert yet (max 19.0); batch 2: alert at obs 3
+    assert (2, 19.0, None, False) in per_batch
+    assert (3, 28.5, 3, True) in per_batch
+
+
+def test_tws_cusum_batch_analogue_matches_operator(spark, sf_dir):
+    # the batch path of the streaming wrapper must be the exact
+    # oracle-checked operator (same target/threshold/tiebreak)
+    from pagerank_mapreduce_spark.operators.sessions import cusum_alerts
+    from pagerank_mapreduce_spark.streaming.stateful import (
+        tws_cusum_alerts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = tws_cusum_alerts(ev)
+    want = cusum_alerts(ev, "ts", "user_id", "value", 5.5, 20.0, "event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
