@@ -44,17 +44,22 @@ from pagerank_mapreduce_spark.operators.dedup import portable_hash60
 def _uni_bigrams(text: Column) -> Column:
     """Unigrams ∪ bigrams over lowercased whitespace tokens. A
     document with a single token contributes only its unigram (no
-    degenerate bigram fallback — the oracle mirrors this exactly)."""
+    degenerate bigram fallback — the oracle mirrors this exactly).
+
+    Shape matters: bigrams pair two SLICES with zip_with, never
+    ``element_at(toks, i)`` inside a transform — element_at re-
+    evaluates the tokenizing split per element, turning a 700-word
+    document into ~700 re-splits (O(len²); measured 7.2 s just to
+    explode 536k grams at sf0.1 before this fix)."""
     toks = tokens(text)
     n = F.size(toks)
     bigrams = F.when(
         n < 2, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     )
     return F.filter(F.concat(toks, bigrams), lambda g: g != "")
@@ -80,13 +85,37 @@ def dsir_weights(
     base = docs.select(
         F.col(id_col), tgt.alias("_t"), F.col(text_col).alias("_x")
     ).filter(F.col(id_col).isNotNull() & F.col("_x").isNotNull())
-    grams = base.select(
-        id_col, "_t", F.explode(_uni_bigrams(F.col("_x"))).alias("_g")
-    ).withColumn("_b", F.pmod(portable_hash60(F.col("_g")), F.lit(n_buckets)))
+    # collapse to (doc, gram) COUNTS before anything touches md5: the
+    # crypto hash is the expensive step (the ml_bootstrap_ci lesson —
+    # per-instance md5 was 19.5 s at sf0.1; SCALE.md r10), and token
+    # instances repeat heavily under any Zipf vocabulary, so hash the
+    # DISTINCT grams once and join the counts to them. The vocab
+    # relation is vocabulary-sized, not corpus-sized; the join is a
+    # plain equi-join on the gram string (AQE broadcasts it when
+    # small — no hint, a 100 TB n-gram vocabulary must be allowed to
+    # shuffle).
+    doc_grams = (
+        base.select(
+            id_col, "_t", F.explode(_uni_bigrams(F.col("_x"))).alias("_g")
+        )
+        .groupBy(id_col, "_t", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()  # feeds the vocab, the models AND the scores
+    )
+    vocab = (
+        doc_grams.select("_g")
+        .distinct()
+        .withColumn(
+            "_b", F.pmod(portable_hash60(F.col("_g")), F.lit(n_buckets))
+        )
+    )
+    grams = doc_grams.join(vocab, "_g")
 
     counts = grams.groupBy("_b").agg(
-        F.sum("_t").cast("bigint").alias("_ct"),
-        F.sum(F.lit(1) - F.col("_t")).cast("bigint").alias("_cr"),
+        F.sum(F.col("_t") * F.col("_c")).cast("bigint").alias("_ct"),
+        F.sum((F.lit(1) - F.col("_t")) * F.col("_c"))
+        .cast("bigint")
+        .alias("_cr"),
     )
     totals = counts.agg(
         F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
@@ -125,9 +154,11 @@ def dsir_weights(
         grams.join(F.broadcast(grid), "_b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_c").alias("n_grams"),
             F.round(
-                F.sum("_lr_u").cast("double") / F.lit(1e9), round_to
+                F.sum(F.col("_c") * F.col("_lr_u")).cast("double")
+                / F.lit(1e9),
+                round_to,
             ).alias("dsir_logw"),
         )
     )

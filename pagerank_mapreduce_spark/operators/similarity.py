@@ -1152,6 +1152,10 @@ def mmr_rerank(
         )
         .orderBy(F.col("rel").desc(), F.col("id"))
         .limit(n_candidates)
+        # one partition: every greedy step re-reads this ≤n_candidates
+        # relation; 32 near-empty tasks per step would cost more
+        # scheduler time than the work itself
+        .coalesce(1)
         .localCheckpoint()
     )
     cv = cand.join(
@@ -1171,6 +1175,7 @@ def mmr_rerank(
                 "s"
             ),
         )
+        .coalesce(1)
         .localCheckpoint()
     )
     picked: list[tuple[int, int, float]] = []
