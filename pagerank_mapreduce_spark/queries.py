@@ -5282,27 +5282,6 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "ts_resample_hourly",
-    """WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
-       b AS (SELECT user_id, date_trunc('hour', min(ts)) AS a,
-                    date_trunc('hour', max(ts)) AS bb
-             FROM ev GROUP BY user_id),
-       grid AS (SELECT user_id,
-                       unnest(generate_series(a, bb + INTERVAL '1 hour',
-                                              INTERVAL '1 hour')) AS t
-                FROM b),
-       un AS (SELECT user_id, ts AS t, value AS v, 0 AS src, event_id FROM ev
-              UNION ALL SELECT user_id, t, NULL, 1, NULL FROM grid),
-       f AS (SELECT user_id, t, src,
-                    last_value(v IGNORE NULLS) OVER (
-                      PARTITION BY user_id ORDER BY t, src, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS fill
-             FROM un)
-       SELECT user_id, t AS grid_ts, round(fill, 6) AS value
-       FROM f WHERE src = 1 AND fill IS NOT NULL""",
-)
-@_q(
     "ts_seasonal_decompose",
     # additive decomposition count = trend + seasonal + resid over the
     # zero-filled hourly grid per event_type: trend = centered 24-row
@@ -5360,6 +5339,29 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return seasonal_decompose_hourly(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "ts_resample_hourly",
+    """WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
+       b AS (SELECT user_id, date_trunc('hour', min(ts)) AS a,
+                    date_trunc('hour', max(ts)) AS bb
+             FROM ev GROUP BY user_id),
+       grid AS (SELECT user_id,
+                       unnest(generate_series(a, bb + INTERVAL '1 hour',
+                                              INTERVAL '1 hour')) AS t
+                FROM b),
+       un AS (SELECT user_id, ts AS t, value AS v, 0 AS src, event_id FROM ev
+              UNION ALL SELECT user_id, t, NULL, 1, NULL FROM grid),
+       f AS (SELECT user_id, t, src,
+                    last_value(v IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY t, src, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS fill
+             FROM un)
+       SELECT user_id, t AS grid_ts, round(fill, 6) AS value
+       FROM f WHERE src = 1 AND fill IS NOT NULL""",
+)
 
 
 def q_ts_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

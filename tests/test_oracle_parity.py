@@ -224,6 +224,25 @@ def test_future_driver_artifact_cannot_redden_suite(tmp_path):
     )
 
 
+def test_catalog_registrations_are_distinct_functions():
+    # Guard for the decorator-stacking class (round-10: a new @_q
+    # block pasted between an existing entry's decorator and its def
+    # registered TWO names on one function — ts_resample_hourly
+    # silently ran the seasonal decomposition and failed parity only
+    # in the full suite). Every catalog name must map to its own
+    # function, and every function name must be unique.
+    fns = [spec.fn for spec in CATALOG.values()]
+    assert len(set(fns)) == len(fns), (
+        "two catalog names share one function: "
+        + str({
+            n: s.fn.__name__ for n, s in CATALOG.items()
+            if fns.count(s.fn) > 1
+        })
+    )
+    names = [f.__name__ for f in fns]
+    assert len(set(names)) == len(names)
+
+
 def test_driver_record_derivation(tmp_path):
     # the checked-record is DERIVED from the committed CORRECTNESS
     # artifacts; pin the rules on synthetic files: crashed rows are

