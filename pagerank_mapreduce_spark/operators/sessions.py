@@ -380,3 +380,75 @@ def seasonal_decompose_hourly(
             F.when(F.col("_trend_u").isNotNull(), resid), round_to
         ).alias("resid"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    alpha: float = 0.2,
+    *tiebreak_cols: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key (the EWMA control
+    chart of Roberts 1959, the smoothing complement to the CUSUM
+    changepoint monitor)::
+
+        E_1 = x_1;   E_i = α·x_i + (1−α)·E_{i−1}
+
+    Output one row per key: (by, n, ewma_last, ewma_max) under the
+    (on, tiebreak) total order, rounded.
+
+    Like CUSUM, the recurrence is inherently sequential (E_i depends
+    on E_{i−1} through a non-associative float combination), so this
+    is the sanctioned Arrow-batched ``applyInPandas`` fold: keys
+    partition the shuffle, the per-key series bounds the task, and
+    the oracle replays the identical C-double sequence — same order,
+    same parenthesization (α·x) + ((1−α)·E), bit-identical results.
+    (The closed form E_i = α Σ (1−α)^{i−j} x_j IS prefix-decomposable
+    in exact arithmetic, but computing it that way needs (1−α)^{−i}
+    scaling factors that overflow double at series length ~1500 —
+    the fold is the numerically honest shape.) NULL timestamps and
+    values are excluded up front (module convention)."""
+    import pandas as pd
+
+    a = float(alpha)
+    b = 1.0 - a
+    src = df.filter(
+        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+    )
+    sort_cols = ["_t"] + [f"_tb_{c}" for c in tiebreak_cols]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        e = None
+        mx = None
+        for v in pdf["_v"].to_numpy():
+            v = float(v)
+            e = v if e is None else (a * v) + (b * e)
+            if mx is None or e > mx:
+                mx = e
+        return pd.DataFrame(
+            {
+                "_k": [pdf["_k"].iloc[0]],
+                "n": [len(pdf)],
+                "ewma_last": [round(e, round_to)],
+                "ewma_max": [round(mx, round_to)],
+            }
+        )
+
+    out_schema = (
+        f"_k {dict(df.dtypes)[by]}, n long, ewma_last double, "
+        "ewma_max double"
+    )
+    return (
+        src.groupBy("_k")
+        .applyInPandas(fold, out_schema)
+        .select(F.col("_k").alias(by), "n", "ewma_last", "ewma_max")
+    )

@@ -6802,6 +6802,49 @@ def q_ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_ewma",
+    # Roberts' EWMA control chart per user: E_1 = x_1, E_i = (α·x_i)
+    # + ((1−α)·E_{i-1}), α = 0.2 — the smoothing complement to the
+    # CUSUM changepoint monitor, same sanctioned Arrow-fold shape,
+    # same recursive-CTE replay discipline (identical order and
+    # parenthesization → bit-identical doubles; α literals CAST to
+    # DOUBLE — bare 0.2 is DECIMAL in DuckDB)
+    """WITH RECURSIVE
+       ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+       t(rn, user_id, e) AS (
+         SELECT 1, user_id, v FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e2.rn, e2.user_id,
+                (CAST(0.2 AS DOUBLE) * e2.v)
+                + (CAST(0.8 AS DOUBLE) * t.e)
+         FROM t JOIN ev e2
+           ON e2.user_id = t.user_id AND e2.rn = t.rn + 1
+       ),
+       agg AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n,
+                      round(max(e), 6) AS ewma_max
+               FROM t GROUP BY user_id),
+       lst AS (SELECT user_id, round(e, 6) AS ewma_last FROM t t1
+               WHERE rn = (SELECT max(rn) FROM t t2
+                           WHERE t2.user_id = t1.user_id))
+       SELECT a.user_id, a.n, l.ewma_last, a.ewma_max
+       FROM agg a JOIN lst l USING (user_id)""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user exponential smoothing summary — the trend-following
+    # monitor between raw values (noisy) and CUSUM (change-sensitive)
+    from pagerank_mapreduce_spark.operators.sessions import ewma_smooth
+
+    return ewma_smooth(
+        _t(spark, sf_dir, "events"), "ts", "user_id", "value", 0.2,
+        "event_id",
+    )
+
+
+@_q(
     "stream_cusum_alerts",
     # streaming twin of ts_cusum_alerts: the CUSUM fold state lives in
     # a named ValueState via transformWithStateInPandas and survives

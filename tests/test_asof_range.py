@@ -675,3 +675,32 @@ def test_seasonal_decompose_recovers_pure_daily_pattern(spark):
         assert abs(r["cnt"] - (r["trend"] + r["seasonal"])) < 2e-6, r
     # edges without a full centered window carry NULLs
     assert any(r["trend"] is None for r in out)
+
+
+def test_ewma_hand_computed_and_init(spark):
+    # E_1 = x_1 (no zero-seeding bias); constant series stays at the
+    # constant; hand-fold a short series
+    from pagerank_mapreduce_spark.operators.sessions import ewma_smooth
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, float(v))
+        for i, v in enumerate([10.0, 0.0, 0.0, 0.0])
+    ] + [(10 + i, t0 + dt.timedelta(minutes=i), 2, 7.0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["user_id"]: r for r in
+           ewma_smooth(df, "ts", "user_id", "value", 0.2, "event_id")
+           .collect()}
+    # user 1: 10 -> 8 -> 6.4 -> 5.12 (alpha=0.2 fold from E_1 = x_1)
+    e = 10.0
+    for v in (0.0, 0.0, 0.0):
+        e = (0.2 * v) + (0.8 * e)
+    assert out[1]["ewma_last"] == round(e, 6) == 5.12
+    assert out[1]["ewma_max"] == 10.0
+    assert out[1]["n"] == 4
+    # constant series: EWMA pinned at the constant, exactly
+    assert out[2]["ewma_last"] == 7.0 and out[2]["ewma_max"] == 7.0
