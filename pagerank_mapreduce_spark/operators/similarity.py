@@ -1125,19 +1125,27 @@ def mmr_rerank(
 
     Scale shape: relevance scoring is the one full distributed scan
     (same as cosine_topk); everything after runs over the CONSTANT-
-    size candidate relation — n_candidates rows, ≤ n² pairwise sims,
-    both localCheckpointed once — so the k greedy steps are k tiny
-    fixed-size jobs regardless of corpus size, the same constant-size
-    discipline as the IVF codebook collects. The greedy argmax chain
-    is inherently sequential (each pick changes the next step's
-    objective); no distributed formulation exists that is not this.
+    size candidate relation — n_candidates rows, ≤ n² pairwise sims.
+    The greedy argmax chain is inherently sequential (each pick
+    changes the next step's objective), the module family's
+    sanctioned ``applyInPandas`` case (the CUSUM/EWMA precedent): ONE
+    Arrow-batched kernel over the single-group pair relation runs all
+    k steps executor-side — the first shape (k separate
+    orderBy-limit-1 jobs) spent ~3 s of pure driver round-trips on
+    50 rows (SCALE.md r10).
 
-    Determinism: rel, pairwise sims and mmr are all rounded
-    (HALF_UP = DuckDB's half-away-from-zero for positives and
-    negatives alike), ties break by id; λ and 1−λ are embedded via
-    repr() by :func:`mmr_oracle_sql` so both engines combine
-    bit-identical doubles. Output: (rank, ``id_col``, mmr)."""
-    spark = embeddings.sparkSession
+    Determinism: rel and pairwise sims are rounded by Spark
+    expressions; the kernel's mmr rounding uses Decimal(double)
+    .quantize(HALF_UP) — the exact-decimal-expansion semantics of
+    Java's BigDecimal behind F.round, away-from-zero on ties like
+    DuckDB's round — and combines λ·rel − (1−λ)·maxsim with the same
+    C-double order as the SQL; ties break by id. λ and 1−λ are
+    embedded via repr() by :func:`mmr_oracle_sql` so both engines
+    combine bit-identical doubles. Output: (rank, ``id_col``, mmr)."""
+    import decimal
+
+    import pandas as pd
+
     one_minus = 1.0 - lam
     base = embeddings
     if exclude_ids:
@@ -1152,9 +1160,8 @@ def mmr_rerank(
         )
         .orderBy(F.col("rel").desc(), F.col("id"))
         .limit(n_candidates)
-        # one partition: every greedy step re-reads this ≤n_candidates
-        # relation; 32 near-empty tasks per step would cost more
-        # scheduler time than the work itself
+        # one partition + checkpoint: the top-n is reused for the
+        # vector join below and pins the candidate set once
         .coalesce(1)
         .localCheckpoint()
     )
@@ -1166,48 +1173,72 @@ def mmr_rerank(
         "id",
     ).select("id", "_v")
     a, b = cv.alias("a"), cv.alias("b")
-    sims = (
-        a.join(b, F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("u"),
-            F.col("b.id").alias("v"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), round_to).alias(
-                "s"
-            ),
-        )
-        .coalesce(1)
-        .localCheckpoint()
+    sims = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("u"),
+        F.col("b.id").alias("v"),
+        F.round(cosine(F.col("a._v"), F.col("b._v")), round_to).alias("s"),
     )
-    picked: list[tuple[int, int, float]] = []
-    for step in range(1, k + 1):
-        rem = cand
-        if picked:
-            sel_ids = [p[1] for p in picked]
-            rem = rem.filter(~F.col("id").isin(*sel_ids))
-            maxsim = (
-                sims.filter(F.col("v").isin(*sel_ids))
-                .groupBy("u")
-                .agg(F.max("s").alias("_ms"))
+    pairs = cand.join(sims, cand["id"] == sims["u"], "left").select(
+        "id", "rel", "v", "s"
+    )
+    quantum = decimal.Decimal(1).scaleb(-round_to)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        def r(x: float) -> float:
+            # Decimal(repr(x)), NOT Decimal(x): Spark's Round on
+            # DOUBLE goes through BigDecimal.valueOf = Double.toString
+            # = the SHORTEST round-trip decimal — exactly Python's
+            # repr(). Decimal(x) would quantize the exact binary
+            # expansion instead and diverge one ulp on values whose
+            # shortest repr ends in ...5 (found by the parity gate:
+            # 0.1623655 → 0.162366 shortest-repr vs 0.162365 exact)
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    quantum, rounding=decimal.ROUND_HALF_UP
+                )
             )
-            rem = rem.join(maxsim, rem["id"] == maxsim["u"], "left")
-        else:
-            rem = rem.withColumn("_ms", F.lit(None).cast("double"))
-        mmr = F.round(
-            F.lit(lam) * F.col("rel")
-            - F.lit(one_minus) * F.coalesce(F.col("_ms"), F.lit(0.0)),
-            round_to,
+
+        rel = {}
+        sim: dict[int, dict[int, float]] = {}
+        for i, rl, v, s in zip(
+            pdf["id"], pdf["rel"], pdf["v"], pdf["s"]
+        ):
+            i = int(i)
+            rel[i] = float(rl)
+            if not pd.isna(v):
+                sim.setdefault(i, {})[int(v)] = float(s)
+        picked: list[int] = []
+        out: list[tuple[int, int, float]] = []
+        for step in range(1, k + 1):
+            best_m = None
+            best_id = None
+            for c in sorted(rel):
+                if c in picked:
+                    continue
+                # max over the selected set, which can be NEGATIVE for
+                # cosines — 0.0 only for the empty set (first pick)
+                ms = None
+                for p in picked:
+                    s = sim.get(c, {}).get(p)
+                    if s is not None and (ms is None or s > ms):
+                        ms = s
+                if ms is None:
+                    ms = 0.0
+                m = r((lam * rel[c]) - (one_minus * ms))
+                if best_m is None or m > best_m:
+                    best_m, best_id = m, c
+            if best_id is None:
+                break
+            picked.append(best_id)
+            out.append((step, best_id, best_m))
+        return pd.DataFrame(
+            out, columns=["rank", id_col, "mmr"]
         )
-        top = (
-            rem.select("id", mmr.alias("_mmr"))
-            .orderBy(F.col("_mmr").desc(), F.col("id"))
-            .limit(1)
-            .first()
-        )
-        if top is None:
-            break
-        picked.append((step, top["id"], float(top["_mmr"])))
-    return spark.createDataFrame(
-        picked, f"rank int, {id_col} long, mmr double"
+
+    return (
+        pairs.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(greedy, f"rank int, {id_col} long, mmr double")
     )
 
 
