@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "text_dsir_weights",
     "ts_seasonal_decompose",
     "sim_mmr_rerank",
+    "ts_ewma",
 ]
 
 

@@ -6801,15 +6801,12 @@ def q_ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "ts_ewma",
-    # Roberts' EWMA control chart per user: E_1 = x_1, E_i = (α·x_i)
-    # + ((1−α)·E_{i-1}), α = 0.2 — the smoothing complement to the
-    # CUSUM changepoint monitor, same sanctioned Arrow-fold shape,
-    # same recursive-CTE replay discipline (identical order and
-    # parenthesization → bit-identical doubles; α literals CAST to
-    # DOUBLE — bare 0.2 is DECIMAL in DuckDB)
-    """WITH RECURSIVE
+# Roberts' EWMA control chart per user, shared by the batch entry and
+# the streaming (transformWithStateInPandas) entry's batch analogue:
+# E_1 = x_1, E_i = (α·x_i) + ((1−α)·E_{i-1}), α = 0.2 — identical
+# order and parenthesization → bit-identical doubles; α literals CAST
+# to DOUBLE (bare 0.2 is DECIMAL in DuckDB)
+_EWMA_ORACLE = """WITH RECURSIVE
        ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS rn
@@ -6831,7 +6828,14 @@ def q_ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE rn = (SELECT max(rn) FROM t t2
                            WHERE t2.user_id = t1.user_id))
        SELECT a.user_id, a.n, l.ewma_last, a.ewma_max
-       FROM agg a JOIN lst l USING (user_id)""",
+       FROM agg a JOIN lst l USING (user_id)"""
+
+
+@_q(
+    "ts_ewma",
+    # the smoothing complement to the CUSUM changepoint monitor, same
+    # sanctioned Arrow-fold shape, same recursive-CTE replay
+    _EWMA_ORACLE,
 )
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user exponential smoothing summary — the trend-following
@@ -6842,6 +6846,21 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "ts", "user_id", "value", 0.2,
         "event_id",
     )
+
+
+@_q(
+    "stream_ewma",
+    # streaming twin of ts_ewma: the fold state (E, running max, n)
+    # lives in a named ValueState via transformWithStateInPandas and
+    # survives micro-batch boundaries (streaming/stateful.py:
+    # EwmaProcessor); batch analogue = the oracle-checked Arrow fold
+    # (same stream_cusum_alerts pattern, protobuf-gated tests)
+    _EWMA_ORACLE,
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.streaming.stateful import tws_ewma
+
+    return tws_ewma(_t(spark, sf_dir, "events"))
 
 
 @_q(

@@ -32,8 +32,10 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 __all__ = [
     "CusumProcessor",
+    "EwmaProcessor",
     "UserTotalsProcessor",
     "tws_cusum_alerts",
+    "tws_ewma",
     "tws_user_totals",
 ]
 
@@ -188,6 +190,87 @@ def tws_cusum_alerts(
     return filtered.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=CusumProcessor(target, threshold),
         outputStructType=_CUSUM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("e", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, n bigint, ewma_last double, ewma_max double"
+)
+
+
+class EwmaProcessor(StatefulProcessor):
+    """Streaming EWMA per key, the transformWithStateInPandas twin of
+    operators.sessions.ewma_smooth (same cross-batch-state rationale
+    as CusumProcessor; same in-order-batches contract; identical
+    C-double fold, so a single-batch stream reproduces the batch
+    answer bit-for-bit)."""
+
+    def __init__(self, alpha: float) -> None:
+        self._a = float(alpha)
+        self._b = 1.0 - float(alpha)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("ewma", _EWMA_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        e, mx, n = None, None, 0
+        if self._st.exists():
+            prev = self._st.get()
+            e, mx, n = float(prev[0]), float(prev[1]), int(prev[2])
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in pdf["value"].to_numpy():
+            if v != v:
+                continue
+            v = float(v)
+            n += 1
+            e = v if e is None else (self._a * v) + (self._b * e)
+            if mx is None or e > mx:
+                mx = e
+        if e is not None:
+            self._st.update((e, mx, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "ewma_last": [None if e is None else round(e, 6)],
+                "ewma_max": [None if mx is None else round(mx, 6)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming: per-user EWMA with cross-batch state. Batch: the
+    oracle-checked Arrow fold (operators.sessions.ewma_smooth)."""
+    if not events.isStreaming:
+        from pagerank_mapreduce_spark.operators.sessions import (
+            ewma_smooth,
+        )
+
+        return ewma_smooth(
+            events, "ts", "user_id", "value", alpha, "event_id"
+        )
+    filtered = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return filtered.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(alpha),
+        outputStructType=_EWMA_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

@@ -469,3 +469,92 @@ def test_tws_cusum_batch_analogue_matches_operator(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_tws_ewma_batch_analogue_matches_operator(spark, sf_dir):
+    from pagerank_mapreduce_spark.operators.sessions import ewma_smooth
+    from pagerank_mapreduce_spark.streaming.stateful import tws_ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    got = tws_ewma(ev)
+    want = ewma_smooth(ev, "ts", "user_id", "value", 0.2, "event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_tws_ewma_across_batches(spark, tmp_path):
+    # E must continue from batch 1's state: value 10 then 0,0 in batch
+    # 2 gives 10 -> 8 -> 6.4, impossible if batch 2 restarted at E=0
+    from pagerank_mapreduce_spark.streaming.stateful import tws_ewma
+
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"]),
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [10.0],
+            "props": ["{}"],
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:01:00", "2024-01-01 10:02:00"]
+            ),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [0.0, 0.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    src = tmp_path / "tws_ewma_src"
+    src.mkdir()
+    d1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = run_to_memory_sink(tws_ewma(stream), "t_tws_ewma", mode="update")
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.table("t_tws_ewma").collect()
+    per_batch = [
+        (r["n"], r["ewma_last"], r["ewma_max"])
+        for r in rows
+        if r["user_id"] == 1
+    ]
+    assert (1, 10.0, 10.0) in per_batch
+    assert (3, 6.4, 10.0) in per_batch
