@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "ts_seasonal_decompose",
     "sim_mmr_rerank",
     "ts_ewma",
+    "text_bpe_train",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Distributed BPE vocabulary induction (Sennrich, Haddow & Birch
+2016, "Neural Machine Translation of Rare Words with Subword Units",
+§3.2) — learn the first k byte-pair merges from a corpus.
+
+The algorithm's scale shape is what makes it trainable on 100 TB:
+merges are learned over the WORD VOCABULARY with counts, not the raw
+token stream — so the corpus is touched exactly once (a whitespace
+word count, one algebraic shuffle) and every one of the k iterations
+runs over the vocabulary relation (|V| rows, ~10⁶–10⁷ for a web
+corpus — many orders below corpus size). Per iteration: one
+vocabulary-sized pair-count aggregate, one 1-row argmax collect
+(constant-size driver traffic, the IVF-codebook discipline), one
+map-side merge rewrite, one vocabulary-sized ``localCheckpoint``
+(distinct-value-sized — the cheap kind).
+
+Cross-engine exactness — the merge REWRITE is the hard part, and it
+is done with the same primitive in both engines so the semantics
+cannot drift: a word's symbol sequence is one string with DOUBLE
+``chr(31)`` separators at every boundary (``␟␟t␟␟h␟␟e␟␟``), and
+merging pair (l, r) is ``replace(s, ␟l␟␟r␟, ␟lr␟)``. Both Java's
+``String.replace`` (Spark) and DuckDB's ``replace`` scan left-to-
+right over non-overlapping occurrences, and the double separator
+donates one ``␟`` to each side of a match, so chained occurrences
+(``aaaa`` under merge (a,a) → ``(aa)(aa)``) merge exactly like the
+reference greedy scan — no regex, no lookahead (RE2 has none), no
+per-row UDF. Pair counting is a split → zip-adjacent → explode →
+algebraic sum (every adjacent position counts, the standard
+convention); the argmax tie-breaks on the pair string ascending.
+
+Integer counts only — no float appears anywhere, so oracle hash
+equality is unconditional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.functions.text import tokens
+
+SEP = "\x1f"  # unit separator: cannot appear in whitespace tokens
+
+
+def _sym_string(word: Column) -> Column:
+    """A word as its character-symbol string with double separators:
+    'the' → ␟␟t␟␟h␟␟e␟␟."""
+    return F.concat(
+        F.lit(SEP + SEP),
+        F.regexp_replace(word, "(.)", "$1" + SEP + SEP),
+    )
+
+
+def _adjacent_pairs(sym_str: Column) -> Column:
+    """Adjacent symbol pairs as 'l␟␟r' strings (every position, the
+    standard BPE counting convention)."""
+    syms = F.filter(
+        F.split(sym_str, SEP + SEP), lambda x: x != ""
+    )
+    n = F.size(syms)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.concat_ws(SEP + SEP, a, b),
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus.
+
+    Output, one row per merge in order:
+    (merge_rank INT, left STRING, right STRING, merged STRING,
+    pair_count BIGINT) — ``pair_count`` is the pair's corpus-weighted
+    adjacent-position count at the moment it was chosen."""
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .filter(~F.col("_w").contains(SEP))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(_sym_string(F.col("_w")).alias("_s"), "_c")
+        .localCheckpoint()
+    )
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select(
+                F.explode(_adjacent_pairs(F.col("_s"))).alias("_p"), "_c"
+            )
+            .groupBy("_p")
+            .agg(F.sum("_c").alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_p").asc())
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        left, right = top["_p"].split(SEP + SEP)
+        out.append((rank, left, right, left + right, int(top["_n"])))
+        vocab = vocab.select(
+            F.replace(
+                "_s",
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            ).alias("_s"),
+            "_c",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out,
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of :func:`bpe_train` over the documents table —
+    the k iterations unroll as chained MATERIALIZED CTEs (no
+    recursion needed for a fixed k; without MATERIALIZED the planner
+    inlines each v_i into every consumer and the chain expands
+    exponentially); each iteration's argmax feeds the next rewrite
+    via scalar subqueries, the identical double-separator replace."""
+    S = "chr(31)"
+    SS = f"{S} || {S}"
+    parts = [
+        f"""WITH toks AS (
+         SELECT unnest(list_filter(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS w
+         FROM documents),
+       v0 AS MATERIALIZED (SELECT {SS} || regexp_replace(w, '(.)',
+                       '\\1' || {S} || {S}, 'g') AS s,
+                     count(*) AS c
+              FROM toks WHERE NOT contains(w, chr(31)) GROUP BY w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (SELECT pr AS p, CAST(sum(c) AS BIGINT) AS n
+               FROM (SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                              ELSE list_transform(range(1, len(t)),
+                                j -> t[j] || {SS} || t[j+1]) END) AS pr,
+                            c
+                     FROM (SELECT list_filter(string_split(s, {SS}),
+                                    x -> x <> '') AS t, c
+                           FROM {prev}))
+               GROUP BY pr),
+       m{i} AS MATERIALIZED (SELECT string_split(p, {SS})[1] AS l,
+                       string_split(p, {SS})[2] AS r, n
+                FROM p{i} ORDER BY n DESC, p ASC LIMIT 1),
+       v{i} AS MATERIALIZED (SELECT replace(s,
+                         {S} || (SELECT l FROM m{i}) || {SS}
+                             || (SELECT r FROM m{i}) || {S},
+                         {S} || (SELECT l FROM m{i})
+                             || (SELECT r FROM m{i}) || {S}) AS s, c
+                FROM {prev})"""
+        )
+    selects = "\n       UNION ALL\n".join(
+        f"""       SELECT {i} AS merge_rank, l AS left, r AS right,
+              l || r AS merged, n AS pair_count FROM m{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n       ".join(parts) + "\n" + selects

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pagerank_mapreduce_spark.functions import text as T
 from pagerank_mapreduce_spark.functions.vectors import cosine
 from pagerank_mapreduce_spark.graph import pagerank, pagerank_oracle_sql
+from pagerank_mapreduce_spark.operators import bpe as BPE
 from pagerank_mapreduce_spark.operators import dedup as D
 from pagerank_mapreduce_spark.operators import mapreduce as M
 from pagerank_mapreduce_spark.operators import multimodal as MM
@@ -6275,6 +6276,22 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_weights(docs, F.col("lang") == "en")
+
+
+@_q(
+    "text_bpe_train",
+    # the first 6 BPE merges learned from the corpus (Sennrich et al.
+    # 2016 §3.2): merges train over the word VOCABULARY with counts
+    # (the corpus is touched once), and the merge rewrite is the
+    # double-chr(31)-separator replace() that behaves identically in
+    # Java and DuckDB — see operators/bpe.py for the full exactness
+    # argument; integer counts only, so hash equality is unconditional
+    BPE.bpe_oracle_sql(n_merges=6),
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer induction — the vocabulary-learning step an LLM data
+    # pipeline runs before token counting/packing
+    return BPE.bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
 # ============================ rank-statistic evaluation (round 8)

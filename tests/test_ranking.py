@@ -201,3 +201,35 @@ def test_dsir_weights_separate_target_like_documents(spark):
     )
     got = dsir_weights(one, F.col("tgt") == 1).collect()
     assert {r["n_grams"] for r in got} == {1}
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    # Sennrich et al.'s worked example shape: corpus where 'es' is the
+    # top pair, then 'est' via the merged symbol; plus the overlap
+    # chain ('oooo' under merge (o,o) must become (oo)(oo), the greedy
+    # left-to-right contract)
+    from pagerank_mapreduce_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "lowest lowest newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=3).collect()
+    got = [(m["merge_rank"], m["left"], m["right"], m["pair_count"])
+           for m in merges]
+    # 'es' and 'st' both appear 6x; tie-break on pair string asc
+    assert got[0] == (1, "e", "s", 6)
+    # after merging 'es': pair ('es','t') appears 6x, beats others
+    assert got[1] == (2, "es", "t", 6)
+    assert merges[1]["merged"] == "est"
+    # third: 'west' path — 'w' 'est' appears 5x (lowest 2 + newest 3)
+    assert got[2] == (3, "w", "est", 5)
+
+    # overlap chain: merge (o,o) on 'oooo' consumes non-overlapping
+    # left-to-right, so the SECOND merge can pair the two 'oo's
+    chain = spark.createDataFrame(
+        [(1, "oooo oooo oooo")], "doc_id long, text string"
+    )
+    m = bpe_train(chain, n_merges=2).collect()
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("o", "o", 9)
+    assert (m[1]["left"], m[1]["right"], m[1]["pair_count"]) == ("oo", "oo", 3)
