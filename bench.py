@@ -243,6 +243,11 @@ def final_line(
             break
         doc["queries"] = {q: round(v, digits) for q, v in timings.items()}
         line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > budget and "geo_cmp" in doc:
+        # last lever before failing: the geomean also lives in the
+        # committed BENCH_r*_local.json, the per-query map does not
+        del doc["geo_cmp"]
+        line = json.dumps(doc, separators=(",", ":"))
     assert len(line) <= budget, (
         f"final bench line {len(line)} chars > {budget}: the headline "
         "set has outgrown the driver's tail capture — trim or split it"
