@@ -165,3 +165,95 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
         for i in range(1, n_merges + 1)
     )
     return ",\n       ".join(parts) + "\n" + selects
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the corpus-learned merges (:func:`bpe_train`) back to the
+    corpus and report per-document BPE token counts — the tokenizer
+    APPLY step, and the honest answer to "how many tokens is my
+    corpus under MY vocabulary" (the whitespace and regex counters in
+    functions/text.py approximate this with fixed vocabularies).
+
+    Scale shape: training is vocabulary-sized (see bpe_train); the
+    apply step segments each DISTINCT word once (k chained map-side
+    replaces over the vocabulary relation) and broadcasts nothing —
+    documents join their words' segment lengths by word string and
+    aggregate per doc, so the corpus is touched twice total (count
+    words, join back). The merge list is k rows collected to the
+    driver — constant-size, the codebook discipline.
+
+    Output: (``id_col``, n_words BIGINT, n_bpe_tokens BIGINT) —
+    n_bpe_tokens = Σ over the document's words of the word's symbol
+    count after all k merges."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges, text_col)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .filter(~F.col("_w").contains(SEP))
+        .distinct()
+    )
+    seg = _sym_string(F.col("_w"))
+    for left, right in merges:
+        seg = F.replace(
+            seg,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        )
+    # symbols = non-empty pieces between double separators
+    seg_len = F.size(F.filter(F.split(seg, SEP + SEP), lambda x: x != ""))
+    word_len = words.select("_w", seg_len.cast("bigint").alias("_l"))
+    per_doc = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
+    ).filter(~F.col("_w").contains(SEP))
+    return (
+        per_doc.join(word_len, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_l").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of :func:`bpe_token_counts`: re-derive the merges
+    with the same unrolled CTE chain, segment the distinct words with
+    the same chained replaces, join back to the documents' tokens."""
+    S = "chr(31)"
+    SS = f"{S} || {S}"
+    train = bpe_oracle_sql(n_merges)
+    # reuse the training CTE chain up to (and including) v{n}/m{n};
+    # strip the final UNION ALL select block
+    ctes = train[: train.index("\n       SELECT 1 AS merge_rank")]
+    seg = f"{SS} || regexp_replace(w, '(.)', '\\1' || {S} || {S}, 'g')"
+    for i in range(1, n_merges + 1):
+        seg = (
+            f"replace({seg}, {S} || (SELECT l FROM m{i}) || {SS} || "
+            f"(SELECT r FROM m{i}) || {S}, {S} || (SELECT l FROM m{i})"
+            f" || (SELECT r FROM m{i}) || {S})"
+        )
+    return f"""{ctes},
+       dw AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+       wl AS MATERIALIZED (SELECT w,
+                CAST(len(list_filter(string_split({seg}, {SS}),
+                                     x -> x <> '')) AS BIGINT) AS l
+             FROM dw),
+       dt AS (SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents)
+       SELECT dt.doc_id, count(*) AS n_words,
+              CAST(sum(wl.l) AS BIGINT) AS n_bpe_tokens
+       FROM dt JOIN wl ON wl.w = dt.w
+       WHERE NOT contains(dt.w, chr(31))
+       GROUP BY dt.doc_id"""

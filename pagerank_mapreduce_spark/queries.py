@@ -6294,6 +6294,18 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+@_q(
+    "text_bpe_token_counts",
+    # the tokenizer APPLY step: segment every distinct word under the
+    # corpus-learned merges (same chained replaces as training) and
+    # aggregate per-document BPE token counts — "how many tokens is
+    # my corpus under MY vocabulary" (operators/bpe.py)
+    BPE.bpe_apply_oracle_sql(n_merges=6),
+)
+def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_token_counts(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 # ============================ rank-statistic evaluation (round 8)
 
 

@@ -233,3 +233,24 @@ def test_bpe_train_hand_computed_merges(spark):
     m = bpe_train(chain, n_merges=2).collect()
     assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("o", "o", 9)
     assert (m[1]["left"], m[1]["right"], m[1]["pair_count"]) == ("oo", "oo", 3)
+
+
+def test_bpe_token_counts_consistent_with_merges(spark):
+    # applying k merges can only shrink symbol counts, by exactly the
+    # per-word number of merge hits; zero merges = character count
+    from pagerank_mapreduce_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "lowest newest"), (2, "newest newest wide")],
+        "doc_id long, text string",
+    )
+    zero = {r["doc_id"]: r for r in bpe_token_counts(docs, 0).collect()}
+    # 0 merges: tokens = characters
+    assert (zero[1]["n_words"], zero[1]["n_bpe_tokens"]) == (2, 12)
+    assert (zero[2]["n_words"], zero[2]["n_bpe_tokens"]) == (3, 16)
+    k3 = {r["doc_id"]: r for r in bpe_token_counts(docs, 3).collect()}
+    for d in (1, 2):
+        assert k3[d]["n_words"] == zero[d]["n_words"]
+        assert k3[d]["n_bpe_tokens"] < zero[d]["n_bpe_tokens"]
