@@ -430,3 +430,36 @@ def top_k(df: DataFrame, k: int, *order_cols: Column) -> DataFrame:
     Spark plans this as TakeOrderedAndProject — per-partition heaps,
     no full sort — which is what you want at 100 TB."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def mr_map_udtf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """MR-MPI map() as a Python USER-DEFINED TABLE FUNCTION — the
+    third of Spark's per-row-emit mechanisms this engine demonstrates
+    for the reference's map-callback shape (SURVEY.md §2.4;
+    mymap_wordfreq in doc/Examples.txt emits one KV per word):
+    mapInPandas (mr_map, Arrow-batched — the default), applyInPandas
+    (grouped), and this ``@udtf`` (row-at-a-time lateral emit, the
+    literal 0..n-emits-per-input contract of the MR-MPI callback,
+    src/mapreduce.cpp:1009-1150).
+
+    A UDTF is the SLOW path (per-row Python, no Arrow batching) —
+    this exists to pin the API surface with an oracle, not for hot
+    paths; the wordfreq family's production shape stays the
+    exploded-builtin one (word_frequency)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string")
+    class EmitWords:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            for w in text.lower().split():
+                if w:
+                    yield (w,)
+
+    spark = df.sparkSession
+    df.select(F.col(text_col)).createOrReplaceTempView("_udtf_src")
+    spark.udtf.register("emit_words", EmitWords)
+    return spark.sql(
+        "SELECT t.word FROM _udtf_src, LATERAL emit_words(text) t"
+    )

@@ -210,6 +210,25 @@ def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mr_map_udtf_words",
+    # the SAME wordfreq map callback through Spark's third per-row
+    # emit mechanism, a Python @udtf with LATERAL (operators/
+    # mapreduce.py: mr_map_udtf) — pins the API surface for the
+    # reference's 0..n-emits-per-input map contract (mymap_wordfreq,
+    # doc/Examples.txt); mr_topk_words stays the production shape
+    """SELECT word, count(*) AS cnt FROM (
+         SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+         FROM documents) t
+       WHERE word <> '' GROUP BY word
+       ORDER BY cnt DESC, word LIMIT 20""",
+)
+def q_mr_map_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = M.mr_map_udtf(_t(spark, sf_dir, "documents"))
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return M.top_k(wf, 20, F.col("cnt").desc(), F.col("word"))
+
+
+@_q(
     "mr_kv_stats",
     """SELECT count(*) AS pairs, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
               CAST(min(n_chars) AS BIGINT) AS min_bytes,
