@@ -501,3 +501,68 @@ def test_auc_bucket_count_invariance_extends_to_grouped(spark, rows, k):
         ).first()
         want = solo["auc"] if solo["n_pos"] > 0 and solo["n_neg"] > 0 else None
         assert a[g] == want, (g, a[g], want)
+
+
+@SPARK_SETTINGS
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(1, 4),
+)
+def test_bpe_train_matches_textbook_greedy(spark, words, k):
+    # INDEPENDENT check of the double-separator replace trick: a
+    # textbook scan-based BPE (Sennrich et al. 2016 pseudo-code —
+    # pair counts at every adjacent position, argmax with
+    # lexicographic tie-break, greedy left-to-right non-overlapping
+    # merge with an explicit index scan) must produce the identical
+    # merge sequence on random corpora, including pathological
+    # all-same-letter words where overlap handling matters most
+    from collections import Counter
+
+    from pagerank_mapreduce_spark.operators.bpe import bpe_train
+
+    def textbook(word_counts, n_merges):
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        out = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            best = min(pairs, key=lambda p: (-pairs[p], p))
+            out.append((rank, best[0], best[1], pairs[best]))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                merged = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == best[0]
+                        and syms[i + 1] == best[1]
+                    ):
+                        merged.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                new_vocab[key] = new_vocab.get(key, 0) + c
+            vocab = new_vocab
+        return out
+
+    counts = Counter(words)
+    want = textbook(counts, k)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=k).collect()
+    ]
+    assert got == want
