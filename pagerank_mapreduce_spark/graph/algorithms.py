@@ -1783,3 +1783,145 @@ def harmonic_oracle_sql(
            FROM fwd WHERE d > 0 GROUP BY v)
       SELECT verts.u AS id, round(coalesce(h.hs, 0.0), 6) AS harmonic
       FROM verts LEFT JOIN h ON h.v = verts.u"""
+
+
+def ppr_multi(
+    edges: DataFrame,
+    n_sources: int = 4,
+    alpha: float = 0.85,
+    n_iters: int = 20,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Batched personalized PageRank: one independent PPR vector per
+    source (the ``n_sources`` smallest vertex ids), ALL sources in
+    one (s, v)-keyed relation — the node-to-node relevance rows that
+    power related-item / local-ranking queries, and the natural
+    extension of the multi-source-frontier idiom (betweenness,
+    harmonic) to the engine's raison-d'être fixed point::
+
+        r_0(s, ·) = e_s
+        r_{t+1}(s, v) = α·(Σ_{u→v} r_t(s, u)/deg(u) + dang_t(s)·[v = s])
+                        + (1−α)·[v = s]
+
+    Per-source mass is conserved at 1 exactly (dangling mass teleports
+    home), so no normalization step exists and the recursion is a
+    fixed ``n_iters``-step generation process both engines replay
+    identically (the pagerank oracle's contraction argument bounds
+    cross-engine float noise far below the round-8 quantum, per
+    source). The rank relation stays SPARSE — only reached (s, v)
+    pairs are materialized, so state is Σ_s |reach(s)|, not S·V
+    dense. Per iteration: one join against the degree-annotated edge
+    relation + one algebraic (s, v) aggregate + one tiny per-source
+    dangling aggregate; ranks localCheckpoint per step (the
+    distinct-value-sized kind). Output: (s, v, rank) for reached
+    pairs, rank rounded."""
+    om = 1.0 - alpha
+    with _loop_confs(edges) as ed:
+        spark = ed.sparkSession
+        deg = ed.groupBy("src").agg(
+            F.count(F.lit(1)).cast("double").alias("_deg")
+        )
+        adj = ed.join(deg, "src").persist()
+        verts = (
+            ed.select(F.col("src").alias("id"))
+            .unionByName(ed.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        sources = [
+            r["id"] for r in verts.orderBy("id").limit(n_sources).collect()
+        ]
+        ranks = spark.createDataFrame(
+            [(s, s, 1.0) for s in sources], "s long, v long, r double"
+        ).localCheckpoint()
+        dsrc = deg.withColumnRenamed("src", "_did")
+        for _ in range(n_iters):
+            contrib = (
+                ranks.join(adj, ranks["v"] == adj["src"])
+                .select(
+                    "s",
+                    F.col("dst").alias("v"),
+                    (F.lit(alpha) * F.col("r") / F.col("_deg")).alias("r"),
+                )
+                .groupBy("s", "v")
+                .agg(F.sum("r").alias("r"))
+            )
+            dang = (
+                ranks.join(dsrc, ranks["v"] == dsrc["_did"], "left")
+                .groupBy("s")
+                .agg(
+                    F.sum(
+                        F.when(F.col("_did").isNull(), F.col("r")).otherwise(
+                            F.lit(0.0)
+                        )
+                    ).alias("_dm")
+                )
+            )
+            tele = dang.select(
+                "s",
+                F.col("s").alias("v"),
+                (
+                    F.lit(alpha) * F.coalesce("_dm", F.lit(0.0))
+                    + F.lit(om)
+                ).alias("r"),
+            )
+            ranks = (
+                contrib.unionByName(tele)
+                .groupBy("s", "v")
+                .agg(F.sum("r").alias("r"))
+                .localCheckpoint()
+            )
+        adj.unpersist()
+        return ranks.select(
+            "s", "v", F.round("r", round_digits).alias("rank")
+        )
+
+
+def ppr_multi_oracle_sql(
+    edges_sql: str,
+    n_sources: int = 4,
+    alpha: float = 0.85,
+    n_iters: int = 20,
+    round_digits: int = 8,
+) -> str:
+    """DuckDB replay of :func:`ppr_multi` as a generation CTE — the
+    identical arithmetic ((α·r)/deg, α·dang + (1−α)) with repr()'d
+    literals; the working table at each generation is exactly the
+    previous sparse rank relation."""
+    a = repr(float(alpha))
+    om = repr(1.0 - float(alpha))
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+              FROM ed GROUP BY src),
+      verts AS (SELECT DISTINCT id FROM (
+                  SELECT src AS id FROM ed
+                  UNION ALL SELECT dst FROM ed)),
+      srcs AS (SELECT id AS s FROM verts ORDER BY id LIMIT {n_sources}),
+      t(it, s, v, r) AS (
+        SELECT 0, s, s, CAST(1.0 AS DOUBLE) FROM srcs
+        UNION ALL
+        (WITH cur AS (SELECT * FROM t WHERE it < {n_iters}),
+         contrib AS (SELECT c.s, e.dst AS v,
+                            sum({a} * c.r / d.deg) AS r
+                     FROM cur c
+                     JOIN ed e ON c.v = e.src
+                     JOIN deg d ON d.src = c.v
+                     GROUP BY c.s, e.dst),
+         dang AS (SELECT c.s,
+                         sum(CASE WHEN d.src IS NULL THEN c.r
+                                  ELSE CAST(0.0 AS DOUBLE) END) AS dm
+                  FROM cur c LEFT JOIN deg d ON d.src = c.v
+                  GROUP BY c.s),
+         tele AS (SELECT s, s AS v,
+                         {a} * coalesce(dm, CAST(0.0 AS DOUBLE))
+                         + {om} AS r
+                  FROM dang),
+         nxt AS (SELECT s, v, sum(r) AS r FROM (
+                   SELECT s, v, r FROM contrib
+                   UNION ALL SELECT s, v, r FROM tele)
+                 GROUP BY s, v)
+         SELECT (SELECT min(it) FROM cur) + 1, s, v, r FROM nxt)
+      )
+      SELECT s, v, round(r, {round_digits}) AS rank
+      FROM t WHERE it = {n_iters}"""

@@ -3005,6 +3005,20 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_ppr_multi",
+    # batched personalized PageRank: one sparse PPR vector per source
+    # (4 smallest ids), all sources in one (s,v)-keyed relation — the
+    # multi-source-frontier idiom applied to the engine's flagship
+    # fixed point; 20 fixed generations, per-source mass conserved at
+    # 1 so no normalization exists, round-8 safe by the pagerank
+    # oracle's contraction argument (graph/algorithms.py: ppr_multi)
+    GA.ppr_multi_oracle_sql(derive_edges_sql(1000), n_sources=4),
+)
+def q_graph_ppr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GA.ppr_multi(derive_edges(spark, sf_dir, 1000), n_sources=4)
+
+
+@_q(
     "graph_betweenness",
     # sampled-source Brandes over the sparse 10000-vertex derivation
     # (same regime argument as adamic_adar: centrality presumes a

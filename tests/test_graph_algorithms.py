@@ -774,3 +774,48 @@ def test_harmonic_hand_computed_and_disconnected(spark):
     assert got[3] == got[0]
     assert got[10] == 0.0 and got[11] == 0.0
     assert set(got) == {0, 1, 2, 3, 10, 11}
+
+
+def test_ppr_multi_matches_numpy_and_conserves_mass(spark):
+    # independent NumPy replay of the exact 20-generation recursion,
+    # plus the invariants: per-source mass is exactly 1 (dangling
+    # teleports home) and each source's own entry dominates its vector
+    import numpy as np
+
+    from pagerank_mapreduce_spark.graph.algorithms import ppr_multi
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 3), (4, 0), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["s"], r["v"]): r["rank"]
+        for r in ppr_multi(df, n_sources=4, n_iters=20).collect()
+    }
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    deg = np.zeros(n)
+    for s, d in edges:
+        A[idx[s], idx[d]] += 1.0
+        deg[idx[s]] += 1.0
+    alpha, om = 0.85, 1.0 - 0.85
+    for s in ids[:4]:
+        r = np.zeros(n)
+        r[idx[s]] = 1.0
+        for _ in range(20):
+            contrib = np.zeros(n)
+            for u in range(n):
+                if deg[u] > 0:
+                    contrib += alpha * r[u] / deg[u] * A[u]
+            dang = sum(r[u] for u in range(n) if deg[u] == 0)
+            contrib[idx[s]] += alpha * dang + om
+            r = contrib
+        for v in ids:
+            want = r[idx[v]]
+            have = got.get((s, v), 0.0)
+            assert abs(have - want) < 1e-6, (s, v, have, want)
+        # mass conservation (dangling teleports home, no vertex leaks)
+        mass = sum(rank for (ss, _), rank in got.items() if ss == s)
+        assert abs(mass - 1.0) < 1e-6
+        # the teleport floor: the source always holds at least (1-α)
+        assert got[(s, s)] >= om - 1e-9, s
