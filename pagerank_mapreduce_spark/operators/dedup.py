@@ -1259,3 +1259,41 @@ def leakproof_split(
         )
         out.append(census)
     return out[0].unionByName(out[1])
+
+
+def keep_best(
+    df: DataFrame,
+    score_col: str | Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup with a QUALITY keep-policy: per normalized-text
+    group keep the row with the highest ``score_col`` (ties → lowest
+    id) instead of :func:`exact_dedup`'s lowest-id convention — the
+    RefinedWeb/FineWeb-style election ("of the N copies, keep the
+    longest / cleanest / highest-quality one"), which changes WHAT
+    survives dedup, not how many.
+
+    Scale shape: one shuffle on the fingerprint with an ALGEBRAIC
+    max_by election — no per-group list, no window sort; map-side
+    partial aggregation absorbs hot fingerprints exactly like the
+    min() election. Output: (``id_col``, fp, score of the winner)."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    return (
+        df.select(
+            F.col(id_col), fingerprint(text_col).alias("fp"), s.alias("_q")
+        )
+        # max_by on a (score, -id) struct: one algebraic aggregate
+        # with deterministic tie-breaks, no secondary pass
+        .groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid"))
+            ).alias("_w")
+        )
+        .select(
+            (-F.col("_w._nid")).cast("long").alias(id_col),
+            "fp",
+            F.col("_w._q").alias("score"),
+        )
+    )

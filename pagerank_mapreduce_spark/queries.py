@@ -837,6 +837,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_keep_best",
+    # quality-aware keep-policy: per exact-duplicate group keep the
+    # HIGHEST-n_chars copy (ties -> lowest id), the RefinedWeb-style
+    # election that changes WHAT survives dedup; algebraic max_by on
+    # a (score, -id) struct, no window, no per-group list
+    """SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                AS fp,
+              CAST(n_chars AS BIGINT) AS score
+       FROM documents
+       QUALIFY row_number() OVER (
+         PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                         '\\s+', ' ', 'g'))
+         ORDER BY n_chars DESC, doc_id ASC) = 1""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.keep_best(d, F.col("n_chars").cast("bigint"))
+
+
+@_q(
     "dedup_canonical_docs",
     # Exact mirror: the pair graph is the all-pairs-Jaccard >= 0.5 set
     # (same CTEs as dedup_minhash_pairs, whose oracle proves the

@@ -1123,3 +1123,35 @@ def test_mmr_rerank_diversifies_near_duplicate_hits(spark):
     assert [r["rank"] for r in mmr] == [1, 2]
     # first pick's mmr = lambda * rel (empty selected set)
     assert abs(mmr[0]["mmr"] - 0.5 * 0.990148) < 1e-5
+
+
+def test_keep_best_elects_highest_quality_duplicate(spark):
+    # same normalized text, different quality: keep_best elects the
+    # highest score (ties -> lowest id), exact_dedup the lowest id —
+    # the two keep-policies must agree on the group structure and
+    # differ only in the representative
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.dedup import (
+        exact_dedup,
+        keep_best,
+    )
+
+    rows = [
+        (1, "Hello  World", 12),   # normalizes equal to 2 and 3
+        (2, "hello world", 11),
+        (3, "HELLO WORLD ", 30),   # best quality -> the winner
+        (4, "something else", 5),
+        (5, "another doc", 7),
+        (6, "another  DOC", 7),    # tie on score -> lowest id (5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    best = {r["fp"]: (r["doc_id"], r["score"])
+            for r in keep_best(df, "q").collect()}
+    low = {r["fp"]: r["doc_id"] for r in exact_dedup(df).collect()}
+    assert set(best) == set(low) and len(best) == 3
+    hello_fp = [fp for fp, (d, _) in best.items() if d == 3]
+    assert len(hello_fp) == 1          # quality won over id
+    assert low[hello_fp[0]] == 1       # min-id policy picks 1
+    another = [v for v in best.values() if v[0] in (5, 6)]
+    assert another == [(5, 7)]         # score tie -> lowest id
