@@ -1810,18 +1810,23 @@ def ppr_multi(
     cross-engine float noise far below the round-8 quantum, per
     source). The rank relation stays SPARSE — only reached (s, v)
     pairs are materialized, so state is Σ_s |reach(s)|, not S·V
-    dense. Per iteration: one join against the degree-annotated edge
-    relation + one algebraic (s, v) aggregate + one tiny per-source
-    dangling aggregate; ranks localCheckpoint per step (the
-    distinct-value-sized kind). Output: (s, v, rank) for reached
-    pairs, rank rounded."""
+    dense. Per iteration: ONE left join against the degree-annotated
+    edge relation (a rank row fans out per out-edge; a dangling row
+    survives as its α·r teleport-home addend) + one algebraic (s, v)
+    aggregate over that union with the constant per-source (1−α)
+    teleport rows; ranks localCheckpoint per step (the distinct-
+    value-sized kind). Output: (s, v, rank) for reached pairs,
+    rank rounded."""
     om = 1.0 - alpha
     with _loop_confs(edges) as ed:
         spark = ed.sparkSession
         deg = ed.groupBy("src").agg(
             F.count(F.lit(1)).cast("double").alias("_deg")
         )
-        adj = ed.join(deg, "src").persist()
+        # pre-partitioned on the per-iteration join key, like the
+        # pagerank loop's links relation: only the rank side moves
+        # each iteration
+        adj = ed.join(deg, "src").repartition("src").persist()
         verts = (
             ed.select(F.col("src").alias("id"))
             .unionByName(ed.select(F.col("dst").alias("id")))
@@ -1833,43 +1838,42 @@ def ppr_multi(
         ranks = spark.createDataFrame(
             [(s, s, 1.0) for s in sources], "s long, v long, r double"
         ).localCheckpoint()
-        dsrc = deg.withColumnRenamed("src", "_did")
-        for _ in range(n_iters):
-            contrib = (
-                ranks.join(adj, ranks["v"] == adj["src"])
+        tele = spark.createDataFrame(
+            [(s, s, om) for s in sources], "s long, v long, r double"
+        ).localCheckpoint()
+        for it in range(n_iters):
+            spread = (
+                ranks.join(adj, ranks["v"] == adj["src"], "left")
                 .select(
                     "s",
-                    F.col("dst").alias("v"),
-                    (F.lit(alpha) * F.col("r") / F.col("_deg")).alias("r"),
+                    # dangling row (no out-edges): the whole α·r mass
+                    # teleports home to the source
+                    F.coalesce(F.col("dst"), F.col("s")).alias("_v"),
+                    F.when(
+                        F.col("dst").isNull(), F.lit(alpha) * F.col("r")
+                    )
+                    .otherwise(
+                        F.lit(alpha) * F.col("r") / F.col("_deg")
+                    )
+                    .alias("r"),
                 )
-                .groupBy("s", "v")
-                .agg(F.sum("r").alias("r"))
-            )
-            dang = (
-                ranks.join(dsrc, ranks["v"] == dsrc["_did"], "left")
-                .groupBy("s")
-                .agg(
-                    F.sum(
-                        F.when(F.col("_did").isNull(), F.col("r")).otherwise(
-                            F.lit(0.0)
-                        )
-                    ).alias("_dm")
-                )
-            )
-            tele = dang.select(
-                "s",
-                F.col("s").alias("v"),
-                (
-                    F.lit(alpha) * F.coalesce("_dm", F.lit(0.0))
-                    + F.lit(om)
-                ).alias("r"),
+                .withColumnRenamed("_v", "v")
             )
             ranks = (
-                contrib.unionByName(tele)
+                spread.unionByName(tele)
                 .groupBy("s", "v")
                 .agg(F.sum("r").alias("r"))
-                .localCheckpoint()
             )
+            # checkpoint every 4th (and the last) iteration: each
+            # eager localCheckpoint is a full job, and a 4-deep
+            # join+agg lineage still analyzes in O(1) — unlike the
+            # pagerank loop there are no per-iteration scalars to
+            # observe, so nothing else forces a job per step. With
+            # the src-prepartitioned adj this took the 20 iterations
+            # 7.3 → 6.0 s at sf0.1 (the stages themselves remain; only
+            # job-submission overhead amortizes)
+            if it % 4 == 3 or it == n_iters - 1:
+                ranks = ranks.localCheckpoint()
         adj.unpersist()
         return ranks.select(
             "s", "v", F.round("r", round_digits).alias("rank")
@@ -1902,24 +1906,22 @@ def ppr_multi_oracle_sql(
         SELECT 0, s, s, CAST(1.0 AS DOUBLE) FROM srcs
         UNION ALL
         (WITH cur AS (SELECT * FROM t WHERE it < {n_iters}),
-         contrib AS (SELECT c.s, e.dst AS v,
-                            sum({a} * c.r / d.deg) AS r
-                     FROM cur c
-                     JOIN ed e ON c.v = e.src
-                     JOIN deg d ON d.src = c.v
-                     GROUP BY c.s, e.dst),
-         dang AS (SELECT c.s,
-                         sum(CASE WHEN d.src IS NULL THEN c.r
-                                  ELSE CAST(0.0 AS DOUBLE) END) AS dm
-                  FROM cur c LEFT JOIN deg d ON d.src = c.v
-                  GROUP BY c.s),
-         tele AS (SELECT s, s AS v,
-                         {a} * coalesce(dm, CAST(0.0 AS DOUBLE))
-                         + {om} AS r
-                  FROM dang),
+         spread AS (SELECT c.s,
+                           coalesce(e.dst, c.s) AS v,
+                           CASE WHEN e.dst IS NULL THEN {a} * c.r
+                                ELSE {a} * c.r / e.deg END AS r
+                    FROM cur c
+                    LEFT JOIN (SELECT ed.src, ed.dst, deg.deg
+                               FROM ed JOIN deg USING (src)) e
+                      ON c.v = e.src),
          nxt AS (SELECT s, v, sum(r) AS r FROM (
-                   SELECT s, v, r FROM contrib
-                   UNION ALL SELECT s, v, r FROM tele)
+                   SELECT s, v, r FROM spread
+                   UNION ALL
+                   -- teleport rows only while the recursion is live:
+                   -- without the EXISTS gate an empty working table
+                   -- would still emit them (with NULL it) forever
+                   SELECT s, s AS v, CAST({om} AS DOUBLE) FROM srcs
+                   WHERE EXISTS (SELECT 1 FROM cur))
                  GROUP BY s, v)
          SELECT (SELECT min(it) FROM cur) + 1, s, v, r FROM nxt)
       )
