@@ -641,3 +641,70 @@ def bootstrap_mean_ci(
         F.round(F.percentile("_m", 0.975), round_to).alias("hi95"),
         F.count(F.lit(1)).alias("n_replicates"),
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    score_col: str,
+    rel_col: str,
+    group_cols: list[str],
+    k: int = 10,
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Normalized discounted cumulative gain at ``k`` per group
+    (Järvelin & Kekäläinen 2002) — THE graded-relevance ranking
+    metric::
+
+        DCG@k  = Σ_{i=1..k} (2^rel_i − 1) / log2(i + 1)
+        NDCG@k = DCG@k / IDCG@k    (IDCG = DCG of the ideal ordering)
+
+    with the actual ordering by (score desc, tiebreak) and the ideal
+    ordering by (rel desc, tiebreak); ``tiebreak`` makes both
+    row_number orders total, so the metric is deterministic under
+    ties. One-sided groups (all rel = 0 → IDCG = 0) yield NULL ndcg
+    via try_divide, the module's degenerate-input contract.
+
+    Scale shape: both orderings are per-group window row_numbers with
+    a ``<= k`` filter — Spark's rank-limit pushdown turns each into a
+    map-side WindowGroupLimit (top-k per group, never a global sort,
+    never a per-group loop). Each kept term is quantized to integer
+    nano-units and summed as BIGINT (the average_precision idiom), so
+    the sum is summation-order-independent and both engines agree
+    bit-for-bit; quantization error < 1e-9 per term, invisible at
+    round 6. Output: (group, dcg, idcg, ndcg), sums and ratio rounded.
+    """
+    tb = [F.col(tiebreak)] if tiebreak else []
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    base = df.select(
+        *group_cols, F.col(score_col).alias("_s"), gain.alias("_g"), *tb
+    ).filter(F.col("_s").isNotNull() & F.col("_g").isNotNull())
+
+    def topk_sum(order_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(order_col).desc(), *tb
+        )
+        term_u = F.round(
+            F.col("_g") / F.log2(F.col("_rn") + F.lit(1.0)) * F.lit(1e9)
+        ).cast("bigint")
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .groupBy(*group_cols)
+            .agg(F.sum(term_u).alias(out))
+        )
+
+    dcg = topk_sum("_s", "_dcg_u")
+    idcg = topk_sum("_g", "_idcg_u")
+    u = F.lit(1e9)
+    return dcg.join(idcg, group_cols).select(
+        *group_cols,
+        F.round(F.col("_dcg_u") / u, round_to).alias("dcg"),
+        F.round(F.col("_idcg_u") / u, round_to).alias("idcg"),
+        F.round(
+            F.try_divide(
+                F.col("_dcg_u").cast("double"), F.col("_idcg_u")
+            ),
+            round_to,
+        ).alias("ndcg"),
+    )

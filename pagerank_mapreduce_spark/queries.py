@@ -3026,6 +3026,28 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_link_scores",
+    # the Liben-Nowell & Kleinberg baseline family (common neighbors,
+    # Jaccard, resource allocation) next to graph_adamic_adar's
+    # 1/ln(deg) — same sparse 10000-vertex derivation, same 256
+    # center cap, same capped-bucket wedge shape; deterministic
+    # top-100 on (jaccard, u, w)
+    GA.link_prediction_sql(
+        derive_edges_sql(10000), top_k=100, max_center_degree=256
+    ),
+)
+def q_graph_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cn / jaccard / resource-allocation link-prediction scores per
+    # non-adjacent pair (graph/algorithms.py: link_prediction)
+    scores = GA.link_prediction(
+        derive_edges(spark, sf_dir, 10000), max_center_degree=256
+    )
+    return scores.orderBy(
+        F.col("jaccard").desc(), F.col("u"), F.col("w")
+    ).limit(100)
+
+
+@_q(
     "graph_ppr_multi",
     # batched personalized PageRank: one sparse PPR vector per source
     # (4 smallest ids), all sources in one (s,v)-keyed relation — the
@@ -6576,6 +6598,72 @@ def q_ml_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").contains("spark").alias("y"),
     )
     return roc_auc_by_group(scored, "score", "y", ["source"])
+
+
+@_q(
+    "ml_ndcg_by_source",
+    # graded-relevance ranking quality per source: does length rank
+    # spark-heavy docs first? relevance = occurrences of 'spark'
+    # capped at 4 (exact in both engines: length-delta / 5), actual
+    # order (n_chars desc, doc_id), ideal order (gain desc, doc_id);
+    # per-position terms nano-quantized to BIGINT so the sums are
+    # order-independent (the ml_average_precision idiom); all-zero-
+    # relevance groups yield NULL ndcg (operators/evaluation.py:
+    # ndcg_at_k — WindowGroupLimit top-k per group, no global sort)
+    """WITH sc AS (SELECT source, doc_id,
+                          CAST(n_chars AS DOUBLE) AS s,
+                          least(CAST((len(text)
+                               - len(replace(text, 'spark', ''))) / 5
+                               AS INT), 4) AS rel
+                   FROM documents
+                   WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       g AS (SELECT source, doc_id, s,
+                    pow(2, rel) - 1 AS g FROM sc),
+       act AS (SELECT source, g,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY s DESC, doc_id) AS rn
+               FROM g),
+       idl AS (SELECT source, g,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY g DESC, doc_id) AS rn
+               FROM g),
+       d AS (SELECT source,
+                    sum(CAST(round(g / log2(rn + 1.0) * 1e9) AS BIGINT))
+                      AS du
+             FROM act WHERE rn <= 10 GROUP BY source),
+       i AS (SELECT source,
+                    sum(CAST(round(g / log2(rn + 1.0) * 1e9) AS BIGINT))
+                      AS iu
+             FROM idl WHERE rn <= 10 GROUP BY source)
+       SELECT d.source, round(du / 1e9, 6) AS dcg,
+              round(iu / 1e9, 6) AS idcg,
+              round(CAST(du AS DOUBLE) / nullif(iu, 0), 6) AS ndcg
+       FROM d JOIN i ON d.source = i.source""",
+)
+def q_ml_ndcg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@10 per source — the graded-relevance complement to the
+    # binary ml_auc_by_source over the same scorer
+    from pagerank_mapreduce_spark.operators.evaluation import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    occ = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("spark")))
+        )
+        / F.lit(5)
+    ).cast("int")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        F.least(occ, F.lit(4)).alias("rel"),
+    )
+    return ndcg_at_k(
+        scored, "score", "rel", ["source"], k=10, tiebreak="doc_id"
+    )
 
 
 @_q(
