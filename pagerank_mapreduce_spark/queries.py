@@ -5596,6 +5596,56 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(e, label_propagation(e, rounds=2))
 
 
+def _louvain_labels_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_move_sql
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    return louvain_move_sql(rmat_oracle_sql(scale=9, edge_factor=8, seed=42))
+
+
+@_q("graph_louvain_move", _louvain_labels_oracle())
+def q_graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one synchronous Louvain phase-1 sweep from singletons on the
+    # portable R-MAT graph: each vertex adopts the min-degree
+    # neighbor's community iff k_i*k_j < 2m (the exact-integer gain
+    # criterion), ties -> smallest id, moves restricted downhill in
+    # (degree, id) — the distributed-Louvain conflict-avoidance
+    # constraint (graph/algorithms.py: louvain_move)
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_move
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    return louvain_move(
+        rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
+    )
+
+
+def _louvain_quality_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        louvain_move_sql,
+        modularity_sql,
+    )
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    rmat = rmat_oracle_sql(scale=9, edge_factor=8, seed=42)
+    return modularity_sql(rmat, louvain_move_sql(rmat))
+
+
+@_q("graph_louvain_quality", _louvain_quality_oracle())
+def q_graph_louvain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity of the one-sweep Louvain partition — the
+    # downhill gain sweep reaches Q = 0.048 vs 0.0003 for the 2-round
+    # LPA flood on the same graph (and -0.008 for an unconstrained
+    # synchronous sweep); exact-integer numerator, one float division
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        louvain_move,
+        modularity,
+    )
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    e = rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
+    return modularity(e, louvain_move(e))
+
+
 # ============================== HITS hubs & authorities (round 7)
 
 
