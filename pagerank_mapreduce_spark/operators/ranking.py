@@ -37,6 +37,8 @@ __all__ = [
     "tfidf_topk",
     "tfidf_cosine_pairs",
     "bm25_score",
+    "tfidf_query_score",
+    "rrf_fuse",
     "bigram_lm_score",
     "nb_classify",
 ]
@@ -234,6 +236,101 @@ def bm25_score(
         F.round(F.sum("c"), round_digits).alias("bm25")
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top)
+
+
+def tfidf_query_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lexical retrieval by summed smoothed TF-IDF weight of the
+    query terms — the linear-tf complement to BM25's saturated tf
+    (the two disagree exactly on term-stuffed documents, which is
+    what makes them worth fusing). Same scale shape as
+    :func:`bm25_score`: the query-term filter broadcasts, one
+    (doc, term) count shuffle, one algebraic per-doc sum."""
+    if not query_terms:
+        raise ValueError("tfidf_query_score: query_terms must be non-empty")
+    qlit = [t.lower() for t in query_terms]
+    tf = (
+        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
+        .filter(F.col("term").isin(qlit))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfr, "term")
+        .crossJoin(_n_docs(docs, id_col))
+        .select(
+            id_col,
+            (
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    scored = w.groupBy(id_col).agg(
+        F.round(F.sum("w"), round_digits).alias("tfidf_q")
+    )
+    return scored.orderBy(F.desc("tfidf_q"), F.asc(id_col)).limit(top)
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009)::
+
+        rrf(d) = Σ_r 1 / (k + rank_r(d))
+
+    over the candidate lists in ``rankings`` (``[(name, df), ...]``,
+    each df = (id, score) with the score already rounded/total-order
+    deterministic); documents missing from a list contribute 0 for
+    it. The classic score-free way to combine retrievers whose score
+    scales don't compare (BM25 vs TF-IDF vs embedding cosine), and
+    the standard first stage of hybrid search.
+
+    Ranks are row_numbers by (score desc, id) over the ALREADY
+    TRUNCATED candidate lists — each is top-N by construction, so
+    the single-partition rank windows are bounded at N rows, never
+    corpus-sized (fuse top-N from each retriever, the canonical RRF
+    usage; never feed an untruncated corpus scoring in). Fusion is a
+    full outer join across the lists on the id; the RRF sum is one
+    left-associated chain of coalesced terms so both engines add the
+    same doubles in the same order. Output: (id, rrf, r_<name>...),
+    top ``top`` by (rrf desc, id)."""
+    fused = None
+    rank_cols: list[str] = []
+    for name, df in rankings:
+        score_col = [c for c in df.columns if c != id_col][0]
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        r = df.select(
+            id_col,
+            F.row_number().over(w).cast("bigint").alias(f"r_{name}"),
+        )
+        rank_cols.append(f"r_{name}")
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    expr = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(rc)), F.lit(0.0)
+        )
+        expr = term if expr is None else expr + term
+    return (
+        fused.select(
+            id_col, F.round(expr, round_digits).alias("rrf"), *rank_cols
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top)
+    )
 
 
 def bigram_lm_score(

@@ -6005,6 +6005,74 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_rrf_fusion",
+    # hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    # of the BM25 top-50 and the linear-TF-IDF top-50 for the same
+    # 3-term query — rank windows run over the truncated candidate
+    # lists only; the fusion sum is one left-associated pair of
+    # coalesced 1/(60+r) terms, identical doubles in both engines
+    # (operators/ranking.py: rrf_fuse, tfidf_query_score)
+    f"""WITH {_TOKS_CTE},
+       lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+       st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+       term AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM term
+              WHERE term IN ('spark', 'stream', 'window')
+              GROUP BY doc_id, term),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       contrib AS (
+         SELECT tf.doc_id,
+                ln(1.0 + ((SELECT n FROM st) - dfr.df + 0.5)
+                         / (dfr.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                         / (SELECT avgdl FROM st))) AS c
+         FROM tf JOIN dfr USING (term) JOIN lens USING (doc_id)),
+       bm AS (SELECT doc_id, round(sum(c), 6) AS bm25
+              FROM contrib GROUP BY doc_id),
+       bmr AS (SELECT doc_id, row_number()
+                        OVER (ORDER BY bm25 DESC, doc_id) AS r
+               FROM bm QUALIFY r <= 50),
+       n AS (SELECT count(*) AS n FROM documents),
+       tq AS (SELECT tf.doc_id,
+                     round(sum(tf.tf * (ln(((SELECT n FROM n) + 1.0)
+                                           / (dfr.df + 1.0)) + 1.0)),
+                           6) AS tfidf_q
+              FROM tf JOIN dfr USING (term) GROUP BY tf.doc_id),
+       tqr AS (SELECT doc_id, row_number()
+                        OVER (ORDER BY tfidf_q DESC, doc_id) AS r
+               FROM tq QUALIFY r <= 50),
+       fused AS (SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+                        round(coalesce(1.0 / (60.0 + b.r), 0.0)
+                              + coalesce(1.0 / (60.0 + t.r), 0.0),
+                              6) AS rrf,
+                        b.r AS r_bm25, t.r AS r_tfidf
+                 FROM bmr b FULL OUTER JOIN tqr t
+                   ON b.doc_id = t.doc_id)
+       SELECT doc_id, rrf, r_bm25, r_tfidf FROM fused
+       ORDER BY rrf DESC, doc_id LIMIT 20""",
+)
+def q_text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the canonical hybrid-search first stage: fuse two retrievers
+    # whose score scales don't compare, score-free, by rank alone
+    from pagerank_mapreduce_spark.operators.ranking import (
+        bm25_score,
+        rrf_fuse,
+        tfidf_query_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "stream", "window"]
+    return rrf_fuse(
+        [
+            ("bm25", bm25_score(docs, terms, top=50)),
+            ("tfidf", tfidf_query_score(docs, terms, top=50)),
+        ],
+        top=20,
+    )
+
+
+@_q(
     "text_lm_score",
     f"""WITH {_TOKS_CTE},
        pairs AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1,
