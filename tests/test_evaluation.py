@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from pagerank_mapreduce_spark.operators.evaluation import (
@@ -324,3 +325,51 @@ def test_average_precision_hand_computed(spark):
     a = average_precision(df, "score", "y", n_buckets=3).first()["ap"]
     b = average_precision(df, "score", "y", n_buckets=256).first()["ap"]
     assert a == b
+
+
+def test_ndcg_hand_computed_and_degenerate(spark):
+    import math
+
+    from pagerank_mapreduce_spark.operators.evaluation import ndcg_at_k
+
+    # group "g": score order = docs (1, 3, 2) with rel (2, 0, 1) ->
+    # DCG = 3/log2(2) + 0/log2(3) + 1/log2(4); ideal order by gain
+    # desc = rel 2 then 1 then 0 -> IDCG = 3/log2(2) + 1/log2(3).
+    # group "z": all rel 0 -> NULL ndcg (try_divide contract).
+    df = spark.createDataFrame(
+        [
+            ("g", 1, 9.0, 2),
+            ("g", 2, 7.0, 1),
+            ("g", 3, 8.0, 0),
+            ("z", 4, 5.0, 0),
+            ("z", 5, 4.0, 0),
+        ],
+        "grp string, doc_id int, score double, rel int",
+    )
+    out = {
+        r.grp: r
+        for r in ndcg_at_k(
+            df, "score", "rel", ["grp"], k=10, tiebreak="doc_id"
+        ).collect()
+    }
+    dcg = 3.0 + 1.0 / math.log2(4)
+    idcg = 3.0 + 1.0 / math.log2(3)
+    assert out["g"].dcg == pytest.approx(dcg, abs=2e-6)
+    assert out["g"].idcg == pytest.approx(idcg, abs=2e-6)
+    assert out["g"].ndcg == pytest.approx(dcg / idcg, abs=2e-6)
+    assert out["z"].ndcg is None
+    assert out["z"].dcg == 0.0
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import ndcg_at_k
+
+    # score order == relevance order -> ndcg exactly 1
+    df = spark.createDataFrame(
+        [("g", i, float(10 - i), 5 - i) for i in range(5)],
+        "grp string, doc_id int, score double, rel int",
+    )
+    row = ndcg_at_k(
+        df, "score", "rel", ["grp"], k=3, tiebreak="doc_id"
+    ).collect()[0]
+    assert row.ndcg == 1.0

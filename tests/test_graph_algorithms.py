@@ -819,3 +819,50 @@ def test_ppr_multi_matches_numpy_and_conserves_mass(spark):
         assert abs(mass - 1.0) < 1e-6
         # the teleport floor: the source always holds at least (1-α)
         assert got[(s, s)] >= om - 1e-9, s
+
+
+def test_louvain_move_hand_computed(spark):
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_move
+
+    # path 0-1-2 plus triangle 3-4-5: m=5, 2m=10.
+    # degrees: 0:1, 1:2, 2:1, 3:2, 4:2, 5:2.
+    # vertex 1 (d=2): neighbors 0 (d=1) and 2 (d=1), both downhill
+    #   with gain (2*1<10): argmin (d,id) -> adopts 0.
+    # vertex 0 (d=1): neighbor 1 (d=2) not downhill -> stays 0.
+    # vertex 2 (d=1): neighbor 1 not downhill -> stays 2.
+    # triangle: all d=2, k_i*k_j=4<10; downhill = smaller id only:
+    #   3 stays (no smaller neighbor), 4 adopts 3, 5 adopts 3.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)], "src bigint, dst bigint"
+    )
+    got = {r.id: r.comm for r in louvain_move(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3}
+
+
+def test_louvain_hub_stays_put(spark):
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_move
+
+    # star K(1,4): m=4, 2m=8; leaves (d=1) can't move downhill to the
+    # hub (d=4); the hub's gain to any leaf is 4*1=4 < 8 and leaves
+    # are downhill -> hub adopts the smallest leaf.
+    edges = spark.createDataFrame(
+        [(9, i) for i in range(1, 5)], "src bigint, dst bigint"
+    )
+    got = {r.id: r.comm for r in louvain_move(edges).collect()}
+    assert got[9] == 1
+    assert all(got[i] == i for i in range(1, 5))
+
+
+def test_link_prediction_hand_computed(spark):
+    from pagerank_mapreduce_spark.graph.algorithms import link_prediction
+
+    # square 0-1-2-3-0: the two diagonals (0,2) and (1,3) each have
+    # 2 common neighbors of degree 2: cn=2, ra=2*(1/2)=1.0,
+    # jaccard = 2/(2+2-2) = 1.0.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src bigint, dst bigint"
+    )
+    rows = {(r.u, r.w): r for r in link_prediction(edges).collect()}
+    assert set(rows) == {(0, 2), (1, 3)}
+    for r in rows.values():
+        assert r.cn == 2 and r.ra == 1.0 and r.jaccard == 1.0

@@ -254,3 +254,49 @@ def test_bpe_token_counts_consistent_with_merges(spark):
     for d in (1, 2):
         assert k3[d]["n_words"] == zero[d]["n_words"]
         assert k3[d]["n_bpe_tokens"] < zero[d]["n_bpe_tokens"]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from pagerank_mapreduce_spark.operators.ranking import rrf_fuse
+
+    # list A ranks (1,2,3); list B ranks (3,2,4). doc 2: 1/62+1/62;
+    # doc 3: 1/63+1/61; doc 1: 1/61; doc 4: 1/63.
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id bigint, s double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.99), (2, 0.5), (4, 0.4)], "doc_id bigint, s double"
+    )
+    out = {
+        r.doc_id: r
+        for r in rrf_fuse([("a", a), ("b", b)], top=10).collect()
+    }
+    assert out[2].rrf == pytest.approx(1 / 62 + 1 / 62, abs=1e-6)
+    assert out[3].rrf == pytest.approx(1 / 63 + 1 / 61, abs=1e-6)
+    assert out[1].rrf == pytest.approx(1 / 61, abs=1e-6)
+    assert out[1].r_b is None and out[1].r_a == 1
+    # doc 3 beats doc 2: 1/63+1/61 > 2/62
+    ordered = sorted(out.values(), key=lambda r: -r.rrf)
+    assert ordered[0].doc_id == 3
+
+
+def test_tfidf_query_score_linear_in_tf(spark):
+    from pagerank_mapreduce_spark.operators.ranking import (
+        tfidf_query_score,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark other"),
+            (2, "spark other words here"),
+            (3, "nothing relevant at all"),
+        ],
+    )
+    out = {
+        r.doc_id: r.tfidf_q
+        for r in tfidf_query_score(docs, ["spark"], top=10).collect()
+    }
+    # linear tf: doc 1 scores exactly 3x doc 2 (same idf term)
+    assert out[1] == pytest.approx(3 * out[2], abs=1e-5)
+    assert 3 not in out
