@@ -122,6 +122,12 @@ BENCH_QUERIES = [
     "sim_mmr_rerank",
     "ts_ewma",
     "text_bpe_train",
+    # round-10 continuation: hybrid retrieval, ranking quality,
+    # link prediction, community detection
+    "text_rrf_fusion",
+    "ml_ndcg_by_source",
+    "graph_link_scores",
+    "graph_louvain_quality",
 ]
 
 
