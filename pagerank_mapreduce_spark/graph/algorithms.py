@@ -1623,7 +1623,13 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     Scale shape: two keyed joins of the edge list against the
     assignment, three algebraic aggregates, one tiny cross join of
     scalar rows."""
-    und = edge_upper(edges)
+    # four consumers (deg, the label join, m, s_in) would each
+    # recompute the canonical-edge dedup — and, for generated graphs
+    # (R-MAT entries), re-run the whole generator; communities has
+    # three consumers with the same argument. Measured 3.4 → 1.1 s
+    # on graph_louvain_quality at the fixture scale.
+    und = edge_upper(edges).persist()
+    communities = communities.persist()
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))

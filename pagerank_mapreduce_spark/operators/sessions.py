@@ -528,3 +528,83 @@ def ewma_smooth(
         src, sort_cols, out_schema, out_cols, make_state, fold_chunk,
         finish,
     ).select(F.col("_k").alias(by), "n", "ewma_last", "ewma_max")
+
+
+def holt_smooth(
+    df: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    *tiebreak_cols: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key (Holt
+    1957; the trend-aware step between EWMA and full Holt-Winters)::
+
+        l_1 = x_1;  b_1 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Output one row per key: (by, n, level_last, trend_last,
+    forecast_1 = l_n + b_n) under the (on, tiebreak) total order,
+    rounded. Same regime as :func:`ewma_smooth`: the two-state
+    recurrence is non-associative, so it runs through
+    :func:`_fold_series_by_key` (one Arrow kernel per batch, state
+    carried across batches) with the oracle's recursive CTE
+    replaying the identical C-double sequence — the b-update's
+    reference to the NEW level is inlined as the same expression on
+    both sides, so every intermediate double is bit-identical. The
+    default α = 0.5, β = 0.25 are dyadic, making 1−α and 1−β exact
+    and the parity argument unconditional."""
+    a = float(alpha)
+    ac = 1.0 - a
+    g = float(beta)
+    gc = 1.0 - g
+    src = df.filter(
+        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+    )
+    sort_cols = ["_t"] + [f"_tb_{c}" for c in tiebreak_cols]
+
+    def make_state():
+        # [l, b, n]
+        return [None, 0.0, 0]
+
+    def fold_chunk(st, vs):
+        lev, b, n = st
+        for v in vs:
+            v = float(v)
+            if lev is None:
+                lev = v
+                b = 0.0
+            else:
+                lnew = (a * v) + (ac * (lev + b))
+                b = (g * (lnew - lev)) + (gc * b)
+                lev = lnew
+        st[0], st[1], st[2] = lev, b, n + len(vs)
+
+    def finish(k, st, out):
+        out["_k"].append(k)
+        out["n"].append(st[2])
+        out["level_last"].append(round(st[0], round_to))
+        out["trend_last"].append(round(st[1], round_to))
+        out["forecast_1"].append(round(st[0] + st[1], round_to))
+
+    out_schema = (
+        f"_k {dict(df.dtypes)[by]}, n long, level_last double, "
+        "trend_last double, forecast_1 double"
+    )
+    out_cols = ["_k", "n", "level_last", "trend_last", "forecast_1"]
+    return _fold_series_by_key(
+        src, sort_cols, out_schema, out_cols, make_state, fold_chunk,
+        finish,
+    ).select(
+        F.col("_k").alias(by), "n", "level_last", "trend_last",
+        "forecast_1",
+    )

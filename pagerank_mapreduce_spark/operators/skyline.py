@@ -1,0 +1,98 @@
+"""Pareto-frontier (skyline) extraction — the classic multi-criteria
+"best tradeoffs" operator (Börzsönyi, Kossmann & Stocker, ICDE 2001:
+SELECT ... SKYLINE OF x MAX, y MAX). A point is on the skyline iff no
+other point is at least as good in both dimensions and strictly
+better in one.
+
+The textbook evaluations are a quadratic self-join (NOT EXISTS
+dominance test) or a global sort with a running maximum — the two
+shapes a 100 TB job must avoid. This module computes the exact 2-D
+skyline with the repo's rank-bucketed prefix discipline
+(operators/evaluation.py \_bucketed_prefix, adapted from sums to
+maxima):
+
+1. collapse to one row per DISTINCT x with the per-x maximum y
+   (algebraic groupBy — map-side partials absorb duplicate x's),
+2. bucket the distinct x's by approx-percentile edges (skew-immune
+   by construction: each bucket holds ~N/n_buckets distinct values
+   regardless of the value distribution),
+3. the dominating maximum M(x) = max{y' : x' > x} is the EXCLUSIVE
+   descending prefix max = max(in-bucket window prefix, offset of the
+   strictly-higher buckets) — the offsets relation is ≤ n_buckets
+   rows, the only coarse orderBy in the plan.
+
+A distinct x survives iff its per-x max y is strictly greater than
+M(x) (nothing with a higher x matches-or-beats it; anything with the
+same x and lower y is already collapsed away). Output: the frontier
+points, exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["skyline_2d"]
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact 2-D skyline maximizing both ``x_col`` and ``y_col``
+    (strict dominance: ties on both coordinates survive as one
+    frontier row). Returns the frontier as (x_col, y_col) doubles,
+    ascending-x/descending-y by construction, unordered.
+
+    NULLs in either coordinate are excluded (a NULL coordinate has
+    no dominance semantics). For the dominated-side complement,
+    anti-join the input against this result on ``x_col``."""
+    from pagerank_mapreduce_spark.functions.vectors import array_lit
+
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    perx = pts.groupBy("_x").agg(F.max("_y").alias("_my"))
+    edges = perx.agg(
+        F.percentile_approx(
+            F.col("_x"),
+            array_lit([i / n_buckets for i in range(1, n_buckets)]),
+        ).alias("_edges")
+    )
+    bucketed = (
+        perx.join(F.broadcast(edges))
+        .withColumn(
+            "_bkt",
+            F.size(F.filter("_edges", lambda e: e < F.col("_x"))),
+        )
+        .drop("_edges")
+    )
+    in_bucket = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucketed = bucketed.withColumn(
+        "_mhi_in", F.max("_my").over(in_bucket)
+    )
+    totals = bucketed.groupBy("_bkt").agg(F.max("_my").alias("_bm"))
+    off_w = (
+        Window.orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = F.broadcast(
+        totals.select("_bkt", F.max("_bm").over(off_w).alias("_mhi_off"))
+    )
+    j = bucketed.join(offsets, "_bkt")
+    # greatest() skips NULL operands: M is NULL only for the global
+    # max-x row, which is always on the frontier
+    m = F.greatest(F.col("_mhi_in"), F.col("_mhi_off"))
+    return j.filter(m.isNull() | (F.col("_my") > m)).select(
+        F.col("_x").alias(x_col), F.col("_my").alias(y_col)
+    )

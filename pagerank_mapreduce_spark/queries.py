@@ -7137,6 +7137,59 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt's linear-trend recurrence, replayed generation-exactly: the
+# b-update's reference to the NEW level is inlined as the same
+# expression, so every intermediate double matches the Python fold
+# bit-for-bit; α=0.5 and β=0.25 are dyadic, making 1−α / 1−β exact
+_HOLT_ORACLE = """WITH RECURSIVE
+       ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+       t(rn, user_id, l, b) AS (
+         SELECT 1, user_id, v, CAST(0 AS DOUBLE) FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e.rn, e.user_id,
+                (CAST(0.5 AS DOUBLE) * e.v)
+                + (CAST(0.5 AS DOUBLE) * (t.l + t.b)),
+                (CAST(0.25 AS DOUBLE)
+                 * (((CAST(0.5 AS DOUBLE) * e.v)
+                     + (CAST(0.5 AS DOUBLE) * (t.l + t.b))) - t.l))
+                + (CAST(0.75 AS DOUBLE) * t.b)
+         FROM t JOIN ev e
+           ON e.user_id = t.user_id AND e.rn = t.rn + 1
+       ),
+       agg AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n
+               FROM t GROUP BY user_id),
+       lst AS (SELECT user_id, round(l, 6) AS level_last,
+                      round(b, 6) AS trend_last,
+                      round(l + b, 6) AS forecast_1
+               FROM t t1
+               WHERE rn = (SELECT max(rn) FROM t t2
+                           WHERE t2.user_id = t1.user_id))
+       SELECT a.user_id, a.n, l.level_last, l.trend_last, l.forecast_1
+       FROM agg a JOIN lst l USING (user_id)"""
+
+
+@_q(
+    "ts_holt",
+    # the trend-aware member of the per-key monitor family (CUSUM =
+    # changepoint, EWMA = level, Holt = level + trend + 1-step
+    # forecast), same batched-fold engine, same recursive-CTE replay
+    _HOLT_ORACLE,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user Holt double exponential smoothing with a 1-step-ahead
+    # forecast (operators/sessions.py: holt_smooth)
+    from pagerank_mapreduce_spark.operators.sessions import holt_smooth
+
+    return holt_smooth(
+        _t(spark, sf_dir, "events"), "ts", "user_id", "value", 0.5,
+        0.25, "event_id",
+    )
+
+
 @_q(
     "stream_ewma",
     # streaming twin of ts_ewma: the fold state (E, running max, n)
@@ -7921,6 +7974,40 @@ def q_rel_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+@_q(
+    "rel_skyline",
+    # Pareto frontier (Börzsönyi et al. ICDE 2001) of line items
+    # maximizing (price, quantity): engine = per-x max collapse +
+    # rank-bucketed exclusive DESCENDING prefix max (never a global
+    # sort, never the quadratic dominance self-join); oracle = the
+    # independent sort-based running-max formulation; a brute-force
+    # NOT EXISTS check lives in the unit tests
+    """WITH pts AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+                           CAST(l_quantity AS DOUBLE) AS qty
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL
+                      AND l_quantity IS NOT NULL),
+       perx AS (SELECT price, max(qty) AS qty FROM pts GROUP BY price),
+       m AS (SELECT price, qty,
+                    max(qty) OVER (ORDER BY price DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS mhi
+             FROM perx)
+       SELECT price, qty FROM m WHERE mhi IS NULL OR qty > mhi""",
+)
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "no other line item is at least as expensive AND as large" —
+    # the multi-criteria best-tradeoffs operator
+    # (operators/skyline.py: skyline_2d)
+    from pagerank_mapreduce_spark.operators.skyline import skyline_2d
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return skyline_2d(li, "price", "qty")
 
 
 # ================ portable distinct sketch (FM/LogLog, round 7)

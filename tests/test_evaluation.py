@@ -373,3 +373,44 @@ def test_ndcg_perfect_ranking_is_one(spark):
         df, "score", "rel", ["grp"], k=3, tiebreak="doc_id"
     ).collect()[0]
     assert row.ndcg == 1.0
+
+
+def test_skyline_matches_bruteforce_and_handles_ties(spark):
+    import random
+
+    from pagerank_mapreduce_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [
+        (round(rng.uniform(0, 100), 1), float(rng.randint(0, 50)))
+        for _ in range(400)
+    ]
+    # force x-ties with differing y, exact duplicates, and a NULL row
+    pts += [(50.0, 1.0), (50.0, 2.0), (99.9, 3.0), (99.9, 3.0)]
+    df = spark.createDataFrame(pts, "x double, y double").unionByName(
+        spark.createDataFrame([(None, 1.0)], "x double, y double")
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    clean = [p for p in pts]
+    expect = {
+        (x, y)
+        for (x, y) in set(clean)
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for (qx, qy) in clean
+        )
+    }
+    assert got == expect
+    # the global max-x point is always on the frontier
+    mx = max(p[0] for p in clean)
+    assert any(abs(x - mx) < 1e-12 for (x, y) in got)
+
+
+def test_skyline_bucket_count_invariance(spark):
+    from pagerank_mapreduce_spark.operators.skyline import skyline_2d
+
+    rows = [(float(i % 97), float((i * 37) % 53)) for i in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    a = {(r.x, r.y) for r in skyline_2d(df, "x", "y", n_buckets=4).collect()}
+    b = {(r.x, r.y) for r in skyline_2d(df, "x", "y", n_buckets=256).collect()}
+    assert a == b and a
