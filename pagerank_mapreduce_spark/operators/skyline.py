@@ -58,6 +58,15 @@ def skyline_2d(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
+    # no localCheckpoint here: unlike _avg_ranks' three-consumer fan
+    # out, Spark reuses the collapse's shuffle output across the two
+    # consumers (ReusedExchange — the DSIR lesson), and an A/B showed
+    # materializing the distinct-x relation buys nothing (3.05 vs
+    # 3.03 s on 583k distinct prices at sf0.1). The measured cost is
+    # the O(n_buckets)-comparison bucket assignment itself, linear in
+    # the knob (1.34 s at 32 buckets, 4.85 s at 512) — the price of
+    # skew-immunity, paid post-collapse, same tradeoff as
+    # _bucketed_prefix's default.
     perx = pts.groupBy("_x").agg(F.max("_y").alias("_my"))
     edges = perx.agg(
         F.percentile_approx(
