@@ -7206,6 +7206,20 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_holt",
+    # streaming twin of ts_holt: the (level, trend, n) fold state
+    # lives in a named ValueState via transformWithStateInPandas and
+    # survives micro-batch boundaries (streaming/stateful.py:
+    # HoltProcessor); batch analogue = the oracle-checked Arrow fold
+    _HOLT_ORACLE,
+)
+def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.streaming.stateful import tws_holt
+
+    return tws_holt(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "stream_cusum_alerts",
     # streaming twin of ts_cusum_alerts: the CUSUM fold state lives in
     # a named ValueState via transformWithStateInPandas and survives

@@ -274,3 +274,98 @@ def tws_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_HOLT_OUTPUT_SCHEMA = (
+    "user_id bigint, n bigint, level_last double, trend_last double, "
+    "forecast_1 double"
+)
+
+
+class HoltProcessor(StatefulProcessor):
+    """Streaming Holt linear-trend smoothing per key, the
+    transformWithStateInPandas twin of operators.sessions.holt_smooth
+    (same cross-batch-state rationale as EwmaProcessor; same
+    in-order-batches contract; identical C-double fold incl. the
+    inlined new-level reference in the b-update, so a single-batch
+    stream reproduces the batch answer bit-for-bit)."""
+
+    def __init__(self, alpha: float, beta: float) -> None:
+        self._a = float(alpha)
+        self._ac = 1.0 - float(alpha)
+        self._g = float(beta)
+        self._gc = 1.0 - float(beta)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("holt", _HOLT_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        lev, b, n = None, 0.0, 0
+        if self._st.exists():
+            prev = self._st.get()
+            lev, b, n = float(prev[0]), float(prev[1]), int(prev[2])
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in pdf["value"].to_numpy():
+            if v != v:
+                continue
+            v = float(v)
+            n += 1
+            if lev is None:
+                lev = v
+                b = 0.0
+            else:
+                lnew = (self._a * v) + (self._ac * (lev + b))
+                b = (self._g * (lnew - lev)) + (self._gc * b)
+                lev = lnew
+        if lev is not None:
+            self._st.update((lev, b, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "level_last": [None if lev is None else round(lev, 6)],
+                "trend_last": [None if lev is None else round(b, 6)],
+                "forecast_1": [
+                    None if lev is None else round(lev + b, 6)
+                ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_holt(
+    events: DataFrame, alpha: float = 0.5, beta: float = 0.25
+) -> DataFrame:
+    """Streaming: per-user Holt level+trend with cross-batch state.
+    Batch: the oracle-checked Arrow fold
+    (operators.sessions.holt_smooth)."""
+    if not events.isStreaming:
+        from pagerank_mapreduce_spark.operators.sessions import (
+            holt_smooth,
+        )
+
+        return holt_smooth(
+            events, "ts", "user_id", "value", alpha, beta, "event_id"
+        )
+    filtered = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return filtered.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=HoltProcessor(alpha, beta),
+        outputStructType=_HOLT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

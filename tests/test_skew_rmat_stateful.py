@@ -558,3 +558,97 @@ def test_tws_ewma_across_batches(spark, tmp_path):
     ]
     assert (1, 10.0, 10.0) in per_batch
     assert (3, 6.4, 10.0) in per_batch
+
+
+def test_tws_holt_batch_analogue_matches_operator(spark, sf_dir):
+    from pagerank_mapreduce_spark.operators.sessions import holt_smooth
+    from pagerank_mapreduce_spark.streaming.stateful import tws_holt
+
+    ev = load_table(spark, sf_dir, "events")
+    got = tws_holt(ev)
+    want = holt_smooth(
+        ev, "ts", "user_id", "value", 0.5, 0.25, "event_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_tws_holt_across_batches(spark, tmp_path):
+    # the (level, trend) pair must continue from batch 1's state:
+    # values 10, 20 in batch 1 give l=15, b=1.25; batch 2's value 0
+    # gives l = .5*0 + .5*(15+1.25) = 8.125,
+    # b = .25*(8.125-15) + .75*1.25 = -0.78125 — impossible if batch 2
+    # restarted from scratch (it would emit l=0, b=0)
+    from pagerank_mapreduce_spark.streaming.stateful import tws_holt
+
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:01:00"]
+            ),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [10.0, 20.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 10:02:00"]),
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "tws_holt_src"
+    src.mkdir()
+    d1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = run_to_memory_sink(tws_holt(stream), "t_tws_holt", mode="update")
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.table("t_tws_holt").collect()
+    per_batch = [
+        (r["n"], r["level_last"], r["trend_last"], r["forecast_1"])
+        for r in rows
+        if r["user_id"] == 1
+    ]
+    assert (2, 15.0, 1.25, 16.25) in per_batch
+    assert (3, 8.125, -0.78125, 7.34375) in per_batch
