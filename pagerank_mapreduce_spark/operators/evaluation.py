@@ -708,3 +708,87 @@ def ndcg_at_k(
             round_to,
         ).alias("ndcg"),
     )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+    n_tiles: int = 10,
+    n_buckets: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cumulative-gains / lift table (the marketing-analytics "decile
+    chart"): rows sorted by score DESCENDING are cut into ``n_tiles``
+    equal-population tiles; each tile reports how many positives the
+    top tiles have captured and their lift over random targeting::
+
+        gain_t = cum_pos(1..t) / total_pos
+        lift_t = (cum_pos(1..t) / cum_n(1..t)) / (total_pos / total)
+
+    Tile assignment is INTEGER-EXACT: a distinct score with
+    ``above_n`` rows strictly above it lands in tile
+    floor(above_n · n_tiles / N) — ties (one distinct score, many
+    rows) stay together in the tile of their first row, so both
+    engines agree without any float boundary. Ranks come from the
+    same skew-immune bucketed prefix as the rank metrics (no global
+    sort over rows); the per-tile cum window runs over the ≤ n_tiles
+    row relation. Output: one row per non-empty tile (tile 0 = best
+    scores): (tile, n, n_pos, cum_n, cum_pos, gain, lift), floats
+    rounded."""
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    base = df.select(F.col(score_col).alias("_s"), y.alias("_y")).filter(
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
+    per_score = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("np")
+    ).localCheckpoint()  # feeds prefix machinery + totals (see _avg_ranks)
+    pre = _bucketed_prefix(per_score, "_s", ["n", "np"], (), n_buckets)
+    tot = F.broadcast(
+        per_score.agg(
+            F.sum("n").cast("bigint").alias("_N"),
+            F.sum("np").cast("bigint").alias("_NP"),
+        )
+    )
+    # rows strictly ABOVE this distinct score (descending order) —
+    # pure integers, so the tile cut is engine-exact
+    tiled = pre.crossJoin(tot).select(
+        F.floor(
+            (F.col("_N") - F.col("_below_n") - F.col("n"))
+            * n_tiles
+            / F.col("_N")
+        ).cast("bigint").alias("tile"),
+        "n",
+        "np",
+        "_N",
+        "_NP",
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.first("_N").alias("_N"),
+        F.first("_NP").alias("_NP"),
+    )
+    w = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_tile.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+        F.round(
+            F.try_divide(F.sum("n_pos").over(w).cast("double"), F.col("_NP")),
+            round_to,
+        ).alias("gain"),
+        F.round(
+            F.try_divide(
+                F.sum("n_pos").over(w) / F.sum("n").over(w),
+                F.col("_NP") / F.col("_N"),
+            ),
+            round_to,
+        ).alias("lift"),
+    )

@@ -6785,6 +6785,67 @@ def q_ml_ndcg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ml_gain_deciles",
+    # cumulative-gains / lift table over the same scorer as
+    # ml_auc_by_source (n_chars predicting a 'spark' mention),
+    # descending-score deciles cut INTEGER-EXACTLY (a distinct score
+    # with above_n rows above it lands in tile
+    # floor(above_n*10/N) — ties stay together, no float boundary);
+    # engine ranks via the skew-immune bucketed prefix, oracle via a
+    # plain cumulative window (operators/evaluation.py:
+    # cumulative_gains)
+    """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+                         CAST(text LIKE '%spark%' AS INT) AS y
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       ps AS (SELECT s, count(*) AS n, sum(y) AS np FROM b GROUP BY s),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(np) AS BIGINT) AS npp FROM ps),
+       pre AS (SELECT s, n, np,
+                      coalesce(sum(n) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS below_n
+               FROM ps),
+       tiled AS (SELECT CAST(floor((t.nn - p.below_n - p.n) * 10.0
+                                   / t.nn) AS BIGINT) AS tile,
+                        p.n, p.np, t.nn, t.npp
+                 FROM pre p CROSS JOIN tot t),
+       pt AS (SELECT tile, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(np) AS BIGINT) AS n_pos,
+                     max(nn) AS nn, max(npp) AS npp
+              FROM tiled GROUP BY tile),
+       cum AS (SELECT tile, n, n_pos,
+                      CAST(sum(n) OVER (ORDER BY tile) AS BIGINT)
+                        AS cum_n,
+                      CAST(sum(n_pos) OVER (ORDER BY tile) AS BIGINT)
+                        AS cum_pos,
+                      nn, npp
+               FROM pt)
+       SELECT tile, n, n_pos, cum_n, cum_pos,
+              round(CAST(cum_pos AS DOUBLE) / nullif(npp, 0), 6)
+                AS gain,
+              round((cum_pos / cum_n) / nullif(npp / nn, 0), 6)
+                AS lift
+       FROM cum""",
+)
+def q_ml_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the campaign-targeting diagnostic: how many positives do the
+    # top-k score deciles capture, and at what lift over random
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        cumulative_gains,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        F.col("text").contains("spark").alias("y"),
+    )
+    return cumulative_gains(scored, "score", "y", n_tiles=10)
+
+
+@_q(
     "ml_calibration_bins",
     # reliability diagram + ECE for a [0,1) scorer; the pseudo-prob
     # is integer-derived (user_id % 100 / 100) so bin assignment is

@@ -414,3 +414,46 @@ def test_skyline_bucket_count_invariance(spark):
     a = {(r.x, r.y) for r in skyline_2d(df, "x", "y", n_buckets=4).collect()}
     b = {(r.x, r.y) for r in skyline_2d(df, "x", "y", n_buckets=256).collect()}
     assert a == b and a
+
+
+def test_cumulative_gains_hand_computed(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        cumulative_gains,
+    )
+
+    # 4 rows, 2 tiles: scores 4,3 (pos, neg) | 2,1 (pos, neg).
+    # tile 0: n=2, pos=1, gain 0.5, lift (1/2)/(2/4)=1.0
+    # tile 1: cum 4 rows 2 pos, gain 1.0, lift (2/4)/(2/4)=1.0
+    df = spark.createDataFrame(
+        [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)], "s double, y int"
+    )
+    rows = {
+        r.tile: r for r in cumulative_gains(df, "s", "y", n_tiles=2).collect()
+    }
+    assert rows[0].n == 2 and rows[0].n_pos == 1
+    assert rows[0].gain == 0.5 and rows[0].lift == 1.0
+    assert rows[1].cum_n == 4 and rows[1].cum_pos == 2
+    assert rows[1].gain == 1.0 and rows[1].lift == 1.0
+    # perfect scorer: all positives in the top tile -> lift = 1/rate
+    df2 = spark.createDataFrame(
+        [(4.0, 1), (3.0, 1), (2.0, 0), (1.0, 0)], "s double, y int"
+    )
+    r0 = {
+        r.tile: r
+        for r in cumulative_gains(df2, "s", "y", n_tiles=2).collect()
+    }[0]
+    assert r0.gain == 1.0 and r0.lift == 2.0
+
+
+def test_cumulative_gains_ties_stay_together(spark):
+    from pagerank_mapreduce_spark.operators.evaluation import (
+        cumulative_gains,
+    )
+
+    # one distinct score spans what would be both tiles: all 4 rows
+    # share s=1.0 -> above_n=0 -> everything lands in tile 0
+    df = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0)], "s double, y int"
+    )
+    rows = cumulative_gains(df, "s", "y", n_tiles=2).collect()
+    assert len(rows) == 1 and rows[0].tile == 0 and rows[0].n == 4
