@@ -6073,6 +6073,116 @@ def q_text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sim_hybrid_fusion",
+    # dense + sparse hybrid retrieval, "more documents like doc 0":
+    # lexical leg = BM25 top-50 with the query EXPANDED to doc 0's
+    # top-5 TF-IDF terms (deterministic: rounded weight, term
+    # tiebreak — the same ranking text_tfidf_topk hash-checks);
+    # dense leg = cosine top-50 vs doc 0's embedding (vec_id aligns
+    # 1:1 with doc_id in the fixtures), both legs cut and ranked on
+    # round-6 scores so the candidate sets are engine-exact; fused
+    # by RRF. doc 0 itself coming back first is the built-in sanity
+    # check of the fusion
+    f"""WITH {_TOKS_CTE},
+       term0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       tf0 AS (SELECT doc_id, term, count(*) AS tf FROM term0
+               GROUP BY doc_id, term),
+       dfr0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+       nn AS (SELECT count(*) AS n FROM documents),
+       w0 AS (SELECT tf0.term,
+                     round(tf0.tf * (ln(((SELECT n FROM nn) + 1.0)
+                                        / (dfr0.df + 1.0)) + 1.0),
+                           6) AS tfidf
+              FROM tf0 JOIN dfr0 USING (term) WHERE tf0.doc_id = 0),
+       q5 AS (SELECT term FROM (
+                SELECT term, row_number()
+                         OVER (ORDER BY tfidf DESC, term) AS rk
+                FROM w0) WHERE rk <= 5),
+       lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+       st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+       tfq AS (SELECT doc_id, term, count(*) AS tf FROM term0
+               WHERE term IN (SELECT term FROM q5)
+               GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       contrib AS (
+         SELECT tfq.doc_id,
+                ln(1.0 + ((SELECT n FROM st) - dfq.df + 0.5)
+                         / (dfq.df + 0.5))
+                * (tfq.tf * 2.2)
+                / (tfq.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                          / (SELECT avgdl FROM st)))
+                  AS c
+         FROM tfq JOIN dfq USING (term) JOIN lens USING (doc_id)),
+       bm AS (SELECT doc_id, round(sum(c), 6) AS bm25
+              FROM contrib GROUP BY doc_id),
+       bmr AS (SELECT doc_id, row_number()
+                        OVER (ORDER BY bm25 DESC, doc_id) AS r
+               FROM bm QUALIFY r <= 50),
+       vec AS (SELECT e.vec_id AS doc_id,
+                      round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(q.embedding AS DOUBLE[])), 6) AS cos
+               FROM embeddings e,
+                    (SELECT embedding FROM embeddings
+                     WHERE vec_id = 0) q),
+       vr AS (SELECT doc_id, row_number()
+                       OVER (ORDER BY cos DESC, doc_id) AS r
+              FROM vec QUALIFY r <= 50),
+       fused AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                        round(coalesce(1.0 / (60.0 + b.r), 0.0)
+                              + coalesce(1.0 / (60.0 + v.r), 0.0),
+                              6) AS rrf,
+                        b.r AS r_lex, v.r AS r_vec
+                 FROM bmr b FULL OUTER JOIN vr v
+                   ON b.doc_id = v.doc_id)
+       SELECT doc_id, rrf, r_lex, r_vec FROM fused
+       ORDER BY rrf DESC, doc_id LIMIT 20""",
+)
+def q_sim_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense+sparse "more like this": query expansion from the seed
+    # doc's characteristic terms + its embedding, one RRF
+    from pagerank_mapreduce_spark.functions.vectors import array_lit
+    from pagerank_mapreduce_spark.operators.ranking import (
+        bm25_score,
+        rrf_fuse,
+        tfidf_topk,
+    )
+    from pagerank_mapreduce_spark.operators.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # two constant-size driver reads (5 terms, one 64-dim vector) —
+    # the sanctioned codebook/source pattern, never data-sized
+    terms = [
+        r["term"]
+        for r in tfidf_topk(docs, k=5)
+        .filter(F.col("doc_id") == 0)
+        .orderBy(F.col("tfidf").desc(), "term")
+        .collect()
+    ]
+    q0 = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    dense = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"),
+                       array_lit(q0)),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(50)
+    )
+    return rrf_fuse(
+        [
+            ("lex", bm25_score(docs, terms, top=50)),
+            ("vec", dense),
+        ],
+        top=20,
+    )
+
+
+@_q(
     "text_lm_score",
     f"""WITH {_TOKS_CTE},
        pairs AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1,
