@@ -436,3 +436,44 @@ def test_windowed_psi_reference_is_broadcast(spark, sf_dir):
     js = join_strategies(df)
     assert js.get("BroadcastHashJoin", 0) >= 1, js
     assert "CartesianProduct" not in js, js
+
+
+def test_ndcg_topk_is_window_group_limit(spark, sf_dir):
+    # both the actual and the ideal per-group orderings must compile
+    # to rank-limit pushdown (WindowGroupLimit pre-prunes each map
+    # task's partition to the group top-k BEFORE the shuffle) — a
+    # plain window + filter would sort every group's full contents
+    df = _q(spark, sf_dir, "ml_ndcg_by_source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 4, plan
+
+
+def test_link_scores_no_cartesian_single_wedge_agg(spark, sf_dir):
+    # same guard as adamic_adar: candidates must come from the
+    # per-center array explosion, with only the edge anti-join and
+    # the two degree joins (broadcast at fixture scale) beside it
+    df = _q(spark, sf_dir, "graph_link_scores")
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+    assert sum(js.values()) <= 3, f"extra joins appeared: {js}"
+
+
+def test_skyline_no_global_sort_of_distinct_relation(spark, sf_dir):
+    # the frontier must never globally sort the distinct-x relation:
+    # windows are per-bucket, plus one window over the <= n_buckets
+    # bucket-totals relation; the final output carries no Sort at all
+    # beyond those window sorts
+    df = _q(spark, sf_dir, "rel_skyline")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two windows: in-bucket prefix max + bucket-offsets prefix max
+    assert plan.count("Window") >= 2, plan
+    # no TakeOrdered / global Sort over the data-sized relation: the
+    # only SinglePartition exchanges are (a) the percentile-edge
+    # scalar aggregate, (b) the <= n_buckets bucket-totals feeding
+    # the offsets window, (c) the offsets window itself — all
+    # bounded; a fourth would mean the distinct-x relation leaked
+    # into a global stage
+    sp = [
+        ln for ln in plan.splitlines() if "SinglePartition" in ln
+    ]
+    assert len(sp) <= 3, plan
