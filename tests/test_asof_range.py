@@ -704,3 +704,44 @@ def test_ewma_hand_computed_and_init(spark):
     assert out[1]["n"] == 4
     # constant series: EWMA pinned at the constant, exactly
     assert out[2]["ewma_last"] == 7.0 and out[2]["ewma_max"] == 7.0
+
+
+def test_fold_engine_cross_batch_state_carrying(spark):
+    # the mapInPandas fold carries per-key state across Arrow batch
+    # boundaries inside a partition; force 7-row batches so a single
+    # key's series is guaranteed to span several batches, and compare
+    # against a plain in-memory fold. Also pins that a key whose rows
+    # straddle the batch seam is emitted exactly once.
+    import random
+
+    from pagerank_mapreduce_spark.operators.sessions import ewma_smooth
+
+    rng = random.Random(11)
+    rows = []
+    for uid in range(6):
+        for i in range(rng.randint(1, 60)):
+            rows.append((uid, i, float(rng.randint(-5, 50))))
+    df = spark.createDataFrame(rows, "user_id long, t long, v double")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r.user_id: (r.n, r.ewma_last, r.ewma_max)
+            for r in ewma_smooth(df, "t", "user_id", "v", 0.2).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    a, b = 0.2, 0.8
+    series = {}
+    for uid, t, v in sorted(rows):
+        e, mx, n = series.get(uid, (None, None, 0))
+        e = v if e is None else (a * v) + (b * e)
+        mx = e if mx is None or e > mx else mx
+        series[uid] = (e, mx, n + 1)
+    want = {
+        uid: (n, round(e, 6), round(mx, 6))
+        for uid, (e, mx, n) in series.items()
+    }
+    assert got == want
