@@ -608,3 +608,46 @@ def holt_smooth(
         F.col("_k").alias(by), "n", "level_last", "trend_last",
         "forecast_1",
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    unit: str = "hour",
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """OHLC candle resampling: per (key, time bucket) the open
+    (first value), high, low, close (last value), count and rounded
+    sum — the standard downsampling step for any numeric series
+    (market candles, sensor rollups, metric pre-aggregation).
+
+    ONE algebraic aggregation: open/close are ``min_by``/``max_by``
+    over the (time, tiebreak) struct order — no window, no per-group
+    sort, map-side partial aggregation absorbs hot keys, which is
+    why this shape survives 100 TB where the textbook
+    row_number-window formulation pays a full per-group sort.
+    open/close/high/low are raw input doubles (identical in any
+    engine); only the sum is rounded (summation order). ``tiebreak``
+    makes the first/last picks total under timestamp collisions."""
+    tb = [F.col(tiebreak)] if tiebreak else []
+    order = F.struct(F.col(on), *tb)
+    src = df.filter(
+        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(by),
+        F.date_trunc(unit, F.col(on)).alias("bucket_ts"),
+        F.col(on),
+        F.col(value_col).cast("double").alias("_v"),
+        *tb,
+    )
+    return src.groupBy(by, "bucket_ts").agg(
+        F.min_by("_v", order).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max_by("_v", order).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("_v"), round_to).alias("vsum"),
+    )

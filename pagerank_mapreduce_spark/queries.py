@@ -7308,6 +7308,53 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_ohlc",
+    # hourly OHLC candles per event_type: open/close via the
+    # (ts, event_id) struct-ordered min_by/max_by — ONE algebraic
+    # aggregation, no window, map-side partials absorb hot keys; the
+    # oracle picks first/last with row_number windows (independent
+    # formulation), values raw doubles except the rounded sum
+    """WITH ev AS (SELECT event_type,
+                          date_trunc('hour', ts) AS bucket_ts,
+                          ts, event_id, CAST(value AS DOUBLE) AS v
+                   FROM events
+                   WHERE ts IS NOT NULL AND value IS NOT NULL),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type, bucket_ts
+                                       ORDER BY ts, event_id) AS rn_a,
+                    row_number() OVER (PARTITION BY event_type, bucket_ts
+                                       ORDER BY ts DESC, event_id DESC)
+                      AS rn_d
+             FROM ev),
+       agg AS (SELECT event_type, bucket_ts,
+                      max(v) AS high, min(v) AS low,
+                      CAST(count(*) AS BIGINT) AS n,
+                      round(sum(v), 6) AS vsum
+               FROM ev GROUP BY event_type, bucket_ts),
+       o AS (SELECT event_type, bucket_ts, v AS open FROM r
+             WHERE rn_a = 1),
+       c AS (SELECT event_type, bucket_ts, v AS close FROM r
+             WHERE rn_d = 1)
+       SELECT a.event_type, a.bucket_ts, o.open, a.high, a.low,
+              c.close, a.n, a.vsum
+       FROM agg a
+       JOIN o USING (event_type, bucket_ts)
+       JOIN c USING (event_type, bucket_ts)""",
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the standard numeric-series downsampling (market candles /
+    # sensor rollups) — operators/sessions.py: ohlc_resample
+    from pagerank_mapreduce_spark.operators.sessions import (
+        ohlc_resample,
+    )
+
+    return ohlc_resample(
+        _t(spark, sf_dir, "events"), "ts", "event_type", "value",
+        "hour", "event_id",
+    )
+
+
 # Holt's linear-trend recurrence, replayed generation-exactly: the
 # b-update's reference to the NEW level is inlined as the same
 # expression, so every intermediate double matches the Python fold
