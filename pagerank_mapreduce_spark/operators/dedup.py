@@ -1062,6 +1062,82 @@ def jaccard_prefix_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC shingle-set containment join: every ordered pair
+    (a, b), a ≠ b, with ``C(a→b) = |A ∩ B| / |A| >= threshold`` over
+    the df-pruned k-shingle sets — Broder 1997's *containment*
+    companion to resemblance, and the quote/subset detector Jaccard
+    structurally misses (a 50-token quote inside a 5,000-token page
+    has J ≈ 0.01 but C = 1.0: boilerplate inclusion, quotation,
+    page-in-site nesting).
+
+    Prefix filtering still applies on the CONTAINED side: with
+    shingles ordered by ascending corpus frequency, a must share one
+    of its first ``|A| − ceil(t·|A|) + 1`` rarest shingles with b
+    (same theorem as :func:`jaccard_prefix_pairs`; the bound uses
+    only |A|, so it is valid for containment too). The contained
+    side joins its PREFIX shingles; the containing side must join
+    its FULL shingle list — which is what would make raw containment
+    quadratic under boilerplate shingles, so shingles with
+    ``df > max_df`` are removed from the SETS (not just the join),
+    exactly the replayable df-pruning contract of
+    ``tfidf_cosine_pairs``: the pruned containment is computed
+    exactly, and every per-shingle bucket is ≤ max_df members by
+    construction (on natural corpora k-shingles are already
+    selective — the fixture max df is 25 — so the cap is the 100 TB
+    posture, not a fixture crutch). Output (a, b, containment),
+    directional, rounded to 6; docs whose pruned set is empty emit
+    nothing."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles(text_col, k))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    pruned = toks.join(dfreq.filter(F.col("dfc") <= max_df), "tok")
+    per_doc = pruned.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dfc", "tok"))),
+            lambda s: s["tok"],
+        ).alias("ts")
+    )
+    n = F.size("ts")
+    plen = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+    prefixes = per_doc.select(
+        F.col("doc_id").alias("a"),
+        F.explode(F.slice("ts", 1, plen)).alias("tok"),
+    )
+    owners = pruned.select(F.col("tok"), F.col("doc_id").alias("b"))
+    cand = (
+        prefixes.join(owners, "tok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    a_sets = per_doc.select(
+        F.col("doc_id").alias("a"), F.col("ts").alias("_ta")
+    )
+    b_sets = per_doc.select(
+        F.col("doc_id").alias("b"), F.col("ts").alias("_tb")
+    )
+    cont = F.size(F.array_intersect("_ta", "_tb")) / F.size("_ta")
+    return (
+        cand.join(a_sets, "a")
+        .join(b_sets, "b")
+        .withColumn("_c", cont)
+        .filter(F.col("_c") >= threshold)
+        .select("a", "b", F.round("_c", 6).alias("containment"))
+    )
+
+
 # ------------------------- deletion-neighborhood fuzzy match (r8)
 
 

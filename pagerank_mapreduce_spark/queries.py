@@ -4463,6 +4463,47 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_containment",
+    # Broder's CONTAINMENT |A∩B|/|A| over 3-shingle sets — the
+    # asymmetric quote/subset detector resemblance misses; oracle =
+    # BRUTE-FORCE all ordered pairs on the same df-pruned sets, so
+    # parity proves the contained-side prefix filter is lossless
+    # (every qualifying directional pair survived generation), not
+    # just the verify arithmetic. Quadratic oracle-side only.
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                                       '\\s+'),
+                                    x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(len(t) - 2),
+                              i -> array_to_string(t[i+1:i+3], ' '))
+                  END) AS s
+         FROM toks),
+       s1 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       dfr AS (SELECT g, count(*) AS df FROM s1 GROUP BY g),
+       pruned AS (SELECT doc_id, list(g) AS s
+                  FROM s1 JOIN dfr USING (g) WHERE df <= 100
+                  GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(a.s) AS c
+             FROM pruned a JOIN pruned b ON a.doc_id <> b.doc_id)
+       SELECT a, b, round(c, 6) AS containment FROM p
+       WHERE c >= 0.7""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # directional near-inclusion over shingle sets
+    # (operators/dedup.py: containment_pairs)
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+@_q(
     "dedup_paragraphs_incremental",
     # the ingest kernel replayed exactly: index = every distinct
     # chunk fingerprint of the even-id seed corpus; the odd-id batch
