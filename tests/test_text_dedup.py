@@ -1155,3 +1155,34 @@ def test_keep_best_elects_highest_quality_duplicate(spark):
     assert low[hello_fp[0]] == 1       # min-id policy picks 1
     another = [v for v in best.values() if v[0] in (5, 6)]
     assert another == [(5, 7)]         # score tie -> lowest id
+
+
+def test_containment_is_directional_and_detects_inclusion(spark):
+    # doc 2 is a strict prefix of doc 1: every shingle of doc 2
+    # appears in doc 1, so C(2->1) = 1.0 while C(1->2) < 1 (and below
+    # the threshold here) -- the asymmetry Jaccard cannot express
+    from pagerank_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "alpha beta gamma delta epsilon"
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.a, r.b): r.containment
+        for r in containment_pairs(df, threshold=0.7, max_df=10).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    # lower threshold surfaces the reverse direction too: doc 1 has 8
+    # shingles, 3 of them inside doc 2 -> C(1->2) = 0.375
+    got_lo = {
+        (r.a, r.b): r.containment
+        for r in containment_pairs(
+            df, threshold=0.3, max_df=10
+        ).collect()
+    }
+    assert got_lo[(1, 2)] == 0.375 and got_lo[(2, 1)] == 1.0
+    assert (3, 1) not in got_lo and (1, 3) not in got_lo
