@@ -222,16 +222,26 @@ def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
             "ratio": round(math.exp(lg), 3)}
 
 
+# the driver's 2000-char tail physically caps how many per-query
+# names fit on one JSON line (~25 chars each at 1 decimal); past this
+# count the FASTEST entries roll up into a `rest` summary on the
+# driver-facing line — the committed BENCH_r*_local.json always
+# carries the complete map, so nothing is lost from the record
+MAX_FINAL_ENTRIES = 68
+
+
 def final_line(
     timings: dict[str, float], total: float, sf: float, budget: int = 1900
 ) -> str:
     """The one line the driver must be able to parse out of its
-    2000-char stdout tail: compact separators, and if the headline set
-    ever grows the line past ``budget``, per-query values degrade to
-    2 then 1 decimals (the detail line keeps 3) before anything
-    structural is at risk. Asserts the budget holds so growth past
-    every lever fails HERE, at bench time, not silently at the
-    driver."""
+    2000-char stdout tail: compact separators; if the headline set
+    grows the line past ``budget``, per-query values degrade to 2
+    then 1 decimals (the detail line keeps 3), then the FASTEST
+    entries beyond ``MAX_FINAL_ENTRIES`` roll up into
+    ``rest: {n, sum}`` (slowest entries — the regression-relevant
+    ones — stay named), then geo_cmp drops. Asserts the budget holds
+    so growth past every lever fails HERE, at bench time, not
+    silently at the driver."""
     root = os.path.dirname(os.path.abspath(__file__))
     doc = {
         "metric": "headline_queries_total_wall",
@@ -244,10 +254,21 @@ def final_line(
     if cmp_:
         doc["geo_cmp"] = cmp_
     line = json.dumps(doc, separators=(",", ":"))
+    digits = 3
     for digits in (2, 1):
         if len(line) <= budget:
             break
         doc["queries"] = {q: round(v, digits) for q, v in timings.items()}
+        line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > budget and len(timings) > MAX_FINAL_ENTRIES:
+        keep = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        named = dict(keep[:MAX_FINAL_ENTRIES])
+        rest = keep[MAX_FINAL_ENTRIES:]
+        doc["queries"] = {q: round(v, digits) for q, v in named.items()}
+        doc["rest"] = {
+            "n": len(rest),
+            "sum": round(sum(v for _, v in rest), 2),
+        }
         line = json.dumps(doc, separators=(",", ":"))
     if len(line) > budget and "geo_cmp" in doc:
         # last lever before failing: the geomean also lives in the

@@ -26,8 +26,37 @@ def test_final_line_fits_driver_tail_and_parses():
     doc = json.loads(line)
     assert doc["metric"] == "headline_queries_total_wall"
     assert doc["unit"] == "sec"
-    assert set(doc["queries"]) == set(bench.BENCH_QUERIES)
     assert doc["sf"] == 0.1
+    # every named entry is a real headline query; past the line's
+    # physical capacity the FASTEST entries roll up into rest{n, sum}
+    # (slowest — regression-relevant — stay named), and the rollup
+    # accounts for every missing name
+    assert set(doc["queries"]) <= set(bench.BENCH_QUERIES)
+    missing = set(bench.BENCH_QUERIES) - set(doc["queries"])
+    if missing:
+        assert doc["rest"]["n"] == len(missing)
+        assert doc["rest"]["sum"] == round(
+            sum(timings[q] for q in missing), 2
+        )
+        assert len(doc["queries"]) == bench.MAX_FINAL_ENTRIES
+    else:
+        assert "rest" not in doc
+
+
+def test_final_line_rollup_keeps_slowest_named():
+    # distinct values: the rolled-up names must be exactly the
+    # fastest ones, never a slow entry the driver should see
+    timings = {
+        q: 100.0 - i for i, q in enumerate(bench.BENCH_QUERIES)
+    }
+    line = bench.final_line(
+        timings, round(sum(timings.values()), 3), 0.1
+    )
+    doc = json.loads(line)
+    if "rest" in doc:
+        named_min = min(doc["queries"].values())
+        rolled = set(bench.BENCH_QUERIES) - set(doc["queries"])
+        assert all(timings[q] <= named_min for q in rolled)
 
 
 def test_geo_cmp_vs_newest_local_artifact(tmp_path):
