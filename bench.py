@@ -123,11 +123,17 @@ BENCH_QUERIES = [
     "ts_ewma",
     "text_bpe_train",
     # round-10 continuation: hybrid retrieval, ranking quality,
-    # link prediction, community detection
+    # link prediction, community detection, monitors, skyline
     "text_rrf_fusion",
     "ml_ndcg_by_source",
     "graph_link_scores",
     "graph_louvain_quality",
+    "ts_holt",
+    "ts_ohlc",
+    "rel_skyline",
+    "ml_gain_deciles",
+    "sim_hybrid_fusion",
+    "dedup_containment",
 ]
 
 
