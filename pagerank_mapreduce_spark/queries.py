@@ -8280,7 +8280,12 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").alias("qty"),
     )
-    return skyline_2d(li, "price", "qty")
+    # n_buckets sizing rule (skyline_2d docstring): bucket-assign cost
+    # is O(n_buckets) per distinct x, window cost is distinct/n_buckets
+    # per partition — 583k distinct prices / 64 ≈ 9k-row local sorts,
+    # measured 2.9 → 1.6 s vs the 256 default (results invariant,
+    # pinned by the bucket-count invariance test)
+    return skyline_2d(li, "price", "qty", n_buckets=64)
 
 
 # ================ portable distinct sketch (FM/LogLog, round 7)
