@@ -7349,14 +7349,11 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "ts_ohlc",
-    # hourly OHLC candles per event_type: open/close via the
-    # (ts, event_id) struct-ordered min_by/max_by — ONE algebraic
-    # aggregation, no window, map-side partials absorb hot keys; the
-    # oracle picks first/last with row_number windows (independent
-    # formulation), values raw doubles except the rounded sum
-    """WITH ev AS (SELECT event_type,
+# shared by ts_ohlc and its streaming twin (window('1 hour').start
+# == date_trunc('hour') for hour-aligned tumbling windows): the
+# oracle picks first/last with row_number windows — an independent
+# formulation of the engines' algebraic min_by/max_by
+_OHLC_ORACLE = """WITH ev AS (SELECT event_type,
                           date_trunc('hour', ts) AS bucket_ts,
                           ts, event_id, CAST(value AS DOUBLE) AS v
                    FROM events
@@ -7381,7 +7378,15 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
               c.close, a.n, a.vsum
        FROM agg a
        JOIN o USING (event_type, bucket_ts)
-       JOIN c USING (event_type, bucket_ts)""",
+       JOIN c USING (event_type, bucket_ts)"""
+
+
+@_q(
+    "ts_ohlc",
+    # hourly OHLC candles per event_type: open/close via the
+    # (ts, event_id) struct-ordered min_by/max_by — ONE algebraic
+    # aggregation, no window, map-side partials absorb hot keys
+    _OHLC_ORACLE,
 )
 def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the standard numeric-series downsampling (market candles /
@@ -7462,6 +7467,22 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_mapreduce_spark.streaming.stateful import tws_ewma
 
     return tws_ewma(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stream_ohlc",
+    # streaming twin of ts_ohlc: tumbling-window candles through the
+    # state store — min_by/max_by are algebraic, so each open window
+    # holds one constant-size candle and the watermark drops late
+    # rows instead of reopening candles (streaming/windows.py:
+    # tumbling_ohlc); batch analogue = the same expression, checked
+    # by the shared oracle; real-stream parity in test_streaming.py
+    _OHLC_ORACLE,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.streaming.windows import tumbling_ohlc
+
+    return tumbling_ohlc(_t(spark, sf_dir, "events"))
 
 
 @_q(

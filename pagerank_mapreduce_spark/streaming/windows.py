@@ -385,3 +385,46 @@ def windowed_ks(
             F.round(F.max("_g"), round_to).alias("ks"),
         )
     )
+
+
+def tumbling_ohlc(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window OHLC candles per event_type — the streaming
+    twin of ``operators.sessions.ohlc_resample`` (same algebraic
+    min_by/max_by-over-(ts, event_id) aggregation, so the state store
+    holds one constant-size candle per open window and late data past
+    the watermark is dropped instead of reopening candles). On a
+    batch input the same expression runs as the plain aggregation,
+    which is what the oracle checks."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
+    src = src.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    v = F.col("value").cast("double")
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(v), 6).alias("vsum"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "vsum",
+        )
+    )

@@ -264,3 +264,29 @@ def test_stream_drift_ks_matches_batch(spark, sf_dir, events_batch):
     # KS) — a weak cross-diagnostic consistency check
     rows = want.collect()
     assert rows and all(0.0 <= r["ks"] <= 1.0 for r in rows)
+
+
+def test_stream_ohlc_matches_batch_and_operator(spark, sf_dir, events_batch):
+    # real-stream parity: the tumbling OHLC candle computed through
+    # the streaming state store equals the batch aggregation, which
+    # in turn equals ohlc_resample's hourly candles (window('1 hour')
+    # start == date_trunc('hour'))
+    from pagerank_mapreduce_spark.operators.sessions import (
+        ohlc_resample,
+    )
+
+    stream = W.read_events_stream(spark, sf_dir)
+    got = _drain(spark, W.tumbling_ohlc(stream), "t_ohlc")
+    want = W.tumbling_ohlc(events_batch)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    op = ohlc_resample(
+        events_batch, "ts", "event_type", "value", "hour", "event_id"
+    ).select(
+        "bucket_ts", "event_type", "open", "high", "low", "close",
+        "n", "vsum",
+    )
+    assert sorted(map(tuple, want.collect())) == sorted(
+        map(tuple, op.collect())
+    )
