@@ -870,6 +870,81 @@ def lpa_oracle_sql(edges_sql: str, rounds: int = 5) -> str:
       SELECT id, lbl AS comm FROM t WHERE rnd = {rounds}"""
 
 
+def core_numbers(edges: DataFrame, rounds: int = 12) -> DataFrame:
+    """Full k-core DECOMPOSITION — the core number of every vertex —
+    via synchronous H-index iteration (Lü, Zhou, Zhang & Stanley,
+    Nature Comms 2016): start from ``c(v) = deg(v)`` and repeatedly
+    set ``c(v) = H({c(u) : u ∈ N(v)})``, the largest h such that at
+    least h neighbors currently have value ≥ h. The iteration
+    decreases monotonically to exactly the core numbers — peeling
+    order without any peeling: no sequential vertex removal, no
+    priority queue, just a per-round join + aggregate, which is what
+    makes core decomposition distributable at all.
+
+    Runs a FIXED number of rounds (the LPA contract): once converged
+    the map is a fixpoint, so extra rounds are no-ops — on the
+    fixture graphs convergence takes 6–8 rounds at every scale and
+    the Python-peeling unit test pins exactness; at 100 TB drive the
+    round count by an ``Observation`` delta instead. Returns
+    (id, core).
+
+    Scale shape per round: one shuffle join (values ⋈ cached
+    adjacency) and one groupBy whose H-index is computed from the
+    desc-sorted neighbor-value array as ``max_i min(c_(i), i+1)`` —
+    a hub of degree d carries a d-element array exactly like the
+    wedge generators, never a window over the whole graph."""
+    sym = symmetrize(edges)
+    with _loop_confs(sym) as sym:
+        adj = sym.repartition("src").persist()
+        c = (
+            adj.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        h_of = F.array_max(
+            F.transform(
+                F.sort_array(F.collect_list("cn"), asc=False),
+                lambda x, i: F.least(x, i + F.lit(1)),
+            )
+        )
+        for r in range(rounds):
+            nb = c.alias("l").join(
+                adj.alias("e"), F.col("l.id") == F.col("e.src")
+            ).select(F.col("e.dst").alias("id"), F.col("l.c").alias("cn"))
+            c = nb.groupBy("id").agg(h_of.alias("c"))
+            if (r + 1) % 2 == 0 or r == rounds - 1:
+                c = c.localCheckpoint()
+        adj.unpersist()
+    return c.select("id", F.col("c").cast("bigint").alias("core"))
+
+
+def core_numbers_oracle_sql(edges_sql: str, rounds: int = 12) -> str:
+    """DuckDB oracle replaying :func:`core_numbers` generation for
+    generation; the H-index is row_number over the desc-sorted
+    neighbor values, ``max(least(c, rn))`` — identical to Spark's
+    sorted-array formulation."""
+    return f"""
+      WITH RECURSIVE
+      ed AS ({edges_sql}),
+      up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      sym AS (SELECT a, b FROM up UNION ALL SELECT b, a FROM up),
+      t(rnd, id, c) AS (
+        SELECT 0, a, count(*) FROM sym GROUP BY a
+        UNION ALL
+        (WITH cur AS (SELECT rnd, id, c FROM t WHERE rnd < {rounds}),
+         nb AS (SELECT l.rnd, s.b AS id, l.c AS cn
+                FROM cur l JOIN sym s ON l.id = s.a),
+         hx AS (SELECT rnd, id, max(least(cn, rn)) AS c FROM (
+                  SELECT rnd, id, cn,
+                         row_number() OVER (PARTITION BY rnd, id
+                                            ORDER BY cn DESC) AS rn
+                  FROM nb) GROUP BY rnd, id)
+         SELECT rnd + 1, id, c FROM hx)
+      )
+      SELECT id, CAST(c AS BIGINT) AS core FROM t WHERE rnd = {rounds}"""
+
+
 # --------------------------------------- strongly connected components
 
 

@@ -5985,6 +5985,33 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(e)
 
 
+def _core_numbers_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        core_numbers_oracle_sql,
+    )
+    from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
+
+    return core_numbers_oracle_sql(
+        rmat_oracle_sql(scale=9, edge_factor=8, seed=42), rounds=12
+    )
+
+
+@_q("graph_core_numbers", _core_numbers_oracle())
+def q_graph_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the FULL core decomposition (core number per vertex) via
+    # synchronous H-index iteration — peeling order without peeling,
+    # the distributable formulation (Lü et al. 2016); 12 fixed rounds
+    # (converges in 6-8 on the fixtures, fixpoint afterwards), every
+    # generation replayed by the oracle's recursive CTE
+    # (graph/algorithms.py: core_numbers)
+    from pagerank_mapreduce_spark.graph.algorithms import core_numbers
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    return core_numbers(
+        rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
+    )
+
+
 # ============================== corpus-statistics ranking (round 6)
 # TF-IDF / BM25 / bigram-LM quality scoring — corpus-relative text
 # signals (operators/ranking.py). Extension surface, no reference
