@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "ml_gain_deciles",
     "sim_hybrid_fusion",
     "dedup_containment",
+    "graph_core_numbers",
+    "stream_ohlc",
 ]
 
 
