@@ -7409,6 +7409,55 @@ _OHLC_ORACLE = """WITH ev AS (SELECT event_type,
 
 
 @_q(
+    "ts_transitions",
+    # first-order Markov transition matrix over each user's event
+    # sequence (clickstream analytics: "what follows what"): lead()
+    # under the (ts, event_id) total order per user, then one
+    # algebraic count per (from, to) pair with the row-normalized
+    # probability from a broadcast per-from total — two shuffles,
+    # both key-partitioned, no per-user state
+    """WITH ev AS (SELECT user_id, event_type, ts, event_id
+                   FROM events
+                   WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       nx AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM ev),
+       cnt AS (SELECT from_type, to_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM nx WHERE to_type IS NOT NULL
+               GROUP BY from_type, to_type),
+       tot AS (SELECT from_type, sum(n) AS tn FROM cnt
+               GROUP BY from_type)
+       SELECT c.from_type, c.to_type, c.n,
+              round(c.n / t.tn, 6) AS p
+       FROM cnt c JOIN tot t USING (from_type)""",
+)
+def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = nx.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("_tn"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_tn"), 6).alias("p"),
+    )
+
+
+@_q(
     "ts_ohlc",
     # hourly OHLC candles per event_type: open/close via the
     # (ts, event_id) struct-ordered min_by/max_by — ONE algebraic
