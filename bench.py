@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "graph_core_numbers",
     "stream_ohlc",
+    "ts_transitions",
 ]
 
 
