@@ -7408,6 +7408,123 @@ _OHLC_ORACLE = """WITH ev AS (SELECT event_type,
        JOIN c USING (event_type, bucket_ts)"""
 
 
+def _textrank_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.pagerank import (
+        pagerank_oracle_sql,
+    )
+
+    word_edges = """SELECT * FROM (
+   WITH toks0 AS (
+     SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '') AS t FROM documents),
+   prs AS (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+           FROM toks0 WHERE len(t) >= 2),
+   pw AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+          FROM prs WHERE p[1] <> p[2]),
+   cnt AS (SELECT a, b, count(*) AS c FROM pw GROUP BY a, b),
+   w AS (SELECT DISTINCT word FROM (
+           SELECT a AS word FROM cnt UNION SELECT b FROM cnt)),
+   vocab AS (SELECT word,
+                    row_number() OVER (ORDER BY word) - 1 AS wid
+             FROM w),
+   und AS (SELECT va.wid AS src, vb.wid AS dst,
+                  CAST(cnt.c AS DOUBLE) AS w
+           FROM cnt JOIN vocab va ON va.word = cnt.a
+                    JOIN vocab vb ON vb.word = cnt.b)
+   SELECT src, dst, w FROM und
+   UNION ALL SELECT dst, src, w FROM und)"""
+    pr = pagerank_oracle_sql(word_edges, max_iterations=50, weighted=True)
+    return f"""WITH toksv AS (
+     SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '') AS t FROM documents),
+   prsv AS (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+            FROM toksv WHERE len(t) >= 2),
+   pwv AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+           FROM prsv WHERE p[1] <> p[2]),
+   cntv AS (SELECT a, b FROM pwv GROUP BY a, b),
+   wv AS (SELECT DISTINCT word FROM (
+            SELECT a AS word FROM cntv UNION SELECT b FROM cntv)),
+   vocabv AS (SELECT word,
+                     row_number() OVER (ORDER BY word) - 1 AS wid
+              FROM wv)
+   SELECT v.word, prr.rank FROM ({pr}) prr
+   JOIN vocabv v ON v.wid = prr.id
+   ORDER BY prr.rank DESC, v.word LIMIT 20"""
+
+
+@_q(
+    "text_textrank",
+    # TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    # the FLAGSHIP PageRank fixed point composed with the text stack —
+    # nodes are corpus words, edges are adjacent-token co-occurrences
+    # weighted by count (the weighted variant is the paper's §2.2
+    # formulation; unweighted degenerates on this fixture's
+    # near-complete 31-word graph to 3 distinct ranks, weighted gives
+    # 31/31). Dense word ids come from a sorted-vocab row_number —
+    # vocabulary-sized, the BPE posture. The weighted recursive-CTE
+    # oracle replays the full fixed point, and the top-20 cut rides
+    # the same contraction-bounds argument as the pagerank entry
+    _textrank_oracle(),
+)
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pagerank_mapreduce_spark.functions import text as T
+    from pagerank_mapreduce_spark.graph.pagerank import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    t = T.tokens(F.col("text"))
+    pairs = (
+        docs.select(t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(
+                        F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select("p.a", "p.b")
+    )
+    cnt = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    vocab = (
+        cnt.select(F.col("a").alias("word"))
+        .unionAll(cnt.select(F.col("b").alias("word")))
+        .distinct()
+        # vocabulary-sized global row_number: bounded by the corpus
+        # VOCABULARY, not the corpus (the BPE/codebook posture)
+        .withColumn(
+            "wid", F.row_number().over(Window.orderBy("word")) - 1
+        )
+        .localCheckpoint()
+    )
+    va = vocab.select(F.col("word").alias("a"), F.col("wid").alias("_sa"))
+    vb = vocab.select(F.col("word").alias("b"), F.col("wid").alias("_sb"))
+    und = cnt.join(va, "a").join(vb, "b")
+    edges = und.select(
+        F.col("_sa").alias("src"), F.col("_sb").alias("dst"), "w"
+    ).unionAll(
+        und.select(
+            F.col("_sb").alias("src"), F.col("_sa").alias("dst"), "w"
+        )
+    )
+    res = pagerank(edges, max_iterations=50, weight_col="w")
+    return (
+        res.ranks.join(vocab, res.ranks["id"] == vocab["wid"])
+        .select("word", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(20)
+    )
+
+
 @_q(
     "ts_transitions",
     # first-order Markov transition matrix over each user's event
