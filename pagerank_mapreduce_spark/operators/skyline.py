@@ -8,7 +8,7 @@ The textbook evaluations are a quadratic self-join (NOT EXISTS
 dominance test) or a global sort with a running maximum — the two
 shapes a 100 TB job must avoid. This module computes the exact 2-D
 skyline with the repo's rank-bucketed prefix discipline
-(operators/evaluation.py \_bucketed_prefix, adapted from sums to
+(operators/evaluation.py ``_bucketed_prefix``, adapted from sums to
 maxima):
 
 1. collapse to one row per DISTINCT x with the per-x maximum y
