@@ -1341,7 +1341,10 @@ def link_prediction(
     existing edges anti-joined away, ratios rounded to 6."""
     from pagerank_mapreduce_spark.operators.dedup import hot_bucket_guard
 
-    und = edge_upper(edges).persist()
+    # eager localCheckpoint, not persist: four consumers (adj twice,
+    # the anti-join, the degree relation) share one materialization
+    # and the blocks are released when the result is dropped
+    und = edge_upper(edges).localCheckpoint()
     adj = und.select(
         F.col("a").alias("v"), F.col("b").alias("n")
     ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
@@ -1619,7 +1622,10 @@ def louvain_move(edges: DataFrame) -> DataFrame:
     ALGEBRAIC struct-min groupBy for the argmin (map-side partial
     aggregation; no window, no per-vertex loop). Feed the result to
     :func:`modularity` for the partition quality."""
-    und = edge_upper(edges).persist()
+    # eager localCheckpoint, not persist: the dedup (and, for R-MAT
+    # entries, the whole generator) has three consumers; checkpoint
+    # storage is released with the result, a persist cache is not
+    und = edge_upper(edges).localCheckpoint()
     m_row = und.agg(F.count(F.lit(1)).alias("_m"))
     adj = und.select(
         F.col("a").alias("v"), F.col("b").alias("n")
@@ -1702,9 +1708,12 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     # recompute the canonical-edge dedup — and, for generated graphs
     # (R-MAT entries), re-run the whole generator; communities has
     # three consumers with the same argument. Measured 3.4 → 1.1 s
-    # on graph_louvain_quality at the fixture scale.
-    und = edge_upper(edges).persist()
-    communities = communities.persist()
+    # on graph_louvain_quality at the fixture scale. Eager
+    # localCheckpoints, not persists: the storage is released when
+    # the results are dropped instead of accumulating in the cache
+    # across a long bench/session run.
+    und = edge_upper(edges).localCheckpoint()
+    communities = communities.localCheckpoint()
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))

@@ -1104,10 +1104,14 @@ def containment_pairs(
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     # three consumers (both posting-list sides + the sizes relation)
-    # would each re-run the shingle explosion + df join
+    # would each re-run the shingle explosion + df join; eager
+    # localCheckpoint rather than persist so the storage is released
+    # when the result is dropped (no cache entry accumulating across
+    # repeated calls in a long-lived session — the lsh_near_duplicates
+    # discipline)
     pruned = toks.join(
         dfreq.filter(F.col("dfc") <= max_df), "tok"
-    ).persist()
+    ).localCheckpoint()
     sizes = pruned.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_na")
     )

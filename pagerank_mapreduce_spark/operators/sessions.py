@@ -234,10 +234,16 @@ def _fold_series_by_key(
     data, batch count grows with data / 10k, and the fold is a
     single straight-line pass either way.
 
-    Contract: ``src`` carries the key as ``_k`` and is pre-filtered;
-    (``_k``, *sort_cols) must be a total order (the module's
-    tiebreak convention), which makes the partition-sorted stream —
-    and therefore the fold — deterministic under any partitioning.
+    Contract: ``src`` carries the key as ``_k`` and is pre-filtered —
+    including ``_k IS NOT NULL``: a null key surfaces as NaN in the
+    pandas batch, and NaN != NaN would make the key-change detection
+    below treat EVERY null-key row as a fresh key (one output row per
+    input row, where the groupBy it replaced emitted one row for the
+    whole null group). All three callers filter the key; a new caller
+    must too. (``_k``, *sort_cols) must be a total order (the
+    module's tiebreak convention), which makes the partition-sorted
+    stream — and therefore the fold — deterministic under any
+    partitioning.
     ``fold_chunk(state, values)`` consumes one contiguous same-key
     numpy slice in stream order; ``finish(key, state, out)`` appends
     one output row to the ``out`` column lists."""
@@ -315,7 +321,9 @@ def cusum_alerts(
     bit-identical. NULL timestamps/values are excluded up front
     (module convention)."""
     src = df.filter(
-        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+        F.col(by).isNotNull()
+        & F.col(on).isNotNull()
+        & F.col(value_col).isNotNull()
     ).select(
         F.col(by).alias("_k"),
         F.col(on).alias("_t"),
@@ -333,6 +341,8 @@ def cusum_alerts(
     def fold_chunk(st, vs):
         s, mx, n, at = st
         for v in vs:
+            if v != v:  # NaN guard: the streaming twin's exact skip
+                continue
             n += 1
             s = s + (float(v) - tgt)
             if s < 0.0:
@@ -491,7 +501,9 @@ def ewma_smooth(
     a = float(alpha)
     b = 1.0 - a
     src = df.filter(
-        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+        F.col(by).isNotNull()
+        & F.col(on).isNotNull()
+        & F.col(value_col).isNotNull()
     ).select(
         F.col(by).alias("_k"),
         F.col(on).alias("_t"),
@@ -507,11 +519,14 @@ def ewma_smooth(
     def fold_chunk(st, vs):
         e, mx, n = st
         for v in vs:
+            if v != v:  # NaN guard: the streaming twin's exact skip
+                continue
             v = float(v)
+            n += 1
             e = v if e is None else (a * v) + (b * e)
             if mx is None or e > mx:
                 mx = e
-        st[0], st[1], st[2] = e, mx, n + len(vs)
+        st[0], st[1], st[2] = e, mx, n
 
     def finish(k, st, out):
         out["_k"].append(k)
@@ -563,7 +578,9 @@ def holt_smooth(
     g = float(beta)
     gc = 1.0 - g
     src = df.filter(
-        F.col(on).isNotNull() & F.col(value_col).isNotNull()
+        F.col(by).isNotNull()
+        & F.col(on).isNotNull()
+        & F.col(value_col).isNotNull()
     ).select(
         F.col(by).alias("_k"),
         F.col(on).alias("_t"),
@@ -579,7 +596,10 @@ def holt_smooth(
     def fold_chunk(st, vs):
         lev, b, n = st
         for v in vs:
+            if v != v:  # NaN guard: the streaming twin's exact skip
+                continue
             v = float(v)
+            n += 1
             if lev is None:
                 lev = v
                 b = 0.0
@@ -587,7 +607,7 @@ def holt_smooth(
                 lnew = (a * v) + (ac * (lev + b))
                 b = (g * (lnew - lev)) + (gc * b)
                 lev = lnew
-        st[0], st[1], st[2] = lev, b, n + len(vs)
+        st[0], st[1], st[2] = lev, b, n
 
     def finish(k, st, out):
         out["_k"].append(k)
