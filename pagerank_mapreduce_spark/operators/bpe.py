@@ -70,13 +70,42 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 6,
     text_col: str = "text",
+    mode: str = "distributed",
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus.
 
     Output, one row per merge in order:
     (merge_rank INT, left STRING, right STRING, merged STRING,
     pair_count BIGINT) — ``pair_count`` is the pair's corpus-weighted
-    adjacent-position count at the moment it was chosen."""
+    adjacent-position count at the moment it was chosen.
+
+    Two execution modes producing IDENTICAL merges (pinned by test
+    and by the shared DuckDB oracle):
+
+    - ``distributed`` — one Spark job per merge over the vocabulary
+      relation (pair-count aggregate → 1-row argmax → map-side
+      rewrite). Cost is ~one fixed job overhead × ``n_merges``:
+      exact, fully distributed, but a real tokenizer needs 10⁴–10⁵
+      merges and tens of thousands of sequential driver jobs do not
+      extrapolate. Use it when merges are few or the vocabulary is
+      too large for one task.
+    - ``vocab_local`` — the 100 TB-viable shape, and how production
+      tokenizer trainers actually work (Sennrich's learn_bpe, HF
+      tokenizers): the corpus is touched ONCE for the distributed
+      word count, then the greedy merge loop runs over the counted
+      vocabulary (|V| ≈ 10⁶–10⁷ rows for a web corpus — several
+      orders below corpus size) inside a single single-partition
+      ``mapInPandas`` kernel with incremental pair-count updates
+      (only words containing the chosen pair are recounted). One
+      Spark job for ANY number of merges; the kernel replays the
+      exact argmax tie-break (count desc, then the ``l␟␟r`` pair
+      string asc — byte-identical to the distributed orderBy) and
+      the exact left-to-right non-overlapping rewrite.
+    """
+    if mode == "vocab_local":
+        return _bpe_train_vocab_local(docs, n_merges, text_col)
+    if mode != "distributed":
+        raise ValueError(f"bpe_train: unknown mode {mode!r}")
     spark = docs.sparkSession
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
@@ -115,6 +144,140 @@ def bpe_train(
         "merge_rank int, left string, right string, merged string, "
         "pair_count bigint",
     )
+
+
+_MERGE_SCHEMA = (
+    "merge_rank int, left string, right string, merged string, "
+    "pair_count bigint"
+)
+
+
+def _bpe_train_vocab_local(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> DataFrame:
+    """The vocab_local mode of :func:`bpe_train`: distributed word
+    count, then the greedy loop in one Arrow kernel on the
+    single-partitioned vocabulary. See bpe_train's docstring for the
+    scale argument; the kernel is order-independent (counting is
+    commutative, the tie-break total), so any partition layout of the
+    incoming vocabulary yields the same merges."""
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(~F.col("w").contains(SEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        words: list[str] = []
+        counts: list[int] = []
+        for pdf in batches:
+            words.extend(pdf["w"].tolist())
+            counts.extend(int(x) for x in pdf["c"].tolist())
+        out = _greedy_merges(words, counts, n_merges)
+        yield pd.DataFrame(
+            {
+                "merge_rank": pd.array(
+                    [r[0] for r in out], dtype="int32"
+                ),
+                "left": [r[1] for r in out],
+                "right": [r[2] for r in out],
+                "merged": [r[3] for r in out],
+                "pair_count": pd.array(
+                    [r[4] for r in out], dtype="int64"
+                ),
+            }
+        )
+
+    return vocab.coalesce(1).mapInPandas(kernel, _MERGE_SCHEMA)
+
+
+def _greedy_merges(
+    words: list[str], counts: list[int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-memory greedy BPE over a counted vocabulary with
+    incremental pair-count maintenance — the exact semantics of the
+    distributed loop:
+
+    - pair counting: EVERY adjacent symbol position (``aaa`` holds
+      two (a,a) positions), corpus-weighted by word count;
+    - argmax tie-break: count desc, then the ``l␟␟r`` pair STRING
+      ascending (the distributed orderBy's key — compared as a
+      string, not a tuple, so symbols containing code points below
+      ``␟`` cannot reorder ties between the two modes);
+    - rewrite: left-to-right non-overlapping within each word, the
+      scan order Java's ``String.replace`` and DuckDB's ``replace``
+      share (``aaaa`` under (a,a) → ``(aa)(aa)``).
+
+    Per merge, only the words CONTAINING the chosen pair are
+    recounted (delta-updated) — the standard trainer optimization
+    that makes 10⁴ merges ~linear instead of quadratic."""
+    from collections import Counter, defaultdict
+
+    syms: list[tuple[str, ...]] = [tuple(w) for w in words]
+    pair_n: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (t, c) in enumerate(zip(syms, counts)):
+        for j in range(len(t) - 1):
+            p = (t[j], t[j + 1])
+            pair_n[p] += c
+            pair_words[p].add(i)
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_n:
+            break
+        best = max(
+            pair_n.items(),
+            key=lambda kv: (kv[1], _neg_str(kv[0][0] + SEP + SEP + kv[0][1])),
+        )
+        (left, right), n = best
+        out.append((rank, left, right, left + right, int(n)))
+        merged = left + right
+        for i in sorted(pair_words[(left, right)]):
+            t, c = syms[i], counts[i]
+            # delta out the old adjacency counts of this word
+            for j in range(len(t) - 1):
+                p = (t[j], t[j + 1])
+                pair_n[p] -= c
+                if pair_n[p] <= 0:
+                    del pair_n[p]
+            # left-to-right non-overlapping rewrite
+            new: list[str] = []
+            j = 0
+            while j < len(t):
+                if (
+                    j < len(t) - 1
+                    and t[j] == left
+                    and t[j + 1] == right
+                ):
+                    new.append(merged)
+                    j += 2
+                else:
+                    new.append(t[j])
+                    j += 1
+            nt = tuple(new)
+            syms[i] = nt
+            for j in range(len(nt) - 1):
+                p = (nt[j], nt[j + 1])
+                pair_n[p] += c
+                pair_words[p].add(i)
+        del pair_words[(left, right)]
+    return out
+
+
+class _neg_str(str):
+    """Inverts string comparison so ``max(key=(count, _neg_str(p)))``
+    realizes (count DESC, pair-string ASC) in a single max()."""
+
+    __slots__ = ()
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+    def __gt__(self, other):  # type: ignore[override]
+        return str.__lt__(self, other)
 
 
 def bpe_oracle_sql(n_merges: int = 6) -> str:
@@ -172,6 +335,8 @@ def bpe_token_counts(
     n_merges: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunk_size: int = 64,
+    train_mode: str = "distributed",
 ) -> DataFrame:
     """Apply the corpus-learned merges (:func:`bpe_train`) back to the
     corpus and report per-document BPE token counts — the tokenizer
@@ -180,19 +345,32 @@ def bpe_token_counts(
     functions/text.py approximate this with fixed vocabularies).
 
     Scale shape: training is vocabulary-sized (see bpe_train); the
-    apply step segments each DISTINCT word once (k chained map-side
-    replaces over the vocabulary relation) and broadcasts nothing —
-    documents join their words' segment lengths by word string and
-    aggregate per doc, so the corpus is touched twice total (count
-    words, join back). The merge list is k rows collected to the
-    driver — constant-size, the codebook discipline.
+    apply step segments each DISTINCT word once and broadcasts
+    nothing — documents join their words' segment lengths by word
+    string and aggregate per doc, so the corpus is touched twice
+    total (count words, join back). The merge list is k rows
+    collected to the driver — constant-size, the codebook
+    discipline.
+
+    The k merges are applied to the distinct-word relation in
+    CHUNKS of ``chunk_size`` chained ``replace``s, with an eager
+    ``localCheckpoint`` of the (vocabulary-sized — the cheap kind)
+    relation between chunks. A single expression of k chained
+    replaces is exact but unbounded: at a real vocabulary
+    (k ≈ 32 000) Catalyst analysis alone would not survive a 32k-
+    deep expression tree — chunking bounds the plan depth at
+    ``chunk_size`` regardless of k, at the cost of ⌈k/chunk⌉
+    vocabulary-relation materializations. Merge ORDER is preserved
+    (chunks partition the ordered list), so the segmentation is
+    bit-identical to the single-expression form — pinned by test
+    and by the chunked catalog entry's DuckDB oracle.
 
     Output: (``id_col``, n_words BIGINT, n_bpe_tokens BIGINT) —
     n_bpe_tokens = Σ over the document's words of the word's symbol
     count after all k merges."""
     merges = [
         (r["left"], r["right"])
-        for r in bpe_train(docs, n_merges, text_col)
+        for r in bpe_train(docs, n_merges, text_col, mode=train_mode)
         .orderBy("merge_rank")
         .collect()
     ]
@@ -201,16 +379,27 @@ def bpe_token_counts(
         .filter(~F.col("_w").contains(SEP))
         .distinct()
     )
-    seg = _sym_string(F.col("_w"))
-    for left, right in merges:
-        seg = F.replace(
-            seg,
-            F.lit(SEP + left + SEP + SEP + right + SEP),
-            F.lit(SEP + left + right + SEP),
-        )
+    word_seg = words.select("_w", _sym_string(F.col("_w")).alias("_s"))
+    for c0 in range(0, len(merges), max(1, chunk_size)):
+        seg = F.col("_s")
+        for left, right in merges[c0 : c0 + max(1, chunk_size)]:
+            seg = F.replace(
+                seg,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            )
+        word_seg = word_seg.select("_w", seg.alias("_s"))
+        if c0 + chunk_size < len(merges):
+            # bound the expression depth: materialize the vocabulary-
+            # sized relation and start the next chunk from plain
+            # columns (eager checkpoint storage is released with the
+            # result — the module's persist discipline)
+            word_seg = word_seg.localCheckpoint()
     # symbols = non-empty pieces between double separators
-    seg_len = F.size(F.filter(F.split(seg, SEP + SEP), lambda x: x != ""))
-    word_len = words.select("_w", seg_len.cast("bigint").alias("_l"))
+    seg_len = F.size(
+        F.filter(F.split(F.col("_s"), SEP + SEP), lambda x: x != "")
+    )
+    word_len = word_seg.select("_w", seg_len.cast("bigint").alias("_l"))
     per_doc = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
     ).filter(~F.col("_w").contains(SEP))

@@ -6678,6 +6678,45 @@ def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_token_counts(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+@_q(
+    "text_bpe_merges_local",
+    # the vocab_local trainer (round 11): distributed word count +
+    # the greedy loop with incremental pair updates inside ONE
+    # single-partition Arrow kernel — one Spark job for ANY merge
+    # count, vs one job PER merge in distributed mode (the shape that
+    # makes 10⁴–10⁵-merge vocabularies trainable; operators/bpe.py).
+    # The oracle is the same unrolled-CTE replay as text_bpe_train,
+    # at k=24 — hash equality here IS the cross-engine proof that the
+    # in-memory kernel's counting, tie-break and rewrite are exactly
+    # the distributed (and DuckDB) semantics
+    BPE.bpe_oracle_sql(n_merges=24),
+)
+def q_text_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=24, mode="vocab_local"
+    )
+
+
+@_q(
+    "text_bpe_apply_chunked",
+    # the chunk-batched tokenizer APPLY (round 11): 12 merges applied
+    # to the distinct-word relation in chunks of 4 chained replaces
+    # with a localCheckpoint between chunks — plan depth bounded at
+    # chunk_size regardless of merge count (a 32k-deep replace tree
+    # would not survive Catalyst analysis; operators/bpe.py). The
+    # oracle applies all 12 in one expression: hash equality proves
+    # chunking preserves the segmentation bit-for-bit
+    BPE.bpe_apply_oracle_sql(n_merges=12),
+)
+def q_text_bpe_apply_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_token_counts(
+        _t(spark, sf_dir, "documents"),
+        n_merges=12,
+        chunk_size=4,
+        train_mode="vocab_local",
+    )
+
+
 # ============================ rank-statistic evaluation (round 8)
 
 
@@ -7408,15 +7447,27 @@ _OHLC_ORACLE = """WITH ev AS (SELECT event_type,
        JOIN c USING (event_type, bucket_ts)"""
 
 
-def _textrank_oracle() -> str:
+# the sequence-unit expressions of the two TextRank entries, DuckDB
+# side: words = the token list itself; phrases = the list of adjacent-
+# token bigram strings (vertex count = the DISTINCT BIGRAM vocabulary,
+# ~30× the 31-word fixture vocabulary — the realistic-graph variant)
+_TEXTRANK_UNIT_WORDS = "t"
+_TEXTRANK_UNIT_BIGRAMS = (
+    "CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[]) ELSE "
+    "list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1]) END"
+)
+
+
+def _textrank_oracle(unit_sql: str = _TEXTRANK_UNIT_WORDS) -> str:
     from pagerank_mapreduce_spark.graph.pagerank import (
         pagerank_oracle_sql,
     )
 
-    word_edges = """SELECT * FROM (
-   WITH toks0 AS (
+    word_edges = f"""SELECT * FROM (
+   WITH toks00 AS (
      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
                         x -> x <> '') AS t FROM documents),
+   toks0 AS (SELECT {unit_sql} AS t FROM toks00),
    prs AS (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
            FROM toks0 WHERE len(t) >= 2),
    pw AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
@@ -7434,9 +7485,10 @@ def _textrank_oracle() -> str:
    SELECT src, dst, w FROM und
    UNION ALL SELECT dst, src, w FROM und)"""
     pr = pagerank_oracle_sql(word_edges, max_iterations=50, weighted=True)
-    return f"""WITH toksv AS (
+    return f"""WITH toksv0 AS (
      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
                         x -> x <> '') AS t FROM documents),
+   toksv AS (SELECT {unit_sql} AS t FROM toksv0),
    prsv AS (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
             FROM toksv WHERE len(t) >= 2),
    pwv AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
@@ -7467,15 +7519,53 @@ def _textrank_oracle() -> str:
     _textrank_oracle(),
 )
 def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _textrank_topk(_t(spark, sf_dir, "documents"), lambda t: t)
+
+
+def _bigram_seq(t: F.Column) -> F.Column:
+    """Adjacent-token bigram strings of token array ``t`` (the unit
+    sequence of the phrase-graph TextRank variant)."""
+    n = F.size(t)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+
+
+@_q(
+    "text_textrank_phrases",
+    # TextRank over the PHRASE (adjacent-token bigram) graph — the
+    # realistic-vocabulary twin of text_textrank (round 11): the
+    # fixture's 31-word graph is near-complete and the PageRank loop
+    # is pure fixed job overhead there, so regressions in the
+    # text→graph→fixed-point path were bench-invisible. Bigram
+    # vertices grow the graph ~30× (916 vertices at sf0.01) with the
+    # same machinery end to end; this entry rides the bench headline
+    # set. Keyphrase-unit ranking is the multi-word half of Mihalcea
+    # & Tarau 2004 §3.1 (sequences of adjacent units as candidates)
+    _textrank_oracle(_TEXTRANK_UNIT_BIGRAMS),
+)
+def q_text_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _textrank_topk(_t(spark, sf_dir, "documents"), _bigram_seq)
+
+
+def _textrank_topk(docs: DataFrame, unit_fn) -> DataFrame:
+    """Shared TextRank machinery (both entries above): weighted
+    PageRank over the co-occurrence graph of ADJACENT elements of the
+    unit sequence ``unit_fn(tokens)``, full fixed point, top-20 by
+    (rank desc, unit asc). Dense vertex ids come from a sorted-vocab
+    row_number — vocabulary-sized, the BPE/codebook posture."""
     from pyspark.sql.window import Window
 
     from pagerank_mapreduce_spark.functions import text as T
     from pagerank_mapreduce_spark.graph.pagerank import pagerank
 
-    docs = _t(spark, sf_dir, "documents")
-    t = T.tokens(F.col("text"))
+    seq = unit_fn(T.tokens(F.col("text")))
     pairs = (
-        docs.select(t.alias("_t"))
+        docs.select(seq.alias("_t"))
         .filter(F.size("_t") >= 2)
         .select(
             F.explode(

@@ -566,3 +566,10 @@ def test_bpe_train_matches_textbook_greedy(spark, words, k):
         for r in bpe_train(docs, n_merges=k).collect()
     ]
     assert got == want
+    # the vocab_local trainer (one Arrow kernel, incremental pair
+    # maintenance) must replay the identical merge sequence
+    got_local = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=k, mode="vocab_local").collect()
+    ]
+    assert got_local == want

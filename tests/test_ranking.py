@@ -256,6 +256,63 @@ def test_bpe_token_counts_consistent_with_merges(spark):
         assert k3[d]["n_bpe_tokens"] < zero[d]["n_bpe_tokens"]
 
 
+def test_bpe_vocab_local_matches_distributed_incl_exhaustion(spark):
+    # the two trainer modes are one algorithm with two physical
+    # plans: identical merges at every rank, including the
+    # exhaustion point where the vocabulary collapses to single
+    # symbols and BOTH must stop at the same rank
+    from pagerank_mapreduce_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "oooo ooo oo lowest newest"),
+            (2, "newest newest abab ababab"),
+            (3, "widest wide wid oooo abab"),
+        ],
+        "doc_id long, text string",
+    )
+    # 200 >> the possible merge count: exercises exhaustion
+    for k in (5, 200):
+        a = [tuple(r) for r in bpe_train(docs, n_merges=k).collect()]
+        b = [
+            tuple(r)
+            for r in bpe_train(
+                docs, n_merges=k, mode="vocab_local"
+            ).collect()
+        ]
+        assert a == b, (k, a[:4], b[:4])
+    assert 0 < len(a) < 200  # exhaustion actually hit
+
+
+def test_bpe_apply_chunked_matches_single_expression(spark):
+    # chunking the merge application (bounded plan depth) must be
+    # bit-identical to the single chained-replace expression for
+    # every chunk size, including chunk 1 (one checkpoint per merge)
+    from pagerank_mapreduce_spark.operators.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest lowest newest oooo"),
+            (2, "newest newest widest ababab"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r)
+        for r in bpe_token_counts(docs, n_merges=9, chunk_size=10**6)
+        .collect()
+    )
+    for chunk in (1, 2, 4):
+        got = sorted(
+            tuple(r)
+            for r in bpe_token_counts(
+                docs, n_merges=9, chunk_size=chunk,
+                train_mode="vocab_local",
+            ).collect()
+        )
+        assert got == want, chunk
+
+
 def test_rrf_fuse_hand_computed(spark):
     from pagerank_mapreduce_spark.operators.ranking import rrf_fuse
 
