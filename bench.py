@@ -137,6 +137,11 @@ BENCH_QUERIES = [
     "graph_core_numbers",
     "stream_ohlc",
     "ts_transitions",
+    # round-11 additions: realistic-graph TextRank (the r10 verdict's
+    # bench blind spot), scale-viable BPE paths
+    "text_textrank_phrases",
+    "text_bpe_merges_local",
+    "text_bpe_apply_chunked",
 ]
 
 
@@ -201,11 +206,9 @@ def main() -> None:
     spark.stop()
 
 
-def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
-    """Geomean runtime ratio vs the newest committed BENCH_r*_local.json
-    over the queries present in both (current/previous, <1 = faster)."""
+def _prev_local(root: str) -> tuple[str, dict] | None:
+    """The newest committed BENCH_r*_local.json's (tag, queries)."""
     import glob
-    import math
 
     best = None
     for path in glob.glob(os.path.join(root, "BENCH_r*_local.json")):
@@ -219,6 +222,20 @@ def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
             prev = json.load(fh).get("queries", {})
     except (OSError, ValueError):
         return None
+    return f"r{best[0]:02d}_local", prev
+
+
+def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
+    """Geomean runtime ratio vs the newest committed BENCH_r*_local.json
+    over the queries present in both (current/previous, <1 = faster) —
+    computed over the FULL timing map, before any final-line rollup,
+    so the comparable set never shrinks with line capacity."""
+    import math
+
+    pl = _prev_local(root)
+    if pl is None:
+        return None
+    _, prev = pl
     shared = [
         q for q in timings
         if isinstance(prev.get(q), (int, float)) and prev[q] > 0
@@ -227,7 +244,7 @@ def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
     if not shared:
         return None
     lg = sum(math.log(timings[q] / prev[q]) for q in shared) / len(shared)
-    return {"vs": f"r{best[0]:02d}_local", "n": len(shared),
+    return {"vs": pl[0], "n": len(shared),
             "ratio": round(math.exp(lg), 3)}
 
 
@@ -240,7 +257,11 @@ MAX_FINAL_ENTRIES = 68
 
 
 def final_line(
-    timings: dict[str, float], total: float, sf: float, budget: int = 1900
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    budget: int = 1900,
+    root: str | None = None,
 ) -> str:
     """The one line the driver must be able to parse out of its
     2000-char stdout tail: compact separators; if the headline set
@@ -251,7 +272,8 @@ def final_line(
     ones — stay named), then geo_cmp drops. Asserts the budget holds
     so growth past every lever fails HERE, at bench time, not
     silently at the driver."""
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     doc = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -270,7 +292,29 @@ def final_line(
         doc["queries"] = {q: round(v, digits) for q, v in timings.items()}
         line = json.dumps(doc, separators=(",", ":"))
     if len(line) > budget and len(timings) > MAX_FINAL_ENTRIES:
-        keep = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        # which entries get NAMED on the capped line (r10 verdict
+        # item 3 — a pure slowest-first cut silently dropped the
+        # round-over-round number for whichever fast entries moved):
+        #   1. every entry whose ratio vs the newest committed local
+        #      artifact moved >1.15x either way (regression-relevant
+        #      regardless of absolute cost),
+        #   2. every entry NEW since that artifact (first driver
+        #      number on record),
+        #   3. then the slowest of the rest until capacity.
+        # Unmoved, previously-recorded fast entries roll up into
+        # rest{n,sum}; their numbers stay in BENCH_r*_local.json.
+        pl = _prev_local(root)
+        prev = pl[1] if pl else {}
+
+        def prio(q: str) -> tuple:
+            p = prev.get(q)
+            if not isinstance(p, (int, float)) or p <= 0:
+                return (1, -timings[q])  # new entry
+            r = timings[q] / p if timings[q] > 0 else 1.0
+            moved = r > 1.15 or r < 1 / 1.15
+            return (1 if moved else 2, -timings[q])
+
+        keep = sorted(timings.items(), key=lambda kv: (*prio(kv[0]), kv[0]))
         named = dict(keep[:MAX_FINAL_ENTRIES])
         rest = keep[MAX_FINAL_ENTRIES:]
         doc["queries"] = {q: round(v, digits) for q, v in named.items()}

@@ -791,15 +791,26 @@ def kcore_oracle_sql(edges_sql: str, max_iterations: int = 100) -> str:
 # ------------------------------------------------ label propagation
 
 
-def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 5, info: dict | None = None
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) for
     community detection, made fully deterministic: every vertex
     starts as its own label; each round adopts the most frequent
     label among its neighbors, ties broken toward the smallest label.
     Runs a FIXED number of rounds — synchronous LPA can oscillate, so
     a fixed-round spec is the honest, replayable contract (and what
-    the DuckDB oracle mirrors generation for generation). Returns
-    (id, comm).
+    the DuckDB oracle mirrors generation for generation). Unlike
+    :func:`core_numbers` there is no monotone progress measure, so
+    the engine never early-exits — but it is no longer SILENT about
+    non-convergence (round 11): pass ``info={}`` to receive
+    ``converged`` (did the LAST round change any label — one extra
+    |V|-sized join probe, run only on request) plus ``rounds_used``
+    and ``changed_last_round``. ``converged=False`` on a graph that
+    matters means: raise ``rounds``, or accept the generation cut —
+    oscillating 2-cycles (bipartite flip-flops) will NEVER converge
+    under the synchronous update and the fixed-round contract is the
+    standard answer. Returns (id, comm).
 
     Beyond-reference extension of the OINK graph suite. Scale shape:
     per round, one shuffle join (labels ⋈ cached edges) and two
@@ -817,7 +828,13 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
             .select("id", F.col("id").alias("lbl"))
             .localCheckpoint()
         )
+        prev = None
         for r in range(rounds):
+            if info is not None and r == rounds - 1:
+                # the pre-final generation: at most one round of
+                # recompute above the latest checkpoint when the
+                # probe below consumes it a second time
+                prev = labels
             cnt = (
                 labels.alias("l")
                 .join(adj.alias("e"), F.col("l.id") == F.col("e.src"))
@@ -838,6 +855,18 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
             # deeper fusion loses to plan depth, same curve as kcore)
             if (r + 1) % 2 == 0 or r == rounds - 1:
                 labels = labels.localCheckpoint()
+        if info is not None:
+            changed = rounds  # no-rounds edge: vacuously converged
+            if prev is not None:
+                changed = (
+                    labels.alias("a")
+                    .join(prev.alias("b"), F.col("a.id") == F.col("b.id"))
+                    .filter(F.col("a.lbl") != F.col("b.lbl"))
+                    .count()
+                )
+            info["rounds_used"] = rounds
+            info["changed_last_round"] = changed if prev is not None else 0
+            info["converged"] = prev is None or changed == 0
         adj.unpersist()
     return labels.select("id", F.col("lbl").alias("comm"))
 
@@ -870,7 +899,9 @@ def lpa_oracle_sql(edges_sql: str, rounds: int = 5) -> str:
       SELECT id, lbl AS comm FROM t WHERE rnd = {rounds}"""
 
 
-def core_numbers(edges: DataFrame, rounds: int = 12) -> DataFrame:
+def core_numbers(
+    edges: DataFrame, rounds: int = 12, info: dict | None = None
+) -> DataFrame:
     """Full k-core DECOMPOSITION — the core number of every vertex —
     via synchronous H-index iteration (Lü, Zhou, Zhang & Stanley,
     Nature Comms 2016): start from ``c(v) = deg(v)`` and repeatedly
@@ -881,12 +912,19 @@ def core_numbers(edges: DataFrame, rounds: int = 12) -> DataFrame:
     priority queue, just a per-round join + aggregate, which is what
     makes core decomposition distributable at all.
 
-    Runs a FIXED number of rounds (the LPA contract): once converged
-    the map is a fixpoint, so extra rounds are no-ops — on the
-    fixture graphs convergence takes 6–8 rounds at every scale and
-    the Python-peeling unit test pins exactness; at 100 TB drive the
-    round count by an ``Observation`` delta instead. Returns
-    (id, core).
+    ``rounds`` is a CAP with EXACT early termination (round 11): the
+    per-vertex values are non-increasing round over round (Lü et al.
+    Thm 1), so ``sum(c)`` is a monotone progress measure and an
+    UNCHANGED sum between consecutive checkpoint probes proves every
+    value unchanged — a true fixpoint, zero extra jobs (the sum rides
+    each checkpoint job as an ``Observation``). Early exit therefore
+    returns bit-identically what the full ``rounds`` run would (a
+    fixpoint is a no-op), keeping the fixed-``rounds`` DuckDB oracle
+    valid. Pass ``info={}`` to receive ``rounds_used`` and
+    ``converged`` — ``converged=False`` means the cap was hit without
+    a PROVEN fixpoint (the silent-undercount case the cap alone could
+    not see; raise the cap, the fixture graphs converge in 6–8).
+    Returns (id, core).
 
     Scale shape per round: one shuffle join (values ⋈ cached
     adjacency) and one groupBy whose H-index is computed from the
@@ -907,14 +945,28 @@ def core_numbers(edges: DataFrame, rounds: int = 12) -> DataFrame:
                 lambda x, i: F.least(x, i + F.lit(1)),
             )
         )
+        prev_sum = None
+        rounds_used, converged = rounds, False
         for r in range(rounds):
             nb = c.alias("l").join(
                 adj.alias("e"), F.col("l.id") == F.col("e.src")
             ).select(F.col("e.dst").alias("id"), F.col("l.c").alias("cn"))
             c = nb.groupBy("id").agg(h_of.alias("c"))
             if (r + 1) % 2 == 0 or r == rounds - 1:
-                c = c.localCheckpoint()
+                obs = Observation(f"core_round_{r}")
+                c = c.observe(obs, F.sum("c").alias("s")).localCheckpoint()
+                s = obs.get["s"]
+                if s == prev_sum:
+                    # values are per-vertex non-increasing, so an
+                    # unchanged SUM since the last probe proves an
+                    # unchanged VECTOR — exact fixpoint, not a hash
+                    rounds_used, converged = r + 1, True
+                    break
+                prev_sum = s
         adj.unpersist()
+    if info is not None:
+        info["rounds_used"] = rounds_used
+        info["converged"] = converged
     return c.select("id", F.col("c").cast("bigint").alias("core"))
 
 

@@ -7458,7 +7458,9 @@ _TEXTRANK_UNIT_BIGRAMS = (
 )
 
 
-def _textrank_oracle(unit_sql: str = _TEXTRANK_UNIT_WORDS) -> str:
+def _textrank_oracle(
+    unit_sql: str = _TEXTRANK_UNIT_WORDS, convergence: float = 1e-5
+) -> str:
     from pagerank_mapreduce_spark.graph.pagerank import (
         pagerank_oracle_sql,
     )
@@ -7484,7 +7486,12 @@ def _textrank_oracle(unit_sql: str = _TEXTRANK_UNIT_WORDS) -> str:
                     JOIN vocab vb ON vb.word = cnt.b)
    SELECT src, dst, w FROM und
    UNION ALL SELECT dst, src, w FROM und)"""
-    pr = pagerank_oracle_sql(word_edges, max_iterations=50, weighted=True)
+    pr = pagerank_oracle_sql(
+        word_edges,
+        max_iterations=50,
+        weighted=True,
+        convergence=convergence,
+    )
     return f"""WITH toksv0 AS (
      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
                         x -> x <> '') AS t FROM documents),
@@ -7546,13 +7553,20 @@ def _bigram_seq(t: F.Column) -> F.Column:
     # same machinery end to end; this entry rides the bench headline
     # set. Keyphrase-unit ranking is the multi-word half of Mihalcea
     # & Tarau 2004 §3.1 (sequences of adjacent units as candidates)
-    _textrank_oracle(_TEXTRANK_UNIT_BIGRAMS),
+    # convergence 1e-4 is the TextRank paper's own threshold (§2.2);
+    # on the sparser bigram graph it lands at 13 iterations vs 16 at
+    # the reference's 1e-5 — the oracle replays the same threshold
+    _textrank_oracle(_TEXTRANK_UNIT_BIGRAMS, convergence=1e-4),
 )
 def q_text_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _textrank_topk(_t(spark, sf_dir, "documents"), _bigram_seq)
+    return _textrank_topk(
+        _t(spark, sf_dir, "documents"), _bigram_seq, convergence=1e-4
+    )
 
 
-def _textrank_topk(docs: DataFrame, unit_fn) -> DataFrame:
+def _textrank_topk(
+    docs: DataFrame, unit_fn, convergence: float = 1e-5
+) -> DataFrame:
     """Shared TextRank machinery (both entries above): weighted
     PageRank over the co-occurrence graph of ADJACENT elements of the
     unit sequence ``unit_fn(tokens)``, full fixed point, top-20 by
@@ -7606,7 +7620,9 @@ def _textrank_topk(docs: DataFrame, unit_fn) -> DataFrame:
             F.col("_sb").alias("src"), F.col("_sa").alias("dst"), "w"
         )
     )
-    res = pagerank(edges, max_iterations=50, weight_col="w")
+    res = pagerank(
+        edges, max_iterations=50, weight_col="w", convergence=convergence
+    )
     return (
         res.ranks.join(vocab, res.ranks["id"] == vocab["wid"])
         .select("word", F.round("rank", 8).alias("rank"))

@@ -28,9 +28,9 @@ def test_final_line_fits_driver_tail_and_parses():
     assert doc["unit"] == "sec"
     assert doc["sf"] == 0.1
     # every named entry is a real headline query; past the line's
-    # physical capacity the FASTEST entries roll up into rest{n, sum}
-    # (slowest — regression-relevant — stay named), and the rollup
-    # accounts for every missing name
+    # physical capacity entries roll up into rest{n, sum} by the
+    # moved/new-first policy, and the rollup accounts for every
+    # missing name
     assert set(doc["queries"]) <= set(bench.BENCH_QUERIES)
     missing = set(bench.BENCH_QUERIES) - set(doc["queries"])
     if missing:
@@ -43,20 +43,41 @@ def test_final_line_fits_driver_tail_and_parses():
         assert "rest" not in doc
 
 
-def test_final_line_rollup_keeps_slowest_named():
-    # distinct values: the rolled-up names must be exactly the
-    # fastest ones, never a slow entry the driver should see
-    timings = {
-        q: 100.0 - i for i, q in enumerate(bench.BENCH_QUERIES)
-    }
+def test_final_line_rollup_names_moved_and_new_first(tmp_path):
+    # the r10 verdict's item 3: a pure slowest-first cut hid the
+    # round-over-round number of any FAST entry that moved. The
+    # policy now names (1) entries whose ratio vs the newest local
+    # artifact moved >1.15x, (2) entries new since it, then (3) the
+    # slowest of the rest. Build a scenario where a fast mover and a
+    # fast new entry would have been rolled up under slowest-first.
+    qs = bench.BENCH_QUERIES
+    timings = {q: 50.0 + i for i, q in enumerate(qs)}
+    fast_mover, fast_new = qs[0], qs[1]  # the two smallest values
+    prev = {q: timings[q] for q in qs}
+    prev[fast_mover] = timings[fast_mover] / 2.0  # 2x regression
+    del prev[fast_new]  # no prior record
+    (tmp_path / "BENCH_r09_local.json").write_text(
+        json.dumps({"queries": prev})
+    )
     line = bench.final_line(
-        timings, round(sum(timings.values()), 3), 0.1
+        timings, round(sum(timings.values()), 3), 0.1,
+        root=str(tmp_path),
     )
     doc = json.loads(line)
     if "rest" in doc:
-        named_min = min(doc["queries"].values())
-        rolled = set(bench.BENCH_QUERIES) - set(doc["queries"])
-        assert all(timings[q] <= named_min for q in rolled)
+        assert fast_mover in doc["queries"]
+        assert fast_new in doc["queries"]
+        # the rolled-up set is exactly the fastest UNMOVED recorded
+        # entries: every rolled entry is faster than every named
+        # non-priority entry
+        rolled = set(qs) - set(doc["queries"])
+        named_rest = (
+            set(doc["queries"]) - {fast_mover, fast_new}
+        )
+        assert all(
+            timings[r] <= min(timings[q] for q in named_rest)
+            for r in rolled
+        )
 
 
 def test_geo_cmp_vs_newest_local_artifact(tmp_path):

@@ -920,3 +920,84 @@ def test_core_numbers_fixed_rounds_is_fixpoint_on_fixture(spark):
     a = {(r.id, r.core) for r in core_numbers(e, rounds=12).collect()}
     b = {(r.id, r.core) for r in core_numbers(e, rounds=13).collect()}
     assert a == b
+
+
+def test_core_numbers_convergence_detection_slow_graph(spark):
+    # a graph ENGINEERED to need more than the 12-round default: on a
+    # long path the H-index iteration propagates the end-correction
+    # inward one vertex per round from each end, so a 50-vertex path
+    # needs ~24 rounds. The cap must (a) report converged=False
+    # instead of being silent, (b) with a raised cap, early-exit on
+    # the exact sum-fixpoint probe and match the true decomposition
+    # (all core numbers 1 on a path)
+    from pagerank_mapreduce_spark.graph.algorithms import core_numbers
+
+    n = 50
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    info = {}
+    capped = core_numbers(path, rounds=12, info=info)
+    capped.collect()
+    assert info["converged"] is False
+    assert info["rounds_used"] == 12
+
+    info = {}
+    got = {r.id: r.core for r in
+           core_numbers(path, rounds=60, info=info).collect()}
+    assert info["converged"] is True
+    # needs >12 but far less than the cap: the probe exits early
+    assert 12 < info["rounds_used"] < 60
+    assert got == {v: 1 for v in range(n)}
+    # and the capped (non-converged) result is genuinely WRONG here —
+    # the detection is load-bearing, not decorative
+    wrong = {r.id: r.core for r in capped.collect()}
+    assert wrong != got
+
+
+def test_core_numbers_early_exit_matches_full_rounds(spark):
+    # early termination must be invisible in the output: the exact
+    # fixpoint proof means rounds=12-with-exit == rounds=12-forced
+    # (the DuckDB oracle replays the fixed-round spec)
+    from pagerank_mapreduce_spark.graph.algorithms import core_numbers
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    e = rmat_edges_portable(spark, scale=8, edge_factor=8, seed=7)
+    info = {}
+    a = {(r.id, r.core)
+         for r in core_numbers(e, rounds=12, info=info).collect()}
+    assert info["converged"] is True and info["rounds_used"] < 12
+    b = {(r.id, r.core)
+         for r in core_numbers(e, rounds=info["rounds_used"]).collect()}
+    assert a == b
+
+
+def test_lpa_convergence_flag(spark):
+    # a single edge flip-flops forever under the synchronous update:
+    # the flag must say so; a triangle reaches its fixpoint by round
+    # 3 and the flag must say that too. Output is UNCHANGED by the
+    # probe (fixed-round contract, oracle-replayable either way).
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        label_propagation,
+    )
+
+    flip = _edges(spark, [(0, 1)])
+    info = {}
+    out = {r.id: r.comm
+           for r in label_propagation(flip, rounds=4, info=info).collect()}
+    assert info["converged"] is False
+    assert info["changed_last_round"] == 2
+    assert out == {0: 0, 1: 1}  # even rounds: back to the originals
+
+    tri = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    info = {}
+    out_tri = {r.id: r.comm
+               for r in label_propagation(tri, rounds=5, info=info)
+               .collect()}
+    assert info["converged"] is True
+    assert info["changed_last_round"] == 0
+    assert out_tri == {0: 0, 1: 0, 2: 0}
+    # the probe changes nothing about the labels themselves
+    plain = {r.id: r.comm
+             for r in label_propagation(tri, rounds=5).collect()}
+    assert plain == out_tri
