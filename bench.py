@@ -138,10 +138,11 @@ BENCH_QUERIES = [
     "stream_ohlc",
     "ts_transitions",
     # round-11 additions: realistic-graph TextRank (the r10 verdict's
-    # bench blind spot), scale-viable BPE paths
+    # bench blind spot), scale-viable BPE paths, multi-level Louvain
     "text_textrank_phrases",
     "text_bpe_merges_local",
     "text_bpe_apply_chunked",
+    "graph_louvain_full",
 ]
 
 

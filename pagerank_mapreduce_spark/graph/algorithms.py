@@ -1736,6 +1736,281 @@ def louvain_move_sql(edges_sql: str) -> str:
       FROM dg LEFT JOIN pick ON pick.v = dg.v"""
 
 
+def louvain_levels(
+    edges: DataFrame, max_levels: int = 4, info: dict | None = None
+) -> DataFrame:
+    """FULL multi-level Louvain (Blondel et al. 2008): the
+    move-sweep → aggregate-graph → repeat loop that :func:`louvain_move`
+    is one generation of. Per level, every vertex of the CURRENT
+    (community-aggregated, integer-weighted, self-looped) graph runs
+    the deterministic downhill singleton sweep generalized to
+    weights::
+
+        gain(v→{n}) ∝ 2·m_w·w_vn − S_v·S_n      (×1/2m_w², positive
+                                                 iff the move raises Q)
+
+    with S the weighted strength (self-loops count twice), argmax on
+    (gain desc, n asc), and the downhill constraint
+    (S_n, n) < (S_v, v) — louvain_move EXACTLY when all weights are 1
+    (w_vn = 1 makes the argmax the smallest-strength neighbor). The
+    level is ACCEPTED iff the exact integer modularity numerator
+    ``4·m_w·Σ_in − Σ_c S_c²`` strictly improves over the current
+    partition's — by Louvain's aggregation identity (§2: the
+    modularity of a partition of the aggregated graph equals the
+    modularity of the composed partition on the original graph,
+    exactly, in this integer form) the acceptance test on the SMALL
+    current-level graph IS the test on the original graph. A
+    non-improving sweep (incl. the nobody-moves fixpoint) stops the
+    loop, so the per-level modularity trail is strictly increasing by
+    construction — the monotonicity the single sweep could not
+    promise. int64 bounds the exact numerator to m_w < ~1.5e9 (the
+    :func:`modularity` caveat); beyond that compute the two terms as
+    DECIMAL.
+
+    Scale shape per level: the sweep is the louvain_move plan
+    (strength agg, one adjacency×strength join, scalar-literal gain
+    filter, one algebraic struct-min); acceptance is four algebraic
+    aggregates cross-joined into ONE collected row (constant driver
+    traffic); aggregation is one groupBy on the community-keyed
+    edges. Each level's graph and the composed mapping are eagerly
+    ``localCheckpoint``-ed (vocabulary-sized — level graphs only
+    shrink), so no lineage or cache accumulates. All arithmetic is
+    integer → bit-identical across engines; replayed level for level
+    by :func:`louvain_levels_sql`.
+
+    Pass ``info={}`` to receive ``levels_used`` and
+    ``modularity_trail`` (floats, one per accepted level, strictly
+    increasing). Output (id, comm) over the vertices of the canonical
+    simple graph — feed to :func:`modularity` for the final score."""
+    g = (
+        edge_upper(edges)
+        .select("a", "b", F.lit(1).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    mapping = (
+        g.select(F.col("a").alias("id"))
+        .unionAll(g.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comm"))
+        .localCheckpoint()
+    )
+    m_w = int(g.agg(F.sum("w").alias("m")).first()["m"] or 0)
+    trail: list[float] = []
+    levels_used = 0
+    for _ in range(max_levels):
+        if m_w == 0:
+            break
+        strength = _strength(g)
+        lab = _louvain_sweep(g, strength, m_w)
+        n_new, n_prev = _q_numerators(g, strength, lab, m_w)
+        if n_new <= n_prev:
+            break
+        levels_used += 1
+        trail.append(n_new / (4.0 * m_w * m_w))
+        lv = lab.select(F.col("v").alias("_lv"), F.col("comm").alias("_lc"))
+        mapping = (
+            mapping.join(lv, mapping["comm"] == lv["_lv"])
+            .select("id", F.col("_lc").alias("comm"))
+            .localCheckpoint()
+        )
+        ca = lab.select(F.col("v").alias("a"), F.col("comm").alias("_ca"))
+        cb = lab.select(F.col("v").alias("b"), F.col("comm").alias("_cb"))
+        g = (
+            g.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                F.least("_ca", "_cb").alias("a"),
+                F.greatest("_ca", "_cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+    if info is not None:
+        info["levels_used"] = levels_used
+        info["modularity_trail"] = trail
+    return mapping
+
+
+def _strength(g: DataFrame) -> DataFrame:
+    """Weighted strength per vertex of a canonical weighted graph
+    (a <= b, self-loops as a == b rows): non-self edges contribute w
+    to each endpoint, self-loops contribute 2w. Returns (v, s)."""
+    nonself = g.filter(F.col("a") != F.col("b"))
+    return (
+        nonself.select(F.col("a").alias("v"), F.col("w").alias("s"))
+        .unionAll(nonself.select(F.col("b").alias("v"), F.col("w").alias("s")))
+        .unionAll(
+            g.filter(F.col("a") == F.col("b")).select(
+                F.col("a").alias("v"), (2 * F.col("w")).alias("s")
+            )
+        )
+        .groupBy("v")
+        .agg(F.sum("s").alias("s"))
+    )
+
+
+def _louvain_sweep(g: DataFrame, strength: DataFrame, m_w: int) -> DataFrame:
+    """One deterministic downhill singleton sweep on the weighted
+    level graph (see :func:`louvain_levels`). Returns (v, comm) for
+    EVERY vertex of ``g``."""
+    nonself = g.filter(F.col("a") != F.col("b"))
+    adj = nonself.select(
+        F.col("a").alias("v"), F.col("b").alias("n"), "w"
+    ).unionAll(
+        nonself.select(F.col("b").alias("v"), F.col("a").alias("n"), "w")
+    )
+    sv = strength.withColumnRenamed("s", "_sv")
+    sn = strength.select(F.col("v").alias("n"), F.col("s").alias("_sn"))
+    gain = 2 * F.lit(m_w) * F.col("w") - F.col("_sv") * F.col("_sn")
+    cand = (
+        adj.join(sn, "n")
+        .join(sv, "v")
+        .filter(gain > 0)
+        .filter(
+            (F.col("_sn") < F.col("_sv"))
+            | ((F.col("_sn") == F.col("_sv")) & (F.col("n") < F.col("v")))
+        )
+    )
+    pick = (
+        cand.groupBy("v")
+        .agg(F.min(F.struct((-gain).alias("ng"), F.col("n"))).alias("_p"))
+        .select("v", F.col("_p.n").alias("_adopt"))
+    )
+    return strength.join(pick, "v", "left").select(
+        "v", F.coalesce(F.col("_adopt"), F.col("v")).alias("comm")
+    )
+
+
+def _q_numerators(
+    g: DataFrame, strength: DataFrame, lab: DataFrame, m_w: int
+) -> tuple[int, int]:
+    """The exact integer modularity numerators of (new partition,
+    current identity partition) on the level graph — one collected
+    row of four algebraic aggregates (constant driver traffic)."""
+    ca = lab.select(F.col("v").alias("a"), F.col("comm").alias("_ca"))
+    cb = lab.select(F.col("v").alias("b"), F.col("comm").alias("_cb"))
+    sin_new = (
+        g.join(ca, "a")
+        .join(cb, "b")
+        .agg(
+            F.sum(
+                F.when(F.col("_ca") == F.col("_cb"), F.col("w")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x")
+        )
+    )
+    sd2_new = (
+        lab.join(strength, "v")
+        .groupBy("comm")
+        .agg(F.sum("s").alias("sc"))
+        .agg(F.sum(F.col("sc") * F.col("sc")).alias("x"))
+    )
+    sin_prev = g.agg(
+        F.sum(
+            F.when(F.col("a") == F.col("b"), F.col("w")).otherwise(F.lit(0))
+        ).alias("x")
+    )
+    sd2_prev = strength.agg(F.sum(F.col("s") * F.col("s")).alias("x"))
+    row = (
+        sin_new.select(F.col("x").alias("sn"))
+        .crossJoin(sd2_new.select(F.col("x").alias("dn")))
+        .crossJoin(sin_prev.select(F.col("x").alias("sp")))
+        .crossJoin(sd2_prev.select(F.col("x").alias("dp")))
+        .first()
+    )
+    n_new = 4 * m_w * int(row["sn"] or 0) - int(row["dn"] or 0)
+    n_prev = 4 * m_w * int(row["sp"] or 0) - int(row["dp"] or 0)
+    return n_new, n_prev
+
+
+def louvain_levels_sql(edges_sql: str, max_levels: int = 4) -> str:
+    """DuckDB oracle replaying :func:`louvain_levels` level for level
+    as UNROLLED chained CTEs (the bpe_oracle_sql pattern — fixed
+    level cap, no recursion): per level the strength/sweep/numerator
+    CTEs mirror the engine exactly in integer arithmetic, an ``ok_L``
+    scalar carries the CUMULATIVE acceptance (a rejected level
+    freezes the mapping and every later level — the engine's stop),
+    and the final SELECT returns the last accepted composition."""
+    parts = [
+        f"""WITH ed AS ({edges_sql}),
+       g0 AS MATERIALIZED (
+         SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                CAST(1 AS BIGINT) AS w
+         FROM (SELECT DISTINCT least(src, dst) AS src,
+                      greatest(src, dst) AS dst
+               FROM ed WHERE src <> dst)),
+       mw AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM g0),
+       map0 AS MATERIALIZED (
+         SELECT id, id AS comm FROM (
+           SELECT a AS id FROM g0 UNION SELECT b FROM g0)),
+       ok0 AS (SELECT TRUE AS ok)"""
+    ]
+    for i in range(1, max_levels + 1):
+        p = i - 1
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+         SELECT v, CAST(sum(s) AS BIGINT) AS s FROM (
+           SELECT a AS v, w AS s FROM g{p} WHERE a <> b
+           UNION ALL SELECT b, w FROM g{p} WHERE a <> b
+           UNION ALL SELECT a, 2 * w FROM g{p} WHERE a = b)
+         GROUP BY v),
+       cand{i} AS (
+         SELECT t.v, t.n,
+                2 * (SELECT m FROM mw) * t.w - sv.s * sn.s AS gain,
+                sn.s AS sns, sv.s AS svs
+         FROM (SELECT a AS v, b AS n, w FROM g{p} WHERE a <> b
+               UNION ALL SELECT b, a, w FROM g{p} WHERE a <> b) t
+         JOIN s{i} sv ON sv.v = t.v
+         JOIN s{i} sn ON sn.v = t.n
+         WHERE 2 * (SELECT m FROM mw) * t.w - sv.s * sn.s > 0
+           AND (sn.s, t.n) < (sv.s, t.v)),
+       pick{i} AS (
+         SELECT v, n FROM (
+           SELECT v, n, row_number() OVER (
+                    PARTITION BY v ORDER BY gain DESC, n) AS rn
+           FROM cand{i}) WHERE rn = 1),
+       lab{i} AS MATERIALIZED (
+         SELECT s.v, coalesce(p.n, s.v) AS comm
+         FROM s{i} s LEFT JOIN pick{i} p ON p.v = s.v),
+       num{i} AS (
+         SELECT 4 * (SELECT m FROM mw)
+                  * (SELECT coalesce(sum(CASE WHEN x.comm = y.comm
+                                         THEN g.w END), 0)
+                     FROM g{p} g JOIN lab{i} x ON x.v = g.a
+                                 JOIN lab{i} y ON y.v = g.b)
+                - (SELECT coalesce(sum(sc * sc), 0) FROM (
+                     SELECT sum(s.s) AS sc FROM lab{i} l
+                     JOIN s{i} s ON s.v = l.v GROUP BY l.comm))
+                  AS n_new,
+                4 * (SELECT m FROM mw)
+                  * (SELECT coalesce(sum(CASE WHEN a = b THEN w END), 0)
+                     FROM g{p})
+                - (SELECT coalesce(sum(s * s), 0) FROM s{i}) AS n_prev),
+       ok{i} AS (SELECT (SELECT ok FROM ok{p})
+                    AND (SELECT n_new FROM num{i})
+                      > (SELECT n_prev FROM num{i}) AS ok),
+       map{i} AS MATERIALIZED (
+         SELECT m.id,
+                CASE WHEN (SELECT ok FROM ok{i}) THEN l.comm
+                     ELSE m.comm END AS comm
+         FROM map{p} m JOIN lab{i} l ON l.v = m.comm),
+       g{i} AS MATERIALIZED (
+         SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+           SELECT least(x.comm, y.comm) AS a,
+                  greatest(x.comm, y.comm) AS b, g.w
+           FROM g{p} g JOIN lab{i} x ON x.v = g.a
+                       JOIN lab{i} y ON y.v = g.b)
+         GROUP BY a, b)"""
+        )
+    return (
+        ",\n       ".join(parts)
+        + f"\n       SELECT id, comm FROM map{max_levels}"
+    )
+
+
 def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     """Newman modularity of a community assignment over the canonical
     undirected simple graph:
