@@ -95,11 +95,17 @@ def start_dedup_ingest(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    trigger: dict | None = None,
     **lsh_kwargs,
 ):
     """Run the ingest loop: per micro-batch, dedup against
     seed_index ∪ previously-accepted and append survivors to
-    ``accepted_path``. Returns the StreamingQuery."""
+    ``accepted_path``. Returns the StreamingQuery.
+
+    ``trigger``: writeStream trigger kwargs — default
+    ``{"availableNow": True}`` (drain-what-exists, the file-source
+    deployment); pass ``{"processingTime": "1 second"}`` for a
+    continuous source (rate soak, Kafka-style feeds)."""
     spark: SparkSession = seed_index.sparkSession
     schema = stream.schema
 
@@ -139,7 +145,7 @@ def start_dedup_ingest(
     return (
         stream.writeStream.foreachBatch(_once)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

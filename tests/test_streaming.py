@@ -290,3 +290,155 @@ def test_stream_ohlc_matches_batch_and_operator(spark, sf_dir, events_batch):
     assert sorted(map(tuple, want.collect())) == sorted(
         map(tuple, op.collect())
     )
+
+
+# ------------------------------------------ sustained soaks (round 11)
+# Rate-source soaks: the batch-parity tests above prove SEMANTICS on
+# file sources; these prove the two stateful engines survive a
+# sustained stream of micro-batches with exactly-once counting and
+# bounded state. Skippable under CI time pressure via
+# SPARK_GRAFT_SKIP_SOAK=1; duration tunable via
+# SPARK_GRAFT_SOAK_SECONDS (default 60).
+
+import os as _os
+import time as _time
+
+_SKIP_SOAK = _os.environ.get("SPARK_GRAFT_SKIP_SOAK") == "1"
+_SOAK_SECONDS = int(_os.environ.get("SPARK_GRAFT_SOAK_SECONDS", "60"))
+
+
+@pytest.mark.skipif(
+    _SKIP_SOAK, reason="SPARK_GRAFT_SKIP_SOAK=1 (CI time pressure)"
+)
+def test_soak_stateful_fold_rate_source_exactly_once(spark):
+    # >=60 s of rate-source micro-batches through the
+    # applyInPandasWithState engine (stateful_user_totals — the
+    # in-container stateful path; the transformWithStateInPandas
+    # twins are protobuf-gated and covered by their own tests). The
+    # rate source emits the consecutive integers 0..V in order and
+    # each committed micro-batch consumes a contiguous prefix, so at
+    # stop the per-key state must satisfy, for key k = v % K:
+    #   n_k     == |{v in [0, V] : v % K == k}|
+    #   total_k == sum of exactly those v
+    # with V recovered from the states themselves (the last value of
+    # key k is k + (n_k - 1) * K). Any dropped or double-counted row
+    # breaks the arithmetic — exactly-once through the state store,
+    # proven without trusting the source row count. State stays at K
+    # rows no matter how many rows flow.
+
+    K = 40
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000)
+        .load()
+    )
+    events = rate.select(
+        (F.col("value") % K).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        W.stateful_user_totals(events)
+        .writeStream.format("memory")
+        .queryName("soak_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + _SOAK_SECONDS
+        while _time.monotonic() < deadline:
+            _time.sleep(2)
+        progress = q.lastProgress
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    out = spark.table("soak_totals")
+    # n_events is monotone per key (state accumulates): the latest
+    # emit per key is its max
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+        .collect()
+    )
+    got = {int(r["user_id"]): (int(r["n"]), float(r["t"])) for r in final}
+    v_global = max(k + (n - 1) * K for k, (n, _) in got.items())
+    for k in range(min(K, v_global + 1)):
+        n_want = (v_global - k) // K + 1
+        # arithmetic series k, k+K, ..., k+(n-1)K
+        t_want = round(n_want * k + K * n_want * (n_want - 1) / 2.0, 4)
+        assert got.get(k) == (n_want, t_want), (
+            k, got.get(k), (n_want, t_want), v_global,
+        )
+    # a real soak: tens of thousands of rows over a sustained run of
+    # micro-batches, with state bounded at one row per key
+    assert v_global >= 10 * K
+    assert progress is not None and progress["batchId"] >= 20
+    assert progress["stateOperators"][0]["numRowsTotal"] <= K
+
+
+@pytest.mark.skipif(
+    _SKIP_SOAK, reason="SPARK_GRAFT_SKIP_SOAK=1 (CI time pressure)"
+)
+def test_soak_dedup_ingest_rate_source(spark, tmp_path):
+    # sustained rate-source run through the continuous ingest dedup:
+    # doc texts cycle through VAR mutually-disjoint variants (jaccard
+    # 0 across variants, 1 within), so the accumulated index must
+    # admit EXACTLY the first arrival of each variant — ids 0..VAR-1
+    # — and reject every later repeat regardless of which micro-batch
+    # it lands in. Unique accepted ids also pin that no foreachBatch
+    # retry double-appended. Index growth is bounded at VAR rows, so
+    # per-batch cost stays flat (the cost-scales-with-batch claim).
+    from pagerank_mapreduce_spark.streaming.dedup_ingest import (
+        start_dedup_ingest,
+    )
+
+    VAR = 37
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+    )
+    variant = (F.col("value") % VAR).cast("int")
+    text = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"tok{j}x"), variant.cast("string"))
+            for j in range(12)
+        ],
+    )
+    docs = rate.select(
+        F.col("value").alias("doc_id"), text.alias("text")
+    )
+    seed = spark.createDataFrame([], "doc_id long, text string")
+    accepted_path = str(tmp_path / "accepted")
+    q = start_dedup_ingest(
+        docs,
+        seed,
+        accepted_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        # run for the soak duration, extending (bounded at 3x) until
+        # at least 8 batches committed — the first batches pay JVM
+        # warm-up and must not flake the floor assertion
+        deadline = _time.monotonic() + _SOAK_SECONDS
+        hard = _time.monotonic() + 3 * _SOAK_SECONDS
+        while _time.monotonic() < deadline or (
+            ((q.lastProgress or {}).get("batchId") or 0) < 8
+            and _time.monotonic() < hard
+        ):
+            _time.sleep(2)
+        progress = q.lastProgress
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    acc = spark.read.parquet(accepted_path).collect()
+    ids = sorted(int(r["doc_id"]) for r in acc)
+    # exactly-once admission: first arrival of each variant, nothing
+    # else, nothing twice (rate values 0..VAR-1 arrive first in order)
+    assert ids == list(range(VAR)), ids[:50]
+    assert progress is not None and progress["batchId"] >= 5

@@ -1,0 +1,119 @@
+"""ANN recall scorecard (round 11, r10 verdict item 6): measure
+recall@k vs exact brute-force for the three IVF codebook paths —
+sampled (no refinement, fully SQL-replayable), deterministic
+fixed-iteration Lloyd (SQL-replayable refinement), and Spark-ML
+KMeans (the quality path; learned, rows-only) — so the
+determinism/quality trade is MEASURED, not asserted.
+
+Method: build each index once over the fixture embeddings
+(n_lists scaled to the fixture), then probe NQ=20 query
+vectors drawn evenly across the id space (NOT the first ids — those
+ARE the sampled codebook) at nprobe=2 and nprobe=4; recall@10 = mean
+over queries of |ANN top-10 ∩ exact top-10| / 10. Build and probe
+walls are reported separately (builds amortize over queries).
+
+Usage: python tools/ann_recall.py [fixture_dir] [n_lists]
+Default fixture: <repo>/.scale/sf1 (the 10x decade fixture) with
+n_lists=32 — the codebook SCALES with the data (the scale fixture is
+10 translated copies of sf0.1, so the catalog entries' n_lists=8
+cannot cover 10 disjoint regions and any recall number at that
+setting measures fixture geometry, not codebook quality; the
+SemDeDup N/k-constant regime from tools/make_scale_fixture.py).
+Prints one markdown table ready for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.operators import similarity as S
+from pagerank_mapreduce_spark.session import get_spark
+
+K = 10
+NQ = 20
+
+
+def main() -> None:
+    fixture = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale",
+        "sf1",
+    )
+    n_lists = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(app_name="ann-recall")
+    emb = spark.read.parquet(f"{fixture}/embeddings.parquet")
+    all_ids = [
+        r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()
+    ]
+    n = len(all_ids)
+    # NQ ids spread evenly across the PRESENT id space (the scale
+    # fixtures stride vec_id per copy, so arithmetic ids don't exist)
+    qids = [all_ids[(i * n) // NQ] for i in range(NQ)]
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    qids = sorted(qvecs)
+
+    exact = {}
+    t0 = time.monotonic()
+    for qid in qids:
+        exact[qid] = {
+            r["vec_id"]
+            for r in S.cosine_topk(emb, qvecs[qid], k=K).collect()
+        }
+    exact_wall = time.monotonic() - t0
+
+    builds = {
+        "ivf_sampled (SQL-replayable)": lambda: S.ivf_sampled_build(
+            emb, n_lists=n_lists, assignment="vectorized"
+        ),
+        "lloyd iters=2 (SQL-replayable)": lambda: S.lloyd_build(
+            emb, n_lists=n_lists, iters=2, assignment="vectorized"
+        ),
+        "spark-ml kmeans (learned)": lambda: S.ivf_build(
+            emb, n_lists=n_lists
+        ),
+    }
+    print(f"fixture={fixture} n={n} dim=64 k={K} queries={len(qids)} "
+          f"n_lists={n_lists}; exact scan x{len(qids)}: "
+          f"{exact_wall:.2f}s")
+    print("| codebook path | build s | nprobe=2 recall@10 | probe s "
+          "| nprobe=4 recall@10 | probe s |")
+    print("|---|---|---|---|---|---|")
+    for name, build in builds.items():
+        t0 = time.monotonic()
+        assigned, centroids = build()
+        assigned = assigned.localCheckpoint()  # index materialized once
+        build_wall = time.monotonic() - t0
+        cells = []
+        for nprobe in (2, 4):
+            t0 = time.monotonic()
+            hits = 0
+            for qid in qids:
+                got = {
+                    r["vec_id"]
+                    for r in S.ivf_topk(
+                        assigned, centroids, qvecs[qid], k=K,
+                        nprobe=nprobe,
+                    ).collect()
+                }
+                hits += len(got & exact[qid])
+            probe_wall = time.monotonic() - t0
+            cells.append(
+                f"{hits / (K * len(qids)):.3f} | {probe_wall:.2f}"
+            )
+        print(f"| {name} | {build_wall:.2f} | {cells[0]} | {cells[1]} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
