@@ -305,6 +305,9 @@ import time as _time
 
 _SKIP_SOAK = _os.environ.get("SPARK_GRAFT_SKIP_SOAK") == "1"
 _SOAK_SECONDS = int(_os.environ.get("SPARK_GRAFT_SOAK_SECONDS", "60"))
+# micro-batch floor for "sustained": scaled to the duration so a
+# shortened CI soak still demands a run of batches, not a smoke
+_BATCH_FLOOR = max(8, _SOAK_SECONDS // 3)
 
 
 @pytest.mark.skipif(
@@ -345,8 +348,16 @@ def test_soak_stateful_fold_rate_source_exactly_once(spark):
         .start()
     )
     try:
+        # run for the soak duration, extending (bounded at 3x) until
+        # the batch floor commits — under a fully loaded host (the
+        # 8-shard concurrent runner) triggers stretch and a fixed
+        # sleep would flake the floor assertion
         deadline = _time.monotonic() + _SOAK_SECONDS
-        while _time.monotonic() < deadline:
+        hard = _time.monotonic() + 3 * _SOAK_SECONDS
+        while _time.monotonic() < deadline or (
+            ((q.lastProgress or {}).get("batchId") or 0) < _BATCH_FLOOR
+            and _time.monotonic() < hard
+        ):
             _time.sleep(2)
         progress = q.lastProgress
     finally:
@@ -370,10 +381,10 @@ def test_soak_stateful_fold_rate_source_exactly_once(spark):
         assert got.get(k) == (n_want, t_want), (
             k, got.get(k), (n_want, t_want), v_global,
         )
-    # a real soak: tens of thousands of rows over a sustained run of
+    # a real soak: thousands of rows over a sustained run of
     # micro-batches, with state bounded at one row per key
     assert v_global >= 10 * K
-    assert progress is not None and progress["batchId"] >= 20
+    assert progress is not None and progress["batchId"] >= _BATCH_FLOOR
     assert progress["stateOperators"][0]["numRowsTotal"] <= K
 
 
@@ -427,7 +438,7 @@ def test_soak_dedup_ingest_rate_source(spark, tmp_path):
         deadline = _time.monotonic() + _SOAK_SECONDS
         hard = _time.monotonic() + 3 * _SOAK_SECONDS
         while _time.monotonic() < deadline or (
-            ((q.lastProgress or {}).get("batchId") or 0) < 8
+            ((q.lastProgress or {}).get("batchId") or 0) < min(8, _BATCH_FLOOR)
             and _time.monotonic() < hard
         ):
             _time.sleep(2)
@@ -441,4 +452,4 @@ def test_soak_dedup_ingest_rate_source(spark, tmp_path):
     # exactly-once admission: first arrival of each variant, nothing
     # else, nothing twice (rate values 0..VAR-1 arrive first in order)
     assert ids == list(range(VAR)), ids[:50]
-    assert progress is not None and progress["batchId"] >= 5
+    assert progress is not None and progress["batchId"] >= min(8, _BATCH_FLOOR)
