@@ -477,3 +477,69 @@ def test_skyline_no_global_sort_of_distinct_relation(spark, sf_dir):
         ln for ln in plan.splitlines() if "SinglePartition" in ln
     ]
     assert len(sp) <= 3, plan
+
+
+def test_textrank_phrases_scan_prunes_to_text(spark, sf_dir):
+    # the whole phrase-graph pipeline derives from ONE column: the
+    # documents scan must load `text` alone (a scan dragging doc_id/
+    # lang/source/n_chars through the explode would 5x the input).
+    # The entry's eager checkpoints hide the scan from the FINAL
+    # plan, so the pin inspects the co-occurrence-count stage — the
+    # relation the first checkpoint materializes
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.functions import text as T
+    from pagerank_mapreduce_spark.queries import _bigram_seq
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq = _bigram_seq(T.tokens(F.col("text")))
+    cnt = (
+        docs.select(seq.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(F.explode("_t").alias("_u"))
+        .groupBy("_u")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    plan = formatted_plan(cnt)
+    doc_schemas = read_schemas(plan)
+    assert doc_schemas, f"no documents scan found:\n{plan}"
+    for schema in doc_schemas:
+        assert set(schema) <= {"text"}, (
+            f"documents scan reads more than text: {schema}"
+        )
+
+
+def test_louvain_sweep_no_cartesian_and_algebraic_argmin(spark, sf_dir):
+    # the level sweep must stay a keyed adjacency x strength join
+    # with a struct-min groupBy: no cartesian anywhere in 4 levels,
+    # no window function over the vertex relation (the argmin is
+    # algebraic, map-side combinable)
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_levels
+    from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
+
+    e = rmat_edges_portable(spark, scale=8, edge_factor=8, seed=7)
+    df = louvain_levels(e, max_levels=2)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+
+
+def test_bpe_chunked_apply_bounds_expression_depth(spark, sf_dir):
+    # the chunk contract made literal: with chunk_size=c the analyzed
+    # plan of the word-segment relation never carries more than c
+    # chained replaces — at a real 32k-merge vocabulary this is the
+    # difference between a plan and an analyzer blowup
+    from pagerank_mapreduce_spark.operators import bpe as BPE
+    from pagerank_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = BPE.bpe_token_counts(
+        docs, n_merges=12, chunk_size=4, train_mode="vocab_local"
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # the final chunk's replaces are the only ones left in the plan —
+    # earlier chunks were cut off by their localCheckpoint
+    assert plan.count("replace(") <= 4, (
+        f"{plan.count('replace(')} chained replaces leaked past the "
+        "chunk boundary"
+    )
