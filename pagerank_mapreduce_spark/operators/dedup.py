@@ -1104,14 +1104,18 @@ def containment_pairs(
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     # three consumers (both posting-list sides + the sizes relation)
-    # would each re-run the shingle explosion + df join; eager
-    # localCheckpoint rather than persist so the storage is released
-    # when the result is dropped (no cache entry accumulating across
-    # repeated calls in a long-lived session — the lsh_near_duplicates
-    # discipline)
+    # would each re-run the shingle explosion + df join. This is a
+    # LAZY COLUMNAR persist on purpose, and the cache entry is an
+    # intentional leak: the relation is the exploded shingle×doc
+    # posting list (corpus-sized × k), and swapping in an eager
+    # localCheckpoint — row-based RDD blocks, no compression, no
+    # column pruning through the cache — measured 1.6 → 8.9 s on the
+    # dedup_containment bench entry (round 11). Callers running many
+    # containment passes in one session should spark.catalog
+    # .clearCache() between them.
     pruned = toks.join(
         dfreq.filter(F.col("dfc") <= max_df), "tok"
-    ).localCheckpoint()
+    ).persist()
     sizes = pruned.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_na")
     )
