@@ -1808,11 +1808,14 @@ def louvain_levels(
         levels_used += 1
         trail.append(n_new / (4.0 * m_w * m_w))
         lv = lab.select(F.col("v").alias("_lv"), F.col("comm").alias("_lc"))
-        mapping = (
-            mapping.join(lv, mapping["comm"] == lv["_lv"])
-            .select("id", F.col("_lc").alias("comm"))
-            .localCheckpoint()
-        )
+        # composition stays LAZY: each lab re-derives from its
+        # level's checkpointed graph in one join+aggregate, and the
+        # chain is at most max_levels joins of shrinking relations —
+        # checkpointing the mapping per level cost one extra job per
+        # level for nothing (measured ~1 s/level at the entry scale)
+        mapping = mapping.join(
+            lv, mapping["comm"] == lv["_lv"]
+        ).select("id", F.col("_lc").alias("comm"))
         ca = lab.select(F.col("v").alias("a"), F.col("comm").alias("_ca"))
         cb = lab.select(F.col("v").alias("b"), F.col("comm").alias("_cb"))
         g = (
@@ -1933,7 +1936,13 @@ def louvain_levels_sql(edges_sql: str, max_levels: int = 4) -> str:
     CTEs mirror the engine exactly in integer arithmetic, an ``ok_L``
     scalar carries the CUMULATIVE acceptance (a rejected level
     freezes the mapping and every later level — the engine's stop),
-    and the final SELECT returns the last accepted composition."""
+    and the final SELECT returns the last accepted composition. The
+    per-level composition join is a LEFT join on purpose: once a
+    level is rejected the frozen mapping's comm values live in an
+    EARLIER level's vertex space than lab_L's domain (the rejected
+    sweep's graph), and an inner join would silently drop them —
+    when the level IS accepted, cumulative acceptance guarantees
+    every comm matches and the left join degenerates to inner."""
     parts = [
         f"""WITH ed AS ({edges_sql}),
        g0 AS MATERIALIZED (
@@ -1996,7 +2005,7 @@ def louvain_levels_sql(edges_sql: str, max_levels: int = 4) -> str:
          SELECT m.id,
                 CASE WHEN (SELECT ok FROM ok{i}) THEN l.comm
                      ELSE m.comm END AS comm
-         FROM map{p} m JOIN lab{i} l ON l.v = m.comm),
+         FROM map{p} m LEFT JOIN lab{i} l ON l.v = m.comm),
        g{i} AS MATERIALIZED (
          SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
            SELECT least(x.comm, y.comm) AS a,

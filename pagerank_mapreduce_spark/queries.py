@@ -5694,7 +5694,7 @@ def _louvain_full_oracle() -> str:
     from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
 
     return louvain_levels_sql(
-        rmat_oracle_sql(scale=9, edge_factor=8, seed=42), max_levels=4
+        rmat_oracle_sql(scale=9, edge_factor=8, seed=42), max_levels=6
     )
 
 
@@ -5704,10 +5704,13 @@ def _louvain_full_oracle() -> str:
     # move-sweep → aggregate-graph → repeat, each level accepted only
     # on a STRICT exact-integer modularity improvement (so the level
     # trail is increasing by construction — Q reaches 0.0965 on this
-    # graph vs 0.048 for the single louvain_move sweep). Replayed
-    # level for level by unrolled CTEs; all-integer arithmetic, so
-    # hash equality is unconditional (graph/algorithms.py:
-    # louvain_levels)
+    # graph vs 0.048 for the single louvain_move sweep). The loop
+    # SELF-TERMINATES at level 4 on this graph (level 5's sweep is
+    # rejected), so the cap of 6 deliberately exercises the
+    # stop-on-no-improvement branch — hash equality here checks the
+    # oracle's cumulative-acceptance freeze too, not just the happy
+    # path. All-integer arithmetic, so hash equality is
+    # unconditional (graph/algorithms.py: louvain_levels)
     _louvain_full_oracle(),
 )
 def q_graph_louvain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5716,7 +5719,7 @@ def q_graph_louvain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return louvain_levels(
         rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42),
-        max_levels=4,
+        max_levels=6,
     )
 
 
@@ -5728,7 +5731,7 @@ def _louvain_full_quality_oracle() -> str:
     from pagerank_mapreduce_spark.graph.rmat import rmat_oracle_sql
 
     rmat = rmat_oracle_sql(scale=9, edge_factor=8, seed=42)
-    return modularity_sql(rmat, louvain_levels_sql(rmat, max_levels=4))
+    return modularity_sql(rmat, louvain_levels_sql(rmat, max_levels=6))
 
 
 @_q(
@@ -5750,7 +5753,7 @@ def q_graph_louvain_full_quality(
     from pagerank_mapreduce_spark.graph.rmat import rmat_edges_portable
 
     e = rmat_edges_portable(spark, scale=9, edge_factor=8, seed=42)
-    return modularity(e, louvain_levels(e, max_levels=4))
+    return modularity(e, louvain_levels(e, max_levels=6))
 
 
 # ============================== HITS hubs & authorities (round 7)
