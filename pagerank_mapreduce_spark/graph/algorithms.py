@@ -1737,7 +1737,10 @@ def louvain_move_sql(edges_sql: str) -> str:
 
 
 def louvain_levels(
-    edges: DataFrame, max_levels: int = 4, info: dict | None = None
+    edges: DataFrame,
+    max_levels: int = 4,
+    info: dict | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """FULL multi-level Louvain (Blondel et al. 2008): the
     move-sweep → aggregate-graph → repeat loop that :func:`louvain_move`
@@ -1778,15 +1781,34 @@ def louvain_levels(
     integer → bit-identical across engines; replayed level for level
     by :func:`louvain_levels_sql`.
 
+    ``weight_col`` (round 11): INTEGER edge weights honored from
+    level 1 — parallel/duplicate input edges sum onto the canonical
+    undirected edge (the multigraph convention; a co-occurrence graph
+    is the motivating input), self-loops still dropped at entry. The
+    aggregated levels are weighted either way; this only changes how
+    level 1's graph is built. Weights must be positive integers for
+    the exact-integer acceptance arithmetic to hold.
+
     Pass ``info={}`` to receive ``levels_used`` and
     ``modularity_trail`` (floats, one per accepted level, strictly
     increasing). Output (id, comm) over the vertices of the canonical
     simple graph — feed to :func:`modularity` for the final score."""
-    g = (
-        edge_upper(edges)
-        .select("a", "b", F.lit(1).cast("bigint").alias("w"))
-        .localCheckpoint()
-    )
+    if weight_col is None:
+        g = edge_upper(edges).select(
+            "a", "b", F.lit(1).cast("bigint").alias("w")
+        )
+    else:
+        g = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+    g = g.localCheckpoint()
     mapping = (
         g.select(F.col("a").alias("id"))
         .unionAll(g.select(F.col("b").alias("id")))
@@ -1929,10 +1951,15 @@ def _q_numerators(
     return n_new, n_prev
 
 
-def louvain_levels_sql(edges_sql: str, max_levels: int = 4) -> str:
+def louvain_levels_sql(
+    edges_sql: str, max_levels: int = 4, weighted: bool = False
+) -> str:
     """DuckDB oracle replaying :func:`louvain_levels` level for level
     as UNROLLED chained CTEs (the bpe_oracle_sql pattern — fixed
-    level cap, no recursion): per level the strength/sweep/numerator
+    level cap, no recursion). ``edges_sql`` yields (src, dst) — plus
+    an integer ``w`` when ``weighted`` (the engine's ``weight_col``
+    path: parallel edges sum onto the canonical undirected edge).
+    Per level the strength/sweep/numerator
     CTEs mirror the engine exactly in integer arithmetic, an ``ok_L``
     scalar carries the CUMULATIVE acceptance (a rejected level
     freezes the mapping and every later level — the engine's stop),
@@ -1943,14 +1970,20 @@ def louvain_levels_sql(edges_sql: str, max_levels: int = 4) -> str:
     sweep's graph), and an inner join would silently drop them —
     when the level IS accepted, cumulative acceptance guarantees
     every comm matches and the left join degenerates to inner."""
-    parts = [
-        f"""WITH ed AS ({edges_sql}),
-       g0 AS MATERIALIZED (
-         SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+    g0 = (
+        """SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                CAST(sum(w) AS BIGINT) AS w
+         FROM ed WHERE src <> dst GROUP BY 1, 2"""
+        if weighted
+        else """SELECT least(src, dst) AS a, greatest(src, dst) AS b,
                 CAST(1 AS BIGINT) AS w
          FROM (SELECT DISTINCT least(src, dst) AS src,
                       greatest(src, dst) AS dst
-               FROM ed WHERE src <> dst)),
+               FROM ed WHERE src <> dst)"""
+    )
+    parts = [
+        f"""WITH ed AS ({edges_sql}),
+       g0 AS MATERIALIZED ({g0}),
        mw AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM g0),
        map0 AS MATERIALIZED (
          SELECT id, id AS comm FROM (

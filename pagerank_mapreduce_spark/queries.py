@@ -7644,6 +7644,129 @@ def q_text_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phrase_graph_sql() -> str:
+    """The bigram co-occurrence graph as a self-contained SQL
+    subquery yielding (src, dst, w) with INTEGER co-occurrence-count
+    weights and dense sorted-vocab ids — the DuckDB twin of the graph
+    q_text_word_communities builds (single direction: the Louvain
+    oracle canonicalizes, and a both-direction union would double
+    every weight)."""
+    return f"""SELECT * FROM (
+   WITH toks00 AS (
+     SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '') AS t FROM documents),
+   toks0 AS (SELECT {_TEXTRANK_UNIT_BIGRAMS} AS t FROM toks00),
+   prs AS (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+           FROM toks0 WHERE len(t) >= 2),
+   pw AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+          FROM prs WHERE p[1] <> p[2]),
+   cnt AS (SELECT a, b, count(*) AS c FROM pw GROUP BY a, b),
+   w AS (SELECT DISTINCT word FROM (
+           SELECT a AS word FROM cnt UNION SELECT b FROM cnt)),
+   vocab AS (SELECT word,
+                    row_number() OVER (ORDER BY word) - 1 AS wid
+             FROM w)
+   SELECT va.wid AS src, vb.wid AS dst, CAST(cnt.c AS BIGINT) AS w
+   FROM cnt JOIN vocab va ON va.word = cnt.a
+            JOIN vocab vb ON vb.word = cnt.b)"""
+
+
+def _word_communities_oracle() -> str:
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        louvain_levels_sql,
+    )
+
+    lv = louvain_levels_sql(_phrase_graph_sql(), max_levels=6,
+                            weighted=True)
+    return f"""WITH lv AS (SELECT * FROM ({lv})),
+   toksv0 AS (
+     SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '') AS t FROM documents),
+   toksv AS (SELECT {_TEXTRANK_UNIT_BIGRAMS} AS t FROM toksv0),
+   prsv AS (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+            FROM toksv WHERE len(t) >= 2),
+   pwv AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+           FROM prsv WHERE p[1] <> p[2]),
+   cntv AS (SELECT a, b FROM pwv GROUP BY a, b),
+   wv AS (SELECT DISTINCT word FROM (
+            SELECT a AS word FROM cntv UNION SELECT b FROM cntv)),
+   vocabv AS (SELECT word,
+                     row_number() OVER (ORDER BY word) - 1 AS wid
+              FROM wv)
+   SELECT v1.word AS unit, v2.word AS comm_unit
+   FROM lv JOIN vocabv v1 ON v1.wid = lv.id
+           JOIN vocabv v2 ON v2.wid = lv.comm"""
+
+
+@_q(
+    "text_word_communities",
+    # community detection over the WEIGHTED phrase co-occurrence
+    # graph (round 11): the multi-level Louvain loop with integer
+    # co-occurrence counts honored from level 1 (weight_col) — the
+    # topic/phrase-mining face of the community stack, and the
+    # driver-checked exercise of the weighted level-1 path
+    # (graph_louvain_full starts unweighted). Output is (unit,
+    # comm_unit): each bigram labeled by its community's
+    # representative bigram. Integer/string columns only
+    _word_communities_oracle(),
+)
+def q_text_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pagerank_mapreduce_spark.functions import text as T
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_levels
+
+    docs = _t(spark, sf_dir, "documents")
+    seq = _bigram_seq(T.tokens(F.col("text")))
+    pairs = (
+        docs.select(seq.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(
+                        F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select("p.a", "p.b")
+    )
+    cnt = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    vocab = (
+        cnt.select(F.col("a").alias("word"))
+        .unionAll(cnt.select(F.col("b").alias("word")))
+        .distinct()
+        .withColumn(
+            "wid", F.row_number().over(Window.orderBy("word")) - 1
+        )
+        .localCheckpoint()
+    )
+    va = vocab.select(F.col("word").alias("a"), F.col("wid").alias("_sa"))
+    vb = vocab.select(F.col("word").alias("b"), F.col("wid").alias("_sb"))
+    edges = (
+        cnt.join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.col("_sa").alias("src"), F.col("_sb").alias("dst"), "w"
+        )
+    )
+    lv = louvain_levels(edges, max_levels=6, weight_col="w")
+    v1 = vocab.select(F.col("wid").alias("id"), F.col("word").alias("unit"))
+    v2 = vocab.select(
+        F.col("wid").alias("comm"), F.col("word").alias("comm_unit")
+    )
+    return lv.join(v1, "id").join(v2, "comm").select("unit", "comm_unit")
+
+
 def _textrank_topk(
     docs: DataFrame,
     unit_fn,

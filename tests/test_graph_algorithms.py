@@ -1033,6 +1033,45 @@ def test_louvain_levels_level1_is_louvain_move(spark):
     assert a == b
 
 
+def test_louvain_levels_weighted_splits_at_the_light_bridge(spark):
+    # two triangles with heavy intra-community weights joined by one
+    # light bridge: the weighted sweep must keep the triangles as two
+    # communities (unweighted, with every edge 1, the same topology
+    # can merge across the bridge) — and parallel input edges must
+    # sum onto the canonical edge (the multigraph convention)
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        louvain_levels,
+        modularity,
+    )
+
+    rows = (
+        # triangle A, weight 10 each (one edge given as two parallel
+        # rows of 5+5 to pin the summing convention)
+        [(0, 1, 5), (1, 0, 5), (1, 2, 10), (2, 0, 10)]
+        # triangle B, weight 10 each
+        + [(3, 4, 10), (4, 5, 10), (5, 3, 10)]
+        # light bridge
+        + [(2, 3, 1)]
+    )
+    e = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    info = {}
+    out = {
+        r.id: r.comm
+        for r in louvain_levels(
+            e, max_levels=6, info=info, weight_col="w"
+        ).collect()
+    }
+    assert len(set(out.values())) == 2
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4] == out[5]
+    assert out[0] != out[3]
+    assert all(
+        b > a for a, b in zip(
+            info["modularity_trail"], info["modularity_trail"][1:]
+        )
+    )
+
+
 def test_louvain_levels_stops_on_no_improvement(spark):
     # a 4-clique: the first sweep collapses it into one community
     # (optimal single-community partition, Q = 0); no further level
