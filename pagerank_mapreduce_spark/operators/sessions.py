@@ -318,8 +318,10 @@ def cusum_alerts(
     batch, state carried across batches; see that docstring for the
     applyInPandas-overhead A/B). The C-double sequence is exactly
     the order the oracle's recursive CTE replays, so values are
-    bit-identical. NULL timestamps/values are excluded up front
-    (module convention)."""
+    bit-identical. NULL timestamps/values are excluded up front and
+    literal NaN doubles (which pass isNotNull) are skipped inside the
+    fold — the streaming twin's exact behavior, so the bit-for-bit
+    parity claim holds with NaNs present (module convention)."""
     src = df.filter(
         F.col(by).isNotNull()
         & F.col(on).isNotNull()

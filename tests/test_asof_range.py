@@ -745,3 +745,50 @@ def test_fold_engine_cross_batch_state_carrying(spark):
         for uid, (e, mx, n) in series.items()
     }
     assert got == want
+
+
+def test_fold_smoothers_skip_nan_and_null_keys(spark):
+    # round-11 parity fixes: (a) a literal NaN double (which passes
+    # isNotNull) is SKIPPED by all three batch folds exactly like
+    # their streaming twins — folded results and n must equal the
+    # NaN-free series; (b) a NULL key row is dropped, not turned into
+    # one output row per input row (the NaN-key chunk-boundary bug)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.sessions import (
+        cusum_alerts,
+        ewma_smooth,
+        holt_smooth,
+    )
+
+    clean_rows = [
+        (1, 1, "2024-01-01 00:00:00", 9.0),
+        (3, 1, "2024-01-01 02:00:00", 7.0),
+        (4, 1, "2024-01-01 03:00:00", 8.0),
+    ]
+    dirty_rows = clean_rows + [
+        (2, 1, "2024-01-01 01:00:00", float("nan")),  # NaN mid-series
+        (5, None, "2024-01-01 00:00:00", 4.0),        # NULL key
+        (6, None, "2024-01-01 01:00:00", 5.0),
+    ]
+    schema = "event_id long, user_id long, ts string, value double"
+    clean = spark.createDataFrame(clean_rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dirty = spark.createDataFrame(dirty_rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    for op, args in (
+        (cusum_alerts, ("ts", "user_id", "value", 5.0, 10.0, "event_id")),
+        (ewma_smooth, ("ts", "user_id", "value", 0.3, "event_id")),
+        (holt_smooth, ("ts", "user_id", "value", 0.5, 0.25, "event_id")),
+    ):
+        a = sorted(map(tuple, op(clean, *args).collect()))
+        b = sorted(map(tuple, op(dirty, *args).collect()))
+        assert a == b, (op.__name__, a, b)
+        assert len(b) == 1  # null-key rows emit NOTHING
+        assert not any(
+            isinstance(x, float) and math.isnan(x) for x in b[0]
+        )
