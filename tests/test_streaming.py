@@ -433,7 +433,7 @@ def test_soak_dedup_ingest_rate_source(spark, tmp_path):
     )
     try:
         # run for the soak duration, extending (bounded at 3x) until
-        # at least 8 batches committed — the first batches pay JVM
+        # the batch floor below commits — the first batches pay JVM
         # warm-up and must not flake the floor assertion
         deadline = _time.monotonic() + _SOAK_SECONDS
         hard = _time.monotonic() + 3 * _SOAK_SECONDS
