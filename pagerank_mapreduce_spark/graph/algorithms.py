@@ -1834,6 +1834,20 @@ def louvain_levels(
         _strength(g).agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
     ).first()
     m_w = int(m_row["m"] or 0)
+    # the exact-integer acceptance numerator 4*m_w*sw - s2 and the
+    # sweep gain 2*m_w*w - S_v*S_n hold terms up to (2*m_w)^2; past
+    # m_w ~ 1.5e9 they silently wrap int64 and acceptance decisions
+    # would be CORRUPTED, not erroneous — fail loudly instead.
+    # floor(sqrt(2^63 - 1)) / 2 = 1_518_500_249.
+    _M_W_BOUND = 1_518_500_249
+    if m_w > _M_W_BOUND:
+        raise OverflowError(
+            f"louvain_levels: total edge weight m_w={m_w} exceeds the "
+            f"exact-int64 acceptance bound {_M_W_BOUND} ((2*m_w)^2 must "
+            "fit in int64); rescale edge weights (the partition is "
+            "invariant to a uniform integer down-scaling of w) or use "
+            "a DECIMAL build of the acceptance arithmetic"
+        )
     n_prev = 4 * m_w * int(m_row["sw"] or 0) - int(m_row["s2"] or 0)
     trail: list[float] = []
     levels_used = 0

@@ -238,8 +238,10 @@ def _greedy_merges(
         for i in sorted(pair_words[(left, right)]):
             t, c = syms[i], counts[i]
             # delta out the old adjacency counts of this word
+            old_pairs: set[tuple[str, str]] = set()
             for j in range(len(t) - 1):
                 p = (t[j], t[j + 1])
+                old_pairs.add(p)
                 pair_n[p] -= c
                 if pair_n[p] <= 0:
                     del pair_n[p]
@@ -259,10 +261,21 @@ def _greedy_merges(
                     j += 1
             nt = tuple(new)
             syms[i] = nt
+            new_pairs: set[tuple[str, str]] = set()
             for j in range(len(nt) - 1):
                 p = (nt[j], nt[j + 1])
+                new_pairs.add(p)
                 pair_n[p] += c
                 pair_words[p].add(i)
+            # prune this word from the index of pairs the rewrite
+            # removed — otherwise pair_words accumulates stale word
+            # ids and a later merge of pair p re-processes every word
+            # that EVER contained p (delta-out/no-op-rewrite/delta-in
+            # per stale word), degrading the ~linear incremental
+            # claim toward quadratic on adversarial vocabularies
+            for p in old_pairs - new_pairs:
+                if p != (left, right):
+                    pair_words[p].discard(i)
         del pair_words[(left, right)]
     return out
 
@@ -368,6 +381,10 @@ def bpe_token_counts(
     Output: (``id_col``, n_words BIGINT, n_bpe_tokens BIGINT) —
     n_bpe_tokens = Σ over the document's words of the word's symbol
     count after all k merges."""
+    if chunk_size < 1:
+        raise ValueError(
+            f"bpe_token_counts: chunk_size must be >= 1, got {chunk_size}"
+        )
     merges = [
         (r["left"], r["right"])
         for r in bpe_train(docs, n_merges, text_col, mode=train_mode)
@@ -380,9 +397,9 @@ def bpe_token_counts(
         .distinct()
     )
     word_seg = words.select("_w", _sym_string(F.col("_w")).alias("_s"))
-    for c0 in range(0, len(merges), max(1, chunk_size)):
+    for c0 in range(0, len(merges), chunk_size):
         seg = F.col("_s")
-        for left, right in merges[c0 : c0 + max(1, chunk_size)]:
+        for left, right in merges[c0 : c0 + chunk_size]:
             seg = F.replace(
                 seg,
                 F.lit(SEP + left + SEP + SEP + right + SEP),

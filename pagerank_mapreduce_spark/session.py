@@ -67,6 +67,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bound plan-string rendering: an interrupted streaming
+        # teardown otherwise stringifies + regex-redacts a multi-MB
+        # plan on the stream-execution thread (observed as a
+        # java.util.regex StackOverflowError dumped into test logs —
+        # cosmetic but it buries real failures). Truncating the
+        # rendered plan and field lists keeps teardown logs readable;
+        # no effect on execution, only on log/UI strings.
+        .config("spark.sql.debug.maxToStringFields", "25")
+        .config("spark.sql.maxPlanStringLength", "100000")
+        .config("spark.sql.maxMetadataStringLength", "200")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

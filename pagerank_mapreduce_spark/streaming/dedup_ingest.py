@@ -26,6 +26,8 @@ one code path, two drivers).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,7 +41,48 @@ __all__ = [
     "start_dedup_ingest",
     "paragraph_ingest_batch",
     "start_paragraph_ingest",
+    "stop_ingest",
 ]
+
+
+def _cooperative(once):
+    """Wrap a foreachBatch body so the query can be stopped WITHOUT
+    interrupting a mid-flight index append. ``StreamingQuery.stop()``
+    interrupts the stream-execution thread; if that lands inside the
+    parquet append the write dies with InterruptedException and (on
+    the rate-source soak under host contention) zero batches commit.
+    The wrapper adds a stop flag checked before each batch and a lock
+    held across the batch body — :func:`stop_ingest` sets the flag,
+    waits for the lock (i.e. for the in-flight append to finish),
+    THEN calls ``q.stop()``, so the interrupt only ever lands between
+    batches. Returns (wrapped_fn, stop_event, batch_lock)."""
+    stop_event = threading.Event()
+    batch_lock = threading.Lock()
+
+    def _wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        if stop_event.is_set():
+            return
+        with batch_lock:
+            if stop_event.is_set():
+                return
+            once(batch_df, batch_id)
+
+    return _wrapped, stop_event, batch_lock
+
+
+def stop_ingest(q, grace: float = 300.0) -> None:
+    """Cooperatively stop an ingest query started by
+    :func:`start_dedup_ingest` / :func:`start_paragraph_ingest`:
+    flag future batches to no-op, wait up to ``grace`` seconds for
+    the in-flight batch's index append to complete, then stop. Falls
+    back to a plain ``q.stop()`` for queries without the hooks."""
+    ev = getattr(q, "_graft_stop_event", None)
+    lk = getattr(q, "_graft_batch_lock", None)
+    if ev is not None:
+        ev.set()
+    if lk is not None and lk.acquire(timeout=grace):
+        lk.release()
+    q.stop()
 
 
 def ingest_batch(
@@ -142,12 +185,16 @@ def start_dedup_ingest(
         )
         accepted.write.mode("append").parquet(accepted_path)
 
-    return (
-        stream.writeStream.foreachBatch(_once)
+    wrapped, stop_event, batch_lock = _cooperative(_once)
+    q = (
+        stream.writeStream.foreachBatch(wrapped)
         .option("checkpointLocation", checkpoint_path)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+    q._graft_stop_event = stop_event
+    q._graft_batch_lock = batch_lock
+    return q
 
 
 # -------------------------- paragraph-granularity ingest (round 8)
@@ -246,9 +293,13 @@ def start_paragraph_ingest(
         accepted.write.mode("append").parquet(accepted_path)
         new_fps.write.mode("append").parquet(fps_path)
 
-    return (
-        stream.writeStream.foreachBatch(_once)
+    wrapped, stop_event, batch_lock = _cooperative(_once)
+    q = (
+        stream.writeStream.foreachBatch(wrapped)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )
+    q._graft_stop_event = stop_event
+    q._graft_batch_lock = batch_lock
+    return q
