@@ -71,6 +71,7 @@ def bpe_train(
     n_merges: int = 6,
     text_col: str = "text",
     mode: str = "distributed",
+    vocab_min_count: int = 1,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus.
 
@@ -101,9 +102,27 @@ def bpe_train(
       exact argmax tie-break (count desc, then the ``l␟␟r`` pair
       string asc — byte-identical to the distributed orderBy) and
       the exact left-to-right non-overlapping rewrite.
+
+    ``vocab_min_count`` — the frequency-floor VOCABULARY PRUNE: words
+    occurring fewer than this many times are dropped before merge
+    learning. Semantics are exact-by-definition: the result equals
+    training on the corpus with sub-floor words removed (pair counts
+    exclude their contributions — the standard trainer vocabulary
+    threshold). Its real job is bounding the vocab_local kernel's
+    input: a web-scale corpus has ≫10⁸ distinct "words" but the mass
+    lives in the head — a floor of 2-4 typically cuts the distinct
+    count by an order of magnitude (hapax-heavy Zipf tail) while
+    leaving the learned merges near-identical, keeping the
+    single-task kernel viable far past the unpruned bound.
     """
+    if vocab_min_count < 1:
+        raise ValueError(
+            f"bpe_train: vocab_min_count must be >= 1, got {vocab_min_count}"
+        )
     if mode == "vocab_local":
-        return _bpe_train_vocab_local(docs, n_merges, text_col)
+        return _bpe_train_vocab_local(
+            docs, n_merges, text_col, vocab_min_count
+        )
     if mode != "distributed":
         raise ValueError(f"bpe_train: unknown mode {mode!r}")
     spark = docs.sparkSession
@@ -112,6 +131,7 @@ def bpe_train(
         .filter(~F.col("_w").contains(SEP))
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= vocab_min_count)
         .select(_sym_string(F.col("_w")).alias("_s"), "_c")
         .localCheckpoint()
     )
@@ -153,19 +173,21 @@ _MERGE_SCHEMA = (
 
 
 def _bpe_train_vocab_local(
-    docs: DataFrame, n_merges: int, text_col: str
+    docs: DataFrame, n_merges: int, text_col: str, vocab_min_count: int = 1
 ) -> DataFrame:
     """The vocab_local mode of :func:`bpe_train`: distributed word
-    count, then the greedy loop in one Arrow kernel on the
-    single-partitioned vocabulary. See bpe_train's docstring for the
-    scale argument; the kernel is order-independent (counting is
-    commutative, the tie-break total), so any partition layout of the
-    incoming vocabulary yields the same merges."""
+    count (optionally frequency-floor pruned — see bpe_train), then
+    the greedy loop in one Arrow kernel on the single-partitioned
+    vocabulary. See bpe_train's docstring for the scale argument; the
+    kernel is order-independent (counting is commutative, the
+    tie-break total), so any partition layout of the incoming
+    vocabulary yields the same merges."""
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(~F.col("w").contains(SEP))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= vocab_min_count)
     )
 
     def kernel(batches):
@@ -213,7 +235,17 @@ def _greedy_merges(
 
     Per merge, only the words CONTAINING the chosen pair are
     recounted (delta-updated) — the standard trainer optimization
-    that makes 10⁴ merges ~linear instead of quadratic."""
+    that makes 10⁴ merges ~linear instead of quadratic. The argmax
+    is a LAZY-INVALIDATION heap keyed (-count, pair-string): a linear
+    max() scan per merge is O(|pairs|) and |pairs| grows ~linearly
+    with merges learned, so at a real 32k-merge vocabulary the scans
+    alone would be ~10⁹–10¹⁰ comparisons; the heap re-pushes only
+    pairs TOUCHED by each rewrite and discards stale entries at pop
+    time — total heap traffic tracks the delta-update work. The
+    popped key ((-count, pair-string) ascending) realizes exactly the
+    distributed orderBy (count desc, pair string asc), so the heap is
+    a physical change only."""
+    import heapq
     from collections import Counter, defaultdict
 
     syms: list[tuple[str, ...]] = [tuple(w) for w in words]
@@ -224,17 +256,27 @@ def _greedy_merges(
             p = (t[j], t[j + 1])
             pair_n[p] += c
             pair_words[p].add(i)
+    heap: list[tuple[int, str, tuple[str, str]]] = [
+        (-n, p[0] + SEP + SEP + p[1], p) for p, n in pair_n.items()
+    ]
+    heapq.heapify(heap)
     out: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        if not pair_n:
+        # pop to the first LIVE entry (count matches the current
+        # table); stale entries are leftovers from earlier updates
+        best = None
+        while heap:
+            negn, _, p = heap[0]
+            if pair_n.get(p) == -negn:
+                best = (p, -negn)
+                break
+            heapq.heappop(heap)
+        if best is None:
             break
-        best = max(
-            pair_n.items(),
-            key=lambda kv: (kv[1], _neg_str(kv[0][0] + SEP + SEP + kv[0][1])),
-        )
         (left, right), n = best
         out.append((rank, left, right, left + right, int(n)))
         merged = left + right
+        touched: set[tuple[str, str]] = set()
         for i in sorted(pair_words[(left, right)]):
             t, c = syms[i], counts[i]
             # delta out the old adjacency counts of this word
@@ -242,6 +284,7 @@ def _greedy_merges(
             for j in range(len(t) - 1):
                 p = (t[j], t[j + 1])
                 old_pairs.add(p)
+                touched.add(p)
                 pair_n[p] -= c
                 if pair_n[p] <= 0:
                     del pair_n[p]
@@ -265,6 +308,7 @@ def _greedy_merges(
             for j in range(len(nt) - 1):
                 p = (nt[j], nt[j + 1])
                 new_pairs.add(p)
+                touched.add(p)
                 pair_n[p] += c
                 pair_words[p].add(i)
             # prune this word from the index of pairs the rewrite
@@ -277,20 +321,13 @@ def _greedy_merges(
                 if p != (left, right):
                     pair_words[p].discard(i)
         del pair_words[(left, right)]
+        # one fresh heap entry per TOUCHED pair's final count; older
+        # entries for the same pair go stale and are discarded at pop
+        for p in touched:
+            cur = pair_n.get(p)
+            if cur is not None:
+                heapq.heappush(heap, (-cur, p[0] + SEP + SEP + p[1], p))
     return out
-
-
-class _neg_str(str):
-    """Inverts string comparison so ``max(key=(count, _neg_str(p)))``
-    realizes (count DESC, pair-string ASC) in a single max()."""
-
-    __slots__ = ()
-
-    def __lt__(self, other):  # type: ignore[override]
-        return str.__gt__(self, other)
-
-    def __gt__(self, other):  # type: ignore[override]
-        return str.__lt__(self, other)
 
 
 def bpe_oracle_sql(n_merges: int = 6) -> str:
@@ -350,6 +387,8 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     chunk_size: int = 64,
     train_mode: str = "distributed",
+    apply_mode: str = "replace",
+    vocab_min_count: int = 1,
 ) -> DataFrame:
     """Apply the corpus-learned merges (:func:`bpe_train`) back to the
     corpus and report per-document BPE token counts — the tokenizer
@@ -378,6 +417,32 @@ def bpe_token_counts(
     bit-identical to the single-expression form — pinned by test
     and by the chunked catalog entry's DuckDB oracle.
 
+    Two APPLY modes, bit-identical outputs (equivalence argued below,
+    pinned by test and by the shared DuckDB oracle):
+
+    - ``replace`` — k chained ``replace``s over the distinct-word
+      relation in ``chunk_size`` chunks (eager ``localCheckpoint``
+      between chunks bounds plan depth). Purely declarative, but at a
+      real vocabulary the ⌈k/chunk⌉ materializations dominate:
+      k = 32 768 at chunk 256 is 128 vocabulary-relation rewrites.
+    - ``rank_merge`` — the 100 TB shape: the k merges (a k-row driver
+      list, the codebook discipline) ship to ONE Arrow kernel over
+      the distinct-word relation; each word is segmented in-memory by
+      applying merges in ascending rank with a rank-skipping heap, so
+      plan depth and job count are INDEPENDENT of k (one corpus word
+      count + one vocabulary-sized mapInPandas + the join back).
+
+    rank_merge == the replace chain, exactly: the chain applies rank
+    r's left-to-right non-overlapping rewrite iff pair r is present
+    when rank r is reached. In the kernel, a pair is present at step
+    r either from the start (its ranks are heap-seeded) or created by
+    an applying merge q < r (the rewrite re-seeds new adjacencies
+    with ranks > q only — a lower-rank pair RE-created by a later
+    merge must NOT fire, exactly as the chain has already passed it).
+    Pushes always exceed the current pop, so pops are ascending and
+    the kernel fires precisely the chain's non-no-op ranks in chain
+    order.
+
     Output: (``id_col``, n_words BIGINT, n_bpe_tokens BIGINT) —
     n_bpe_tokens = Σ over the document's words of the word's symbol
     count after all k merges."""
@@ -385,9 +450,19 @@ def bpe_token_counts(
         raise ValueError(
             f"bpe_token_counts: chunk_size must be >= 1, got {chunk_size}"
         )
+    if apply_mode not in ("replace", "rank_merge"):
+        raise ValueError(
+            f"bpe_token_counts: unknown apply_mode {apply_mode!r}"
+        )
     merges = [
         (r["left"], r["right"])
-        for r in bpe_train(docs, n_merges, text_col, mode=train_mode)
+        for r in bpe_train(
+            docs,
+            n_merges,
+            text_col,
+            mode=train_mode,
+            vocab_min_count=vocab_min_count,
+        )
         .orderBy("merge_rank")
         .collect()
     ]
@@ -396,27 +471,33 @@ def bpe_token_counts(
         .filter(~F.col("_w").contains(SEP))
         .distinct()
     )
-    word_seg = words.select("_w", _sym_string(F.col("_w")).alias("_s"))
-    for c0 in range(0, len(merges), chunk_size):
-        seg = F.col("_s")
-        for left, right in merges[c0 : c0 + chunk_size]:
-            seg = F.replace(
-                seg,
-                F.lit(SEP + left + SEP + SEP + right + SEP),
-                F.lit(SEP + left + right + SEP),
-            )
-        word_seg = word_seg.select("_w", seg.alias("_s"))
-        if c0 + chunk_size < len(merges):
-            # bound the expression depth: materialize the vocabulary-
-            # sized relation and start the next chunk from plain
-            # columns (eager checkpoint storage is released with the
-            # result — the module's persist discipline)
-            word_seg = word_seg.localCheckpoint()
-    # symbols = non-empty pieces between double separators
-    seg_len = F.size(
-        F.filter(F.split(F.col("_s"), SEP + SEP), lambda x: x != "")
-    )
-    word_len = word_seg.select("_w", seg_len.cast("bigint").alias("_l"))
+    if apply_mode == "rank_merge":
+        word_len = _rank_merge_word_lengths(words, merges)
+    else:
+        word_seg = words.select("_w", _sym_string(F.col("_w")).alias("_s"))
+        for c0 in range(0, len(merges), chunk_size):
+            seg = F.col("_s")
+            for left, right in merges[c0 : c0 + chunk_size]:
+                seg = F.replace(
+                    seg,
+                    F.lit(SEP + left + SEP + SEP + right + SEP),
+                    F.lit(SEP + left + right + SEP),
+                )
+            word_seg = word_seg.select("_w", seg.alias("_s"))
+            if c0 + chunk_size < len(merges):
+                # bound the expression depth: materialize the
+                # vocabulary-sized relation and start the next chunk
+                # from plain columns (eager checkpoint storage is
+                # released with the result — the module's persist
+                # discipline)
+                word_seg = word_seg.localCheckpoint()
+        # symbols = non-empty pieces between double separators
+        seg_len = F.size(
+            F.filter(F.split(F.col("_s"), SEP + SEP), lambda x: x != "")
+        )
+        word_len = word_seg.select(
+            "_w", seg_len.cast("bigint").alias("_l")
+        )
     per_doc = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
     ).filter(~F.col("_w").contains(SEP))
@@ -428,6 +509,82 @@ def bpe_token_counts(
             F.sum("_l").alias("n_bpe_tokens"),
         )
     )
+
+
+def _rank_merge_word_lengths(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(_w) → (_w, _l): post-merge symbol count per distinct word via
+    the in-memory rank-skipping segmenter (see bpe_token_counts's
+    rank_merge mode). The merge list rides the task closure (k rows,
+    a few hundred KB at k = 32 768 — broadcast-sized); the pair→ranks
+    index is rebuilt once per task, O(k)."""
+
+    def kernel(batches):
+        import heapq
+
+        import pandas as pd
+
+        pair_ranks: dict[tuple[str, str], list[int]] = {}
+        by_rank: list[tuple[str, str, str]] = []
+        for r0, (left, right) in enumerate(merges):
+            by_rank.append((left, right, left + right))
+            # the same pair string can in principle be learned at two
+            # ranks (a later merge can re-create a token string) —
+            # keep ALL ranks, ascending
+            pair_ranks.setdefault((left, right), []).append(r0 + 1)
+
+        def seg_len(word: str) -> int:
+            t: list[str] = list(word)
+            if len(t) < 2:
+                return len(t)
+            heap: list[int] = []
+            seen: set[int] = set()
+
+            def push(p: tuple[str, str], floor: int) -> None:
+                for r in pair_ranks.get(p, ()):
+                    if r > floor and r not in seen:
+                        seen.add(r)
+                        heapq.heappush(heap, r)
+
+            for j in range(len(t) - 1):
+                push((t[j], t[j + 1]), 0)
+            while heap:
+                r = heapq.heappop(heap)
+                left, right, merged = by_rank[r - 1]
+                new: list[str] = []
+                j = 0
+                changed = False
+                while j < len(t):
+                    if (
+                        j < len(t) - 1
+                        and t[j] == left
+                        and t[j + 1] == right
+                    ):
+                        new.append(merged)
+                        j += 2
+                        changed = True
+                    else:
+                        new.append(t[j])
+                        j += 1
+                if changed:
+                    t = new
+                    for j in range(len(t) - 1):
+                        push((t[j], t[j + 1]), r)
+            return len(t)
+
+        for pdf in batches:
+            ws = pdf["_w"].tolist()
+            yield pd.DataFrame(
+                {
+                    "_w": ws,
+                    "_l": pd.array(
+                        [seg_len(w) for w in ws], dtype="int64"
+                    ),
+                }
+            )
+
+    return words.mapInPandas(kernel, "_w string, _l bigint")
 
 
 def bpe_apply_oracle_sql(n_merges: int = 6) -> str:

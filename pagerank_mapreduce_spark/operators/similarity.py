@@ -129,7 +129,15 @@ def ivf_build(
     ``list_id`` so a probe scans only nprobe/n_lists of the data;
     ``centroids`` is the (tiny) driver-side codebook a query is ranked
     against. The scale path the LSH variant trades recall for; IVF
-    keeps recall tunable via nprobe."""
+    keeps recall tunable via nprobe.
+
+    SIZING: n_lists must scale with the data — n_lists ∝ N (keep
+    N/n_lists, the expected list size, roughly constant; FAISS's
+    guidance is n_lists ≈ √N to 16√N for mid-range N). A codebook
+    sized for N cannot cover 10N: the round-11 scorecard measured
+    this path collapsing from r@10 = 0.87 to 0.21 on the 10× fixture
+    with n_lists held fixed. Recall must be MEASURED per corpus
+    (:func:`ivf_recall_at_k`); the suite gates it at sf0.001."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -370,7 +378,11 @@ def ivf_sampled_build(
     production mode for large codebooks. The tiny ``collect`` fetches
     only the ``n_lists`` codebook rows — codebook builds are
     inherently driver-side (KMeans does the same for its cluster
-    centers)."""
+    centers).
+
+    SIZING: n_lists ∝ N (see :func:`ivf_build` — constant expected
+    list size N/n_lists; √N-to-16√N for mid-range N). Gate recall
+    with :func:`ivf_recall_at_k` whenever N changes decade."""
     rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col)
@@ -413,6 +425,56 @@ def ivf_topk(
         F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 8).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_recall_at_k(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vecs: dict,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: dict | None = None,
+) -> float:
+    """Mean recall@k of the IVF probe against the exact brute-force
+    top-k over the given ``query_vecs`` ({query_id: vector}) — the
+    measured number that decides whether a codebook is USABLE, which
+    no bench wall or oracle hash can see (the round-11 scorecard
+    found learned KMeans collapsing to r@10 = 0.21 at 10× while the
+    deterministic codebooks held 0.75+ — a silent quality regression
+    class this function turns into a failing test).
+
+    Ties inside the exact top-k are broken (cos desc, id asc) exactly
+    as the probe breaks them, so recall 1.0 is reachable. The driver
+    loops over QUERIES (tens), not data — each iteration is two
+    bounded top-k jobs; at production scale the probe side batches,
+    but a recall GATE wants few, well-spread probes.
+
+    ``exact`` ({query_id: set of true top-k ids}, optional) skips the
+    brute-force side — pass it when scoring several builds/nprobe
+    settings against the same queries (tools/ann_recall.py)."""
+    hits = total = 0
+    for qid in sorted(query_vecs):
+        qv = [float(x) for x in query_vecs[qid]]
+        if exact is not None:
+            true_topk = set(exact[qid])
+        else:
+            true_topk = {
+                r[id_col] for r in cosine_topk(
+                    embeddings, qv, k=k, vec_col=vec_col, id_col=id_col
+                ).collect()
+            }
+        got = {
+            r[id_col] for r in ivf_topk(
+                assigned, centroids, qv, k=k, nprobe=nprobe,
+                vec_col=vec_col, id_col=id_col,
+            ).collect()
+        }
+        hits += len(got & true_topk)
+        total += len(true_topk)
+    return hits / total if total else float("nan")
 
 
 def embedding_near_dups(
@@ -827,6 +889,9 @@ def lloyd_build(
       an emptied cluster keeps its previous centroid (the standard
       Lloyd convention);
     - exactly ``iters`` iterations, no convergence test.
+
+    SIZING: n_lists ∝ N (see :func:`ivf_build`); gate recall with
+    :func:`ivf_recall_at_k` whenever N changes decade.
 
     The rounding is what makes the update replayable: engine and
     oracle average the same doubles in different orders (~1e-15

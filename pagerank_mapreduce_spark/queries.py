@@ -6786,6 +6786,28 @@ def q_text_bpe_apply_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_bpe_apply_rank_merge",
+    # the k-INDEPENDENT tokenizer apply (round 12): the merge list
+    # ships to one Arrow kernel over the distinct-word relation and
+    # each word is segmented in-memory with a rank-skipping heap —
+    # plan depth and job count independent of merge count, vs
+    # ⌈k/chunk⌉ vocabulary-relation rewrites for the replace chain
+    # (operators/bpe.py:bpe_token_counts). The oracle is the SAME
+    # chained-replace replay as text_bpe_apply_chunked: hash equality
+    # proves the kernel fires exactly the chain's non-no-op merges in
+    # chain order (the ascending-pop argument in the docstring)
+    BPE.bpe_apply_oracle_sql(n_merges=12),
+)
+def q_text_bpe_apply_rank_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_token_counts(
+        _t(spark, sf_dir, "documents"),
+        n_merges=12,
+        train_mode="vocab_local",
+        apply_mode="rank_merge",
+    )
+
+
 # ============================ rank-statistic evaluation (round 8)
 
 

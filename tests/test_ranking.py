@@ -313,6 +313,100 @@ def test_bpe_apply_chunked_matches_single_expression(spark):
         assert got == want, chunk
 
 
+def test_bpe_rank_merge_apply_matches_replace_chain(spark):
+    # the k-independent Arrow-kernel apply must fire exactly the
+    # replace chain's non-no-op merges in chain order — bit-identical
+    # counts at small and deep merge counts (deep enough that merges
+    # compose: later merges consume earlier merges' outputs)
+    import random
+
+    from pagerank_mapreduce_spark.operators.bpe import bpe_token_counts
+
+    rng = random.Random(17)
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(
+                    rng.choice("abcde") for _ in range(rng.randint(1, 9))
+                )
+                for _ in range(rng.randint(1, 20))
+            ),
+        )
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (4, 60):
+        want = sorted(
+            tuple(r)
+            for r in bpe_token_counts(
+                docs, n_merges=k, train_mode="vocab_local"
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in bpe_token_counts(
+                docs,
+                n_merges=k,
+                train_mode="vocab_local",
+                apply_mode="rank_merge",
+            ).collect()
+        )
+        assert got == want, k
+
+
+def test_bpe_vocab_min_count_prunes_exactly(spark):
+    # the frequency-floor prune == training on the corpus with
+    # sub-floor words REMOVED (exact-by-definition semantics), and
+    # floor 1 == the unpruned default
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.functions.text import tokens
+    from pagerank_mapreduce_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest lowest newest rare1"),
+            (2, "newest newest widest rare2 lowest"),
+            (3, "widest oooo oooo rare3 newest"),
+        ],
+        "doc_id long, text string",
+    )
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+    )
+    keep = {r["w"] for r in wc.filter(F.col("count") >= 2).collect()}
+    pruned_rows = [
+        (r["doc_id"], " ".join(w for w in r["text"].split() if w in keep))
+        for r in docs.collect()
+    ]
+    pruned = spark.createDataFrame(pruned_rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train(
+            docs, 30, mode="vocab_local", vocab_min_count=2
+        ).collect()
+    ]
+    want = [
+        tuple(r) for r in bpe_train(pruned, 30, mode="vocab_local").collect()
+    ]
+    assert got == want
+    floor1 = [
+        tuple(r)
+        for r in bpe_train(
+            docs, 30, mode="vocab_local", vocab_min_count=1
+        ).collect()
+    ]
+    default = [
+        tuple(r) for r in bpe_train(docs, 30, mode="vocab_local").collect()
+    ]
+    assert floor1 == default
+    with pytest.raises(ValueError):
+        bpe_train(docs, 3, vocab_min_count=0)
+
+
 def test_rrf_fuse_hand_computed(spark):
     from pagerank_mapreduce_spark.operators.ranking import rrf_fuse
 

@@ -228,7 +228,7 @@ def _protobuf_available() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+    reason="transformWithStateInPandas needs google.protobuf (no pip copy and no cloud-sdk copy to shim — see conftest._ensure_protobuf)",
 )
 def test_tws_totals_across_batches(spark, tmp_path):
     d1 = pd.DataFrame(
@@ -374,7 +374,7 @@ def test_temperature_resample_null_group_kept(spark):
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+    reason="transformWithStateInPandas needs google.protobuf (no pip copy and no cloud-sdk copy to shim — see conftest._ensure_protobuf)",
 )
 def test_tws_cusum_across_batches(spark, tmp_path):
     # the CUSUM fold state (S, max, n, first alert) must survive the
@@ -485,7 +485,7 @@ def test_tws_ewma_batch_analogue_matches_operator(spark, sf_dir):
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+    reason="transformWithStateInPandas needs google.protobuf (no pip copy and no cloud-sdk copy to shim — see conftest._ensure_protobuf)",
 )
 def test_tws_ewma_across_batches(spark, tmp_path):
     # E must continue from batch 1's state: value 10 then 0,0 in batch
@@ -576,7 +576,7 @@ def test_tws_holt_batch_analogue_matches_operator(spark, sf_dir):
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+    reason="transformWithStateInPandas needs google.protobuf (no pip copy and no cloud-sdk copy to shim — see conftest._ensure_protobuf)",
 )
 def test_tws_holt_across_batches(spark, tmp_path):
     # the (level, trend) pair must continue from batch 1's state:

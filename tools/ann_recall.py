@@ -97,20 +97,12 @@ def main() -> None:
         cells = []
         for nprobe in (2, 4):
             t0 = time.monotonic()
-            hits = 0
-            for qid in qids:
-                got = {
-                    r["vec_id"]
-                    for r in S.ivf_topk(
-                        assigned, centroids, qvecs[qid], k=K,
-                        nprobe=nprobe,
-                    ).collect()
-                }
-                hits += len(got & exact[qid])
-            probe_wall = time.monotonic() - t0
-            cells.append(
-                f"{hits / (K * len(qids)):.3f} | {probe_wall:.2f}"
+            recall = S.ivf_recall_at_k(
+                emb, assigned, centroids, qvecs, k=K, nprobe=nprobe,
+                exact=exact,
             )
+            probe_wall = time.monotonic() - t0
+            cells.append(f"{recall:.3f} | {probe_wall:.2f}")
         print(f"| {name} | {build_wall:.2f} | {cells[0]} | {cells[1]} |")
     spark.stop()
 
