@@ -54,6 +54,24 @@ def test_q5_broadcasts_every_dimension(spark, sf_dir):
     assert fact_joins <= 2, js
 
 
+def test_q21_semi_anti_shapes_no_nested_loop(spark, sf_dir):
+    # TPC-H Q21 (the r11→r10 bench-drift adjudication, round 12):
+    # the EXISTS/NOT-EXISTS correlations must stay equi-keyed
+    # semi/anti joins with the supplier-inequality as a residual
+    # condition — never a BroadcastNestedLoopJoin or cartesian (the
+    # non-equi part must ride the l_orderkey equi-key). Supplier and
+    # orders are dimension-sized → broadcast. Scale-invariant pins
+    # only: at sf0.001 AQE may broadcast the anti side too, so the
+    # anti join's STRATEGY is not pinned, its keyed-ness is.
+    df = _q(spark, sf_dir, "rel_q21_waiting_supplier")
+    plan = formatted_plan(df)
+    js = join_strategies(plan)
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0, js
+    assert js.get("CartesianProduct", 0) == 0, js
+    assert js.get("BroadcastHashJoin", 0) >= 2, js  # orders, supplier
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
 def test_q1_aggregation_is_codegen_and_single_exchange(spark, sf_dir):
     # scan → partial agg → exchange → final agg: exactly one shuffle,
     # and the hot path fully inside whole-stage codegen. Codegen
