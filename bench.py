@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     "text_bpe_merges_local",
     "text_bpe_apply_chunked",
     "graph_louvain_full",
+    # round-12 additions: k-independent tokenizer apply + the shipped
+    # vocabulary table, pruned training
+    "text_bpe_apply_rank_merge",
+    "text_bpe_word_segments",
+    "text_bpe_merges_pruned",
 ]
 
 

@@ -330,15 +330,22 @@ def _greedy_merges(
     return out
 
 
-def bpe_oracle_sql(n_merges: int = 6) -> str:
+def bpe_oracle_sql(n_merges: int = 6, vocab_min_count: int = 1) -> str:
     """DuckDB replay of :func:`bpe_train` over the documents table —
     the k iterations unroll as chained MATERIALIZED CTEs (no
     recursion needed for a fixed k; without MATERIALIZED the planner
     inlines each v_i into every consumer and the chain expands
     exponentially); each iteration's argmax feeds the next rewrite
-    via scalar subqueries, the identical double-separator replace."""
+    via scalar subqueries, the identical double-separator replace.
+    ``vocab_min_count`` replays the frequency-floor prune as a
+    HAVING on the word count."""
     S = "chr(31)"
     SS = f"{S} || {S}"
+    floor = (
+        f" HAVING count(*) >= {int(vocab_min_count)}"
+        if vocab_min_count > 1
+        else ""
+    )
     parts = [
         f"""WITH toks AS (
          SELECT unnest(list_filter(
@@ -348,7 +355,7 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
        v0 AS MATERIALIZED (SELECT {SS} || regexp_replace(w, '(.)',
                        '\\1' || {S} || {S}, 'g') AS s,
                      count(*) AS c
-              FROM toks WHERE NOT contains(w, chr(31)) GROUP BY w)"""
+              FROM toks WHERE NOT contains(w, chr(31)) GROUP BY w{floor})"""
     ]
     for i in range(1, n_merges + 1):
         prev = f"v{i - 1}"
@@ -472,7 +479,9 @@ def bpe_token_counts(
         .distinct()
     )
     if apply_mode == "rank_merge":
-        word_len = _rank_merge_word_lengths(words, merges)
+        word_len = _rank_merge_word_segments(words, merges).select(
+            "_w", "_l"
+        )
     else:
         word_seg = words.select("_w", _sym_string(F.col("_w")).alias("_s"))
         for c0 in range(0, len(merges), chunk_size):
@@ -511,14 +520,15 @@ def bpe_token_counts(
     )
 
 
-def _rank_merge_word_lengths(
+def _rank_merge_word_segments(
     words: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
-    """(_w) → (_w, _l): post-merge symbol count per distinct word via
-    the in-memory rank-skipping segmenter (see bpe_token_counts's
-    rank_merge mode). The merge list rides the task closure (k rows,
-    a few hundred KB at k = 32 768 — broadcast-sized); the pair→ranks
-    index is rebuilt once per task, O(k)."""
+    """(_w) → (_w, _l, _seg): post-merge token count and
+    space-joined segmentation per distinct word via the in-memory
+    rank-skipping segmenter (see bpe_token_counts's rank_merge mode).
+    The merge list rides the task closure (k rows, a few hundred KB
+    at k = 32 768 — broadcast-sized); the pair→ranks index is rebuilt
+    once per task, O(k)."""
 
     def kernel(batches):
         import heapq
@@ -534,10 +544,10 @@ def _rank_merge_word_lengths(
             # keep ALL ranks, ascending
             pair_ranks.setdefault((left, right), []).append(r0 + 1)
 
-        def seg_len(word: str) -> int:
+        def segment(word: str) -> list[str]:
             t: list[str] = list(word)
             if len(t) < 2:
-                return len(t)
+                return t
             heap: list[int] = []
             seen: set[int] = set()
 
@@ -571,20 +581,122 @@ def _rank_merge_word_lengths(
                     t = new
                     for j in range(len(t) - 1):
                         push((t[j], t[j + 1]), r)
-            return len(t)
+            return t
 
         for pdf in batches:
             ws = pdf["_w"].tolist()
+            segs = [segment(w) for w in ws]
             yield pd.DataFrame(
                 {
                     "_w": ws,
                     "_l": pd.array(
-                        [seg_len(w) for w in ws], dtype="int64"
+                        [len(s) for s in segs], dtype="int64"
                     ),
+                    "_seg": [" ".join(s) for s in segs],
                 }
             )
 
-    return words.mapInPandas(kernel, "_w string, _l bigint")
+    return words.mapInPandas(kernel, "_w string, _l bigint, _seg string")
+
+
+def bpe_word_segments(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    train_mode: str = "distributed",
+    apply_mode: str = "rank_merge",
+    chunk_size: int = 64,
+    vocab_min_count: int = 1,
+) -> DataFrame:
+    """The learned tokenizer's VOCABULARY TABLE: every distinct corpus
+    word with its post-merge segmentation — the artifact a tokenizer
+    actually ships (merges + per-word segmentations), and what a
+    training-data pipeline materializes once so corpus tokenization
+    becomes a broadcast-join lookup instead of a re-segmentation.
+
+    Output: (word, segments STRING — the tokens space-joined in
+    order, n_tokens BIGINT). Same two apply modes as
+    :func:`bpe_token_counts`, bit-identical (shared DuckDB oracle:
+    :func:`bpe_segments_oracle_sql`)."""
+    if apply_mode not in ("replace", "rank_merge"):
+        raise ValueError(
+            f"bpe_word_segments: unknown apply_mode {apply_mode!r}"
+        )
+    if chunk_size < 1:
+        raise ValueError(
+            f"bpe_word_segments: chunk_size must be >= 1, got {chunk_size}"
+        )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(
+            docs,
+            n_merges,
+            text_col,
+            mode=train_mode,
+            vocab_min_count=vocab_min_count,
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .filter(~F.col("_w").contains(SEP))
+        .distinct()
+    )
+    if apply_mode == "rank_merge":
+        seg = _rank_merge_word_segments(words, merges)
+        return seg.select(
+            F.col("_w").alias("word"),
+            F.col("_seg").alias("segments"),
+            F.col("_l").alias("n_tokens"),
+        )
+    word_seg = words.select("_w", _sym_string(F.col("_w")).alias("_s"))
+    for c0 in range(0, len(merges), chunk_size):
+        s = F.col("_s")
+        for left, right in merges[c0 : c0 + chunk_size]:
+            s = F.replace(
+                s,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            )
+        word_seg = word_seg.select("_w", s.alias("_s"))
+        if c0 + chunk_size < len(merges):
+            word_seg = word_seg.localCheckpoint()
+    n_tok = F.size(
+        F.filter(F.split(F.col("_s"), SEP + SEP), lambda x: x != "")
+    )
+    return word_seg.select(
+        F.col("_w").alias("word"),
+        F.trim(
+            F.replace(F.col("_s"), F.lit(SEP + SEP), F.lit(" "))
+        ).alias("segments"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    )
+
+
+def bpe_segments_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of :func:`bpe_word_segments`: the training CTE
+    chain, then the chained-replace segmentation of the distinct
+    words rendered as the space-joined token string."""
+    S = "chr(31)"
+    SS = f"{S} || {S}"
+    train = bpe_oracle_sql(n_merges)
+    ctes = train[: train.index("\n       SELECT 1 AS merge_rank")]
+    seg = f"{SS} || regexp_replace(w, '(.)', '\\1' || {S} || {S}, 'g')"
+    for i in range(1, n_merges + 1):
+        seg = (
+            f"replace({seg}, {S} || (SELECT l FROM m{i}) || {SS} || "
+            f"(SELECT r FROM m{i}) || {S}, {S} || (SELECT l FROM m{i})"
+            f" || (SELECT r FROM m{i}) || {S})"
+        )
+    return f"""{ctes},
+       dw AS MATERIALIZED (SELECT DISTINCT w FROM toks
+             WHERE NOT contains(w, chr(31)))
+       SELECT w AS word,
+              trim(replace({seg}, {SS}, ' ')) AS segments,
+              CAST(len(list_filter(string_split({seg}, {SS}),
+                                   x -> x <> '')) AS BIGINT) AS n_tokens
+       FROM dw"""
 
 
 def bpe_apply_oracle_sql(n_merges: int = 6) -> str:

@@ -6808,6 +6808,46 @@ def q_text_bpe_apply_rank_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_bpe_word_segments",
+    # the learned tokenizer's VOCABULARY TABLE (round 12): every
+    # distinct corpus word with its post-merge segmentation — the
+    # artifact a tokenizer ships; a pipeline materializes it once so
+    # tokenizing the corpus is a broadcast-join lookup. The Spark
+    # side segments in the rank_merge Arrow kernel; the oracle
+    # re-derives the merges and segments with chained replaces —
+    # hash equality pins the actual TOKEN STRINGS (not just counts)
+    # across the two algorithms and engines
+    BPE.bpe_segments_oracle_sql(n_merges=12),
+)
+def q_text_bpe_word_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_word_segments(
+        _t(spark, sf_dir, "documents"),
+        n_merges=12,
+        train_mode="vocab_local",
+        apply_mode="rank_merge",
+    )
+
+
+@_q(
+    "text_bpe_merges_pruned",
+    # the frequency-floor vocabulary prune (round 12): training on
+    # words with count >= 3 only — the knob that bounds the
+    # vocab_local kernel's input on hapax-heavy web corpora
+    # (operators/bpe.py: vocab_min_count). The oracle replays the
+    # floor as a HAVING on the word count: hash equality proves the
+    # prune's exact remove-sub-floor-words semantics cross-engine
+    BPE.bpe_oracle_sql(n_merges=16, vocab_min_count=3),
+)
+def q_text_bpe_merges_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_train(
+        _t(spark, sf_dir, "documents"),
+        n_merges=16,
+        mode="vocab_local",
+        vocab_min_count=3,
+    )
+
+
 # ============================ rank-statistic evaluation (round 8)
 
 

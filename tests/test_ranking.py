@@ -355,6 +355,44 @@ def test_bpe_rank_merge_apply_matches_replace_chain(spark):
         assert got == want, k
 
 
+def test_bpe_word_segments_modes_identical(spark):
+    # the vocabulary table (word -> space-joined tokens) must be
+    # bit-identical between the Arrow rank_merge kernel and the
+    # chained-replace path — this pins the actual TOKEN STRINGS, a
+    # stronger check than the count-level apply tests
+    from pagerank_mapreduce_spark.operators.bpe import bpe_word_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest lowest newest oooo ababab"),
+            (2, "newest newest widest abab oooo"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        tuple(r)
+        for r in bpe_word_segments(
+            docs, n_merges=8, train_mode="vocab_local",
+            apply_mode="rank_merge",
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bpe_word_segments(
+            docs, n_merges=8, train_mode="vocab_local",
+            apply_mode="replace", chunk_size=3,
+        ).collect()
+    )
+    assert a == b
+    by_word = {w: (s, n) for w, s, n in a}
+    # segmentation concatenates back to the word; token count matches
+    for w, (s, n) in by_word.items():
+        assert s.replace(" ", "") == w, (w, s)
+        assert len(s.split(" ")) == n, (w, s, n)
+    # 8 merges on this corpus definitely fuse something
+    assert any(n < len(w) for w, (_, n) in by_word.items())
+
+
 def test_bpe_vocab_min_count_prunes_exactly(spark):
     # the frequency-floor prune == training on the corpus with
     # sub-floor words REMOVED (exact-by-definition semantics), and

@@ -361,9 +361,9 @@ def _skip_if_floor_missed(progress, floor):
 )
 def test_soak_stateful_fold_rate_source_exactly_once(spark):
     # >=60 s of rate-source micro-batches through the
-    # applyInPandasWithState engine (stateful_user_totals — the
-    # in-container stateful path; the transformWithStateInPandas
-    # twins are protobuf-gated and covered by their own tests). The
+    # applyInPandasWithState engine (stateful_user_totals; the
+    # transformWithStateInPandas twin gets the same soak below via
+    # the conftest protobuf shim). The
     # rate source emits the consecutive integers 0..V in order and
     # each committed micro-batch consumes a contiguous prefix, so at
     # stop the per-key state must satisfy, for key k = v % K:
@@ -425,6 +425,95 @@ def test_soak_stateful_fold_rate_source_exactly_once(spark):
     # micro-batches, with state bounded at one row per key
     assert v_global >= 10 * K
     assert progress is not None and progress["batchId"] >= _BATCH_FLOOR
+    assert progress["stateOperators"][0]["numRowsTotal"] <= K
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _SKIP_SOAK, reason="SPARK_GRAFT_SKIP_SOAK=1 (CI time pressure)"
+)
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf "
+    "(no pip copy and no cloud-sdk copy to shim — see "
+    "conftest._ensure_protobuf)",
+)
+def test_soak_tws_fold_rate_source_exactly_once(spark):
+    # soak PARITY for the transformWithStateInPandas engine (round
+    # 12, unblocked by the conftest protobuf shim): the same
+    # arithmetic exactly-once contract as the applyInPandasWithState
+    # soak above, through tws_user_totals' named ValueState + the
+    # RocksDB state store provider instead. Shorter floor than
+    # _BATCH_FLOOR: the tws state protocol adds a per-batch
+    # driver-worker round-trip, so batches run slower — the
+    # arithmetic is batch-count-invariant and the full-length
+    # sustained claim lives in the sibling soak.
+    from pagerank_mapreduce_spark.streaming.stateful import tws_user_totals
+
+    K = 40
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000)
+        .load()
+    )
+    events = rate.select(
+        (F.col("value") % K).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            tws_user_totals(events)
+            .writeStream.format("memory")
+            .queryName("soak_tws_totals")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            progress = _soak_wait(q, max(4, _BATCH_FLOOR // 3))
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    _skip_if_floor_missed(progress, max(4, _BATCH_FLOOR // 3))
+    out = spark.table("soak_tws_totals")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+        .collect()
+    )
+    got = {int(r["user_id"]): (int(r["n"]), float(r["t"])) for r in final}
+    v_global = max(k + (n - 1) * K for k, (n, _) in got.items())
+    for k in range(min(K, v_global + 1)):
+        n_want = (v_global - k) // K + 1
+        t_want = round(n_want * k + K * n_want * (n_want - 1) / 2.0, 4)
+        assert got.get(k) == (n_want, t_want), (
+            k, got.get(k), (n_want, t_want), v_global,
+        )
+    assert v_global >= 2 * K
     assert progress["stateOperators"][0]["numRowsTotal"] <= K
 
 

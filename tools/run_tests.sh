@@ -26,7 +26,7 @@ SHARDS[A2]="tests/test_oracle_parity.py"
 SHARDENV[A2]="ORACLE_PARITY_SHARD=1/2"
 SHARDENV[B]="SPARK_GRAFT_SOAK_SECONDS=30"
 SHARDS[B]="tests/test_streaming.py tests/test_streaming_joins.py tests/test_dedup_ingest.py tests/test_sketches.py tests/test_skew_rmat_stateful.py tests/test_cdc.py tests/test_incremental.py tests/test_mm_text_pairs.py"
-SHARDS[C1]="tests/test_properties.py tests/test_zorder.py tests/test_expectations.py tests/test_evaluation.py"
+SHARDS[C1]="tests/test_properties.py tests/test_zorder.py tests/test_expectations.py tests/test_evaluation.py tests/test_ann_recall.py"
 SHARDS[C2]="tests/test_determinism.py"
 SHARDENV[C2]="DETERMINISM_SHARD=0/2"
 SHARDS[C3]="tests/test_determinism.py"
