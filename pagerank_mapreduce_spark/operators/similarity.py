@@ -455,6 +455,34 @@ def ivf_recall_at_k(
     ``exact`` ({query_id: set of true top-k ids}, optional) skips the
     brute-force side — pass it when scoring several builds/nprobe
     settings against the same queries (tools/ann_recall.py)."""
+    return topk_recall_at_k(
+        embeddings,
+        lambda qv, kk: ivf_topk(
+            assigned, centroids, qv, k=kk, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col,
+        ),
+        query_vecs,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        exact=exact,
+    )
+
+
+def topk_recall_at_k(
+    embeddings: DataFrame,
+    probe,
+    query_vecs: dict,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: dict | None = None,
+) -> float:
+    """Generic recall@k vs exact brute force for ANY approximate
+    top-k path: ``probe(query_vector, k) -> DataFrame`` carrying
+    ``id_col`` (pq_topk / ivfpq_topk / int8_topk / lsh_topk /
+    ivf_topk partials all fit). Same contract and caveats as
+    :func:`ivf_recall_at_k`, which delegates here."""
     hits = total = 0
     for qid in sorted(query_vecs):
         qv = [float(x) for x in query_vecs[qid]]
@@ -466,12 +494,7 @@ def ivf_recall_at_k(
                     embeddings, qv, k=k, vec_col=vec_col, id_col=id_col
                 ).collect()
             }
-        got = {
-            r[id_col] for r in ivf_topk(
-                assigned, centroids, qv, k=k, nprobe=nprobe,
-                vec_col=vec_col, id_col=id_col,
-            ).collect()
-        }
+        got = {r[id_col] for r in probe(qv, k).collect()}
         hits += len(got & true_topk)
         total += len(true_topk)
     return hits / total if total else float("nan")

@@ -77,6 +77,51 @@ def test_codebook_recall_floor(recall_setup, label, build, floor):
     )
 
 
+def test_quantized_paths_recall_floors(recall_setup):
+    # the compression paths, at the CATALOG entries' own settings.
+    # Round-12 measured values at sf0.001 (floors in parens):
+    #   int8            0.992 (>= 0.95) — near-exact by design: the
+    #                   per-vector scales cancel out of cosine
+    #   pq n_cent=8     0.242 (>= 0.15) — sampled (not learned)
+    #                   codebook; knob responds: 0.267 @ 32, 0.300 @ 64
+    #   ivfpq np=2      0.167 (>= 0.10) — residual-PQ ADC on top of
+    #                   the coarse quantizer; 0.333 @ n_cent=64 np=8
+    #   lsh hamming<=1  0.183 (>= 0.10) — 0.475 @ hamming<=2
+    # These are REGRESSION floors, not quality certificates: the
+    # sampled-codebook quantizers trade recall for SQL-replayability
+    # and the measured numbers say exactly how much (SCALE.md
+    # round-12). A code change pushing any path below its floor
+    # fails here.
+    emb, qvecs, exact = recall_setup
+    coded_pq, cb = S.pq_build(emb)
+    coded_pq = coded_pq.localCheckpoint()
+    r_pq = S.topk_recall_at_k(
+        emb, lambda qv, k: S.pq_topk(coded_pq, cb, qv, k=k),
+        qvecs, k=K, exact=exact,
+    )
+    assert r_pq >= 0.15, r_pq
+    coded_ip, cents, cb2 = S.ivfpq_build(emb)
+    coded_ip = coded_ip.localCheckpoint()
+    r_ip = S.topk_recall_at_k(
+        emb,
+        lambda qv, k: S.ivfpq_topk(coded_ip, cents, cb2, qv, k=k, nprobe=2),
+        qvecs, k=K, exact=exact,
+    )
+    assert r_ip >= 0.10, r_ip
+    r_i8 = S.topk_recall_at_k(
+        emb, lambda qv, k: S.int8_topk(emb, qv, k=k),
+        qvecs, k=K, exact=exact,
+    )
+    assert r_i8 >= 0.95, r_i8
+    dim = len(next(iter(qvecs.values())))
+    bucketed = S.lsh_bucketize(emb, dim).localCheckpoint()
+    r_lsh = S.topk_recall_at_k(
+        emb, lambda qv, k: S.lsh_topk(bucketed, qv, k=k, probe_hamming=1),
+        qvecs, k=K, exact=exact,
+    )
+    assert r_lsh >= 0.10, r_lsh
+
+
 def test_full_probe_is_exact(recall_setup):
     # the recall invariant: nprobe == n_lists scans every list, so
     # the probe IS brute force — recall exactly 1.0 (any miss means
