@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "text_bpe_apply_rank_merge",
     "text_bpe_word_segments",
     "text_bpe_merges_pruned",
+    "text_bpe_pack",
 ]
 
 

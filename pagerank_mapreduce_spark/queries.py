@@ -6848,6 +6848,41 @@ def q_text_bpe_merges_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_bpe_pack",
+    # TOKENIZER-AWARE sequence packing (round 12) — the canonical
+    # LLM-pipeline integration: context-window chunks cut by the
+    # documents' token counts under the CORPUS-LEARNED BPE vocabulary
+    # (not a whitespace proxy) — train (vocab_local) → apply
+    # (rank_merge kernel) → pack (two-phase bucketed prefix sum,
+    # operators/packing.py). The oracle nests the full BPE-apply
+    # replay as a CTE and packs with the single ORDER BY window the
+    # operator refuses to do at scale
+    "WITH bt AS ({})\n"
+    "       SELECT doc_id,\n"
+    "              CAST(floor(coalesce(sum(n_bpe_tokens) OVER (\n"
+    "                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED\n"
+    "                           PRECEDING AND 1 PRECEDING),\n"
+    "                         0) / 512) AS BIGINT) AS chunk_id\n"
+    "       FROM bt".format(BPE.bpe_apply_oracle_sql(n_merges=12)),
+)
+def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.operators.packing import pack_sequences
+
+    counts = BPE.bpe_token_counts(
+        _t(spark, sf_dir, "documents"),
+        n_merges=12,
+        train_mode="vocab_local",
+        apply_mode="rank_merge",
+    )
+    return pack_sequences(
+        counts.select("doc_id", "n_bpe_tokens"),
+        "n_bpe_tokens",
+        "doc_id",
+        budget=512,
+    ).select("doc_id", "chunk_id")
+
+
 # ============================ rank-statistic evaluation (round 8)
 
 
