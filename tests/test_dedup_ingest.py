@@ -153,3 +153,57 @@ def test_stream_paragraph_ingest_matches_corpus_dedup(spark, tmp_path):
         for r in paragraph_dedup(_df(spark, P1 + P2)).collect()
     )
     assert got == expect
+
+
+def test_cooperative_stop_wrapper_semantics():
+    # the _cooperative wrapper is what lets stop_ingest() guarantee a
+    # mid-flight index append is never interrupted: batches started
+    # before the stop flag run to completion under the lock; batches
+    # arriving after the flag no-op. Pure-Python check of both
+    # properties plus stop_ingest's wait-for-lock behavior on a
+    # query stub.
+    import threading
+    import time as _t
+
+    from pagerank_mapreduce_spark.streaming.dedup_ingest import (
+        _cooperative,
+        stop_ingest,
+    )
+
+    ran = []
+    release = threading.Event()
+
+    def body(df, bid):
+        ran.append(bid)
+        release.wait(10)
+
+    wrapped, stop_event, batch_lock = _cooperative(body)
+
+    t = threading.Thread(target=wrapped, args=(None, 0))
+    t.start()
+    for _ in range(100):  # wait until batch 0 is inside the body
+        if ran:
+            break
+        _t.sleep(0.02)
+    assert ran == [0]
+
+    class _Q:
+        stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    q = _Q()
+    q._graft_stop_event = stop_event
+    q._graft_batch_lock = batch_lock
+
+    stopper = threading.Thread(target=stop_ingest, args=(q,))
+    stopper.start()
+    _t.sleep(0.2)
+    # the in-flight batch holds the lock: stop must still be waiting
+    assert not q.stopped
+    release.set()  # batch 0's append completes
+    stopper.join(10)
+    assert q.stopped  # ...and only then was the query stopped
+    wrapped(None, 1)  # post-stop batch no-ops
+    assert ran == [0]

@@ -573,3 +573,60 @@ def test_bpe_train_matches_textbook_greedy(spark, words, k):
         for r in bpe_train(docs, n_merges=k, mode="vocab_local").collect()
     ]
     assert got_local == want
+
+
+@SPARK_SETTINGS
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 8),
+)
+def test_bpe_rank_merge_apply_matches_textbook_apply(spark, words, k):
+    # the rank-skipping heap apply (one Arrow kernel, k-independent
+    # plan) must segment every word exactly like a textbook
+    # sequential apply: each learned merge applied in rank order,
+    # left-to-right non-overlapping — on random corpora including
+    # the all-same-letter overlap pathologies where the ascending-pop
+    # equivalence argument earns its keep
+    from pagerank_mapreduce_spark.operators.bpe import (
+        bpe_train,
+        bpe_word_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=k, mode="vocab_local")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    def textbook_apply(word: str) -> list[str]:
+        t = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == left and t[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            t = out
+        return t
+
+    got = {
+        r["word"]: (r["segments"], r["n_tokens"])
+        for r in bpe_word_segments(
+            docs, n_merges=k, train_mode="vocab_local",
+            apply_mode="rank_merge",
+        ).collect()
+    }
+    for w in set(words):
+        want = textbook_apply(w)
+        assert got[w] == (" ".join(want), len(want)), (w, got[w], want)
