@@ -54,6 +54,18 @@ def test_q5_broadcasts_every_dimension(spark, sf_dir):
     assert fact_joins <= 2, js
 
 
+def test_bpe_pack_single_partition_only_on_bucket_totals(spark, sf_dir):
+    # tokenizer-aware packing (round 12): the two-phase prefix sum
+    # may use exactly ONE single-partition exchange — the offsets
+    # window over the num_buckets per-bucket TOTALS (a fixed ~1024
+    # rows), never the data. A second SinglePartition means the
+    # global ORDER BY window crept back in and the operator stopped
+    # being distributable.
+    df = _q(spark, sf_dir, "text_bpe_pack")
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") == 1, plan
+
+
 def test_q21_semi_anti_shapes_no_nested_loop(spark, sf_dir):
     # TPC-H Q21 (the r11→r10 bench-drift adjudication, round 12):
     # the EXISTS/NOT-EXISTS correlations must stay equi-keyed
