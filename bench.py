@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "text_bpe_word_segments",
     "text_bpe_merges_pruned",
     "text_bpe_pack",
+    "sim_pq_lloyd_topk",
 ]
 
 

@@ -837,6 +837,107 @@ def pq_build(
     return embeddings.withColumn("codes", F.array(*codes)), codebook
 
 
+def pq_lloyd_build(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 9,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """PQ encode with LEARNED per-subspace codebooks — the
+    deterministic fixed-iteration Lloyd refinement of
+    :func:`pq_build`'s sampled codebook, per subspace (how production
+    PQ actually trains: k-means in each subspace — Jegou/Douze/Schmid
+    §III). Same exactness discipline as :func:`lloyd_build`: sampled
+    init, squared-L2 argmin with ties → lowest centroid ordinal,
+    per-dimension means ROUNDED to ``round_to`` (so engine and oracle
+    collapse their different summation orders to identical centroid
+    literals), emptied centroids keep their previous value, exactly
+    ``iters`` iterations. Fully SQL-replayable — the learned-quality
+    path WITHOUT going rows-only.
+
+    The round-12 recall scorecard motivates it: the sampled PQ
+    codebook measures r@10 = 0.242 at sf0.001; two Lloyd iterations
+    lift it (measured in SCALE.md) at zero probe-side cost — the ADC
+    probe is identical, only the codebook literals improve.
+
+    Per iteration: ONE aggregation job (subspace × centroid × dim
+    means via an exploded struct array), one constant-size collect
+    (n_sub·n_centroids·sub_dim = dim·n_centroids doubles — the
+    codebook discipline). Returns ``(coded, codebook)`` exactly like
+    :func:`pq_build`."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"pq_lloyd_build: {len(rows)} vectors < n_centroids={n_centroids}"
+        )
+    dim = len(rows[0][vec_col])
+    if dim % n_sub:
+        raise ValueError(
+            f"pq_lloyd_build: dim {dim} not divisible by n_sub {n_sub}"
+        )
+    sd = dim // n_sub
+    codebook = [
+        [[float(x) for x in r[vec_col][s * sd : (s + 1) * sd]] for r in rows]
+        for s in range(n_sub)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        per_sub = []
+        for s in range(n_sub):
+            sl = F.slice(v, s * sd + 1, sd)
+            dists = F.transform(
+                matrix_lit(codebook[s]), lambda c: sqdist(sl, c)
+            )
+            cid = (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                "int"
+            )
+            per_sub.append(
+                F.struct(
+                    F.lit(s).alias("s"), cid.alias("cid"), sl.alias("sv")
+                )
+            )
+        exploded = embeddings.select(
+            F.explode(F.array(*per_sub)).alias("_e")
+        ).select("_e.s", "_e.cid", "_e.sv")
+        means = (
+            exploded.groupBy("s", "cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("sv").getItem(i)), round_to).alias(
+                        f"m{i}"
+                    )
+                    for i in range(sd)
+                ]
+            )
+            .collect()
+        )
+        new_cb = [
+            [list(codebook[s][c]) for c in range(n_centroids)]
+            for s in range(n_sub)
+        ]
+        for r in means:
+            new_cb[r["s"]][r["cid"]] = [
+                float(r[f"m{i}"]) for i in range(sd)
+            ]
+        codebook = new_cb
+    codes = []
+    for s in range(n_sub):
+        sl = F.slice(v, s * sd + 1, sd)
+        dists = F.transform(matrix_lit(codebook[s]), lambda c: sqdist(sl, c))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return embeddings.withColumn("codes", F.array(*codes)), codebook
+
+
 def pq_topk(
     coded: DataFrame,
     codebook: list[list[list[float]]],

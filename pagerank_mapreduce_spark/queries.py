@@ -6009,6 +6009,112 @@ def _pq_oracle(n_sub: int = 8, sd: int = 8, n_cent: int = 8, k: int = 10) -> str
     ORDER BY adc.adc, adc.vec_id LIMIT {k}"""
 
 
+def _pq_lloyd_oracle(
+    n_sub: int = 8,
+    sd: int = 8,
+    n_cent: int = 8,
+    iters: int = 2,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of the LEARNED-codebook PQ probe: per-subspace
+    fixed-iteration Lloyd (assign via the same list_sum sqdist terms
+    Spark folds, ties → lowest centroid ordinal; update via
+    round(avg, 9) per dimension; emptied centroids carried by the
+    LEFT JOIN coalesce), then the identical encode + ADC + exact-
+    cosine rerank tail as ``_pq_oracle`` — the learned path checked
+    by full hash, not rows-only."""
+    sq = (
+        "list_sum(list_transform(range({sd}), "
+        "i -> (sub.sv[i + 1] - c.cv[i + 1])"
+        " * (sub.sv[i + 1] - c.cv[i + 1])))"
+    ).format(sd=sd)
+    parts = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    sub AS (SELECT e.vec_id, s.range AS s,
+                   list_transform(range({sd}),
+                     i -> e.v[s.range*{sd} + i + 1]) AS sv
+            FROM e CROSS JOIN range({n_sub}) s),
+    c0 AS (SELECT s.range AS s,
+                  row_number() OVER (PARTITION BY s.range
+                                     ORDER BY i.vec_id) - 1 AS cid,
+                  list_transform(range({sd}),
+                    i -> i.v[s.range*{sd} + i + 1]) AS cv
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_cent}) i
+           CROSS JOIN range({n_sub}) s)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (SELECT sub.vec_id, sub.s, sub.sv, c.cid,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                      ORDER BY {sq}, c.cid) AS rn
+            FROM sub JOIN c{it - 1} c ON c.s = sub.s),
+    asg{it} AS (SELECT vec_id, s, sv, cid FROM a{it} WHERE rn = 1),
+    md{it} AS (SELECT s, cid, t.i - 1 AS dim, round(avg(sv[t.i]), 9) AS m
+              FROM asg{it}, unnest(range(1, {sd} + 1)) AS t(i)
+              GROUP BY s, cid, dim),
+    mc{it} AS (SELECT s, cid, list(m ORDER BY dim) AS mv
+              FROM md{it} GROUP BY s, cid),
+    c{it} AS (SELECT c.s, c.cid, coalesce(mc.mv, c.cv) AS cv
+             FROM c{it - 1} c LEFT JOIN mc{it} mc
+             ON mc.s = c.s AND mc.cid = c.cid)"""
+        )
+    last = f"c{iters}"
+    parts.append(
+        f"""fa AS (SELECT sub.vec_id, sub.s, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                    ORDER BY {sq}, c.cid) AS rn
+          FROM sub JOIN {last} c ON c.s = sub.s),
+    fasg AS (SELECT vec_id, s, cid FROM fa WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qsub AS (SELECT s.range AS s,
+                    list_transform(range({sd}),
+                      i -> q.qv[s.range*{sd} + i + 1]) AS sv
+             FROM q CROSS JOIN range({n_sub}) s),
+    qd AS (SELECT c.s, c.cid,
+                  list_sum(list_transform(range({sd}),
+                    i -> (qsub.sv[i + 1] - c.cv[i + 1])
+                       * (qsub.sv[i + 1] - c.cv[i + 1]))) AS qd
+           FROM {last} c JOIN qsub ON qsub.s = c.s),
+    adc AS (SELECT a.vec_id, round(sum(qd.qd), 6) AS adc
+            FROM fasg a JOIN qd ON qd.s = a.s AND qd.cid = a.cid
+            GROUP BY a.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT adc.vec_id, adc.adc,
+           round(round(list_cosine_similarity(e.v, q.qv), 8), 6) AS cos
+    FROM adc JOIN e USING (vec_id), q
+    ORDER BY adc.adc, adc.vec_id LIMIT {k}"""
+    )
+
+
+@_q("sim_pq_lloyd_topk", _pq_lloyd_oracle())
+def q_sim_pq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEARNED PQ (round 12): per-subspace deterministic Lloyd (2
+    # iterations, round-9 means) refines the sampled codebook —
+    # measured 28% quantization-distortion drop at sf0.001 (SCALE.md;
+    # recall@10 on this fixture is centroid-count-bound, so the
+    # distortion number is the honest quality metric here). The full
+    # train-encode-probe pipeline replays in SQL: the learned path
+    # WITHOUT going rows-only. Query = vec 0's embedding.
+    from pagerank_mapreduce_spark.operators.similarity import (
+        pq_lloyd_build,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, codebook = pq_lloyd_build(emb, n_sub=8, n_centroids=8, iters=2)
+    query = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    out = pq_topk(coded, codebook, query, k=10)
+    return out.select("vec_id", "adc", F.round("cos", 6).alias("cos"))
+
+
 @_q("sim_pq_topk", _pq_oracle())
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product quantization: 64-dim embeddings → 8 subspace codes from

@@ -122,6 +122,45 @@ def test_quantized_paths_recall_floors(recall_setup):
     assert r_lsh >= 0.10, r_lsh
 
 
+def test_pq_lloyd_refines_distortion_and_holds_recall(recall_setup):
+    # the learned (per-subspace Lloyd) PQ codebook must strictly
+    # reduce quantization distortion vs the sampled init — that is
+    # WHAT Lloyd optimizes, and on this fixture it's the honest
+    # quality metric (recall@10 here is centroid-count-bound:
+    # measured 0.242 sampled vs 0.267 lloyd-2, while distortion
+    # drops 0.958 -> 0.694, −28%). Recall floor rides along.
+    from pagerank_mapreduce_spark.operators.similarity import (
+        matrix_lit,
+        sqdist,
+    )
+
+    emb, qvecs, exact = recall_setup
+
+    def distortion(coded, cb):
+        n_sub, sd = len(cb), len(cb[0][0])
+        v = F.col("embedding").cast("array<double>")
+        err = None
+        for s in range(n_sub):
+            sl = F.slice(v, s * sd + 1, sd)
+            term = F.element_at(
+                F.transform(matrix_lit(cb[s]), lambda c: sqdist(sl, c)),
+                F.col("codes")[s] + 1,
+            )
+            err = term if err is None else err + term
+        return coded.agg(F.avg(err)).first()[0]
+
+    coded0, cb0 = S.pq_build(emb)
+    coded2, cb2 = S.pq_lloyd_build(emb, iters=2)
+    d0, d2 = distortion(coded0, cb0), distortion(coded2, cb2)
+    assert d2 < d0 * 0.9, (d0, d2)
+    coded2 = coded2.localCheckpoint()
+    r = S.topk_recall_at_k(
+        emb, lambda qv, k: S.pq_topk(coded2, cb2, qv, k=k),
+        qvecs, k=K, exact=exact,
+    )
+    assert r >= 0.15, r
+
+
 def test_full_probe_is_exact(recall_setup):
     # the recall invariant: nprobe == n_lists scans every list, so
     # the probe IS brute force — recall exactly 1.0 (any miss means
