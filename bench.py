@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "text_bpe_merges_pruned",
     "text_bpe_pack",
     "sim_pq_lloyd_topk",
+    "sim_ivfpq_lloyd_topk",
 ]
 
 

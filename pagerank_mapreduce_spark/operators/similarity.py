@@ -845,6 +845,7 @@ def pq_lloyd_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 9,
+    init_codebook: list[list[list[float]]] | None = None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """PQ encode with LEARNED per-subspace codebooks — the
     deterministic fixed-iteration Lloyd refinement of
@@ -867,27 +868,48 @@ def pq_lloyd_build(
     means via an exploded struct array), one constant-size collect
     (n_sub·n_centroids·sub_dim = dim·n_centroids doubles — the
     codebook discipline). Returns ``(coded, codebook)`` exactly like
-    :func:`pq_build`."""
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    )
-    if len(rows) < n_centroids:
-        raise ValueError(
-            f"pq_lloyd_build: {len(rows)} vectors < n_centroids={n_centroids}"
+    :func:`pq_build`.
+
+    ``init_codebook`` (optional) replaces the sampled init — used by
+    :func:`ivfpq_lloyd_build`, whose init is residual samples rather
+    than raw-vector slices."""
+    if init_codebook is not None:
+        if len(init_codebook) != n_sub or any(
+            len(cb) != n_centroids for cb in init_codebook
+        ):
+            raise ValueError(
+                "pq_lloyd_build: init_codebook shape != "
+                f"[{n_sub}][{n_centroids}][sub_dim]"
+            )
+        codebook = [
+            [[float(x) for x in c] for c in cb] for cb in init_codebook
+        ]
+        sd = len(codebook[0][0])
+    else:
+        rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
         )
-    dim = len(rows[0][vec_col])
-    if dim % n_sub:
-        raise ValueError(
-            f"pq_lloyd_build: dim {dim} not divisible by n_sub {n_sub}"
-        )
-    sd = dim // n_sub
-    codebook = [
-        [[float(x) for x in r[vec_col][s * sd : (s + 1) * sd]] for r in rows]
-        for s in range(n_sub)
-    ]
+        if len(rows) < n_centroids:
+            raise ValueError(
+                f"pq_lloyd_build: {len(rows)} vectors < "
+                f"n_centroids={n_centroids}"
+            )
+        dim = len(rows[0][vec_col])
+        if dim % n_sub:
+            raise ValueError(
+                f"pq_lloyd_build: dim {dim} not divisible by n_sub {n_sub}"
+            )
+        sd = dim // n_sub
+        codebook = [
+            [
+                [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]
+                for r in rows
+            ]
+            for s in range(n_sub)
+        ]
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         per_sub = []
@@ -1142,6 +1164,92 @@ def ivfpq_build(
         )
     coded = assigned.withColumn("codes", F.array(*codes))
     return coded, centroids, codebook
+
+
+def ivfpq_lloyd_build(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_sub: int = 8,
+    n_centroids: int = 8,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 9,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ with BOTH codebooks learned — the fully-trained FAISS
+    IndexIVFPQ shape: deterministic fixed-iteration Lloyd for the
+    coarse quantizer (:func:`lloyd_build`), then per-subspace Lloyd
+    (:func:`pq_lloyd_build`) over the RESIDUALS ``v −
+    centroid[list]``, initialized from the residual samples of the
+    ``n_centroids`` ids after the coarse-init window (the
+    :func:`ivfpq_build` convention). Every step keeps the rounding
+    discipline, so the full train-encode pipeline — two coupled
+    k-means — replays in SQL and the learned production architecture
+    needs no rows-only concession.
+
+    Probe with :func:`ivfpq_topk`, unchanged (only the codebook
+    literals improve). Returns ``(coded, centroids, codebook)``
+    exactly like :func:`ivfpq_build`."""
+    assigned, centroids = lloyd_build(
+        embeddings,
+        n_lists=n_lists,
+        iters=coarse_iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_to=round_to,
+    )
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_lists + n_centroids)
+        .collect()
+    )
+    if len(rows) < n_lists + n_centroids:
+        raise ValueError(
+            f"ivfpq_lloyd_build: {len(rows)} vectors < n_lists + "
+            f"n_centroids = {n_lists + n_centroids}"
+        )
+    dim = len(rows[0][vec_col])
+    if dim % n_sub:
+        raise ValueError(
+            f"ivfpq_lloyd_build: dim {dim} not divisible by n_sub {n_sub}"
+        )
+    sd = dim // n_sub
+
+    def _assign_py(vec: list[float]) -> int:
+        best, bi = None, 0
+        for i, c in enumerate(centroids):
+            d = _sqdist_py(vec, c)
+            if best is None or d < best:
+                best, bi = d, i
+        return bi
+
+    res_samples = []
+    for r in rows[n_lists:]:
+        vec = [float(x) for x in r[vec_col]]
+        c = centroids[_assign_py(vec)]
+        res_samples.append([x - y for x, y in zip(vec, c)])
+    init_cb = [
+        [rs[s * sd : (s + 1) * sd] for rs in res_samples]
+        for s in range(n_sub)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    cvec = F.element_at(matrix_lit(centroids), F.col("list_id") + 1)
+    resid_df = assigned.withColumn(
+        "_rv", F.zip_with(v, cvec, lambda x, y: x - y)
+    )
+    coded, codebook = pq_lloyd_build(
+        resid_df,
+        n_sub=n_sub,
+        n_centroids=n_centroids,
+        iters=pq_iters,
+        vec_col="_rv",
+        id_col=id_col,
+        round_to=round_to,
+        init_codebook=init_cb,
+    )
+    return coded.drop("_rv"), centroids, codebook
 
 
 def ivfpq_topk(

@@ -161,6 +161,48 @@ def test_pq_lloyd_refines_distortion_and_holds_recall(recall_setup):
     assert r >= 0.15, r
 
 
+def test_ivfpq_lloyd_beats_sampled_on_both_metrics(recall_setup):
+    # the fully-learned IVF-PQ must beat the sampled build on BOTH
+    # residual distortion and recall — measured at sf0.001:
+    # distortion 1.380 -> 0.646 (-53%), recall@10 (nprobe=2)
+    # 0.167 -> 0.275. Unlike flat PQ, residual codebooks have signal
+    # to learn, so recall moves too; floors leave code-change margin.
+    from pagerank_mapreduce_spark.operators.similarity import (
+        matrix_lit,
+        sqdist,
+    )
+
+    emb, qvecs, exact = recall_setup
+
+    def resid_distortion(coded, cents, cb):
+        n_sub, sd = len(cb), len(cb[0][0])
+        v = F.col("embedding").cast("array<double>")
+        cvec = F.element_at(matrix_lit(cents), F.col("list_id") + 1)
+        rv = F.zip_with(v, cvec, lambda x, y: x - y)
+        err = None
+        for s in range(n_sub):
+            sl = F.slice(rv, s * sd + 1, sd)
+            term = F.element_at(
+                F.transform(matrix_lit(cb[s]), lambda c: sqdist(sl, c)),
+                F.col("codes")[s] + 1,
+            )
+            err = term if err is None else err + term
+        return coded.agg(F.avg(err)).first()[0]
+
+    c0, ct0, cb0 = S.ivfpq_build(emb)
+    c1, ct1, cb1 = S.ivfpq_lloyd_build(emb)
+    d0 = resid_distortion(c0, ct0, cb0)
+    d1 = resid_distortion(c1, ct1, cb1)
+    assert d1 < d0 * 0.7, (d0, d1)
+    c1 = c1.localCheckpoint()
+    r = S.topk_recall_at_k(
+        emb,
+        lambda qv, k: S.ivfpq_topk(c1, ct1, cb1, qv, k=k, nprobe=2),
+        qvecs, k=K, exact=exact,
+    )
+    assert r >= 0.20, r
+
+
 def test_full_probe_is_exact(recall_setup):
     # the recall invariant: nprobe == n_lists scans every list, so
     # the probe IS brute force — recall exactly 1.0 (any miss means
