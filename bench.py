@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "text_bpe_pack",
     "sim_pq_lloyd_topk",
     "sim_ivfpq_lloyd_topk",
+    "ts_holt_winters",
 ]
 
 

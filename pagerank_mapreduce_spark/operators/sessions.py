@@ -632,6 +632,118 @@ def holt_smooth(
     )
 
 
+def holt_winters_smooth(
+    df: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    period: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    *tiebreak_cols: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per key
+    (Winters 1960) — the seasonal member completing the per-key
+    monitor family (EWMA = level, Holt = level+trend, HW = level +
+    trend + a ``period``-slot additive seasonal profile). POSITIONAL
+    seasonality: observation t (1-based, per key, under the (on,
+    tiebreak) total order) has phase ``(t−1) mod period``::
+
+        t = 1:  l = x_1;  b = 0;  s[*] = 0
+        t ≥ 2, p = (t−1) mod period:
+            l_t = α·(x_t − s[p]) + (1−α)·(l_{t−1} + b_{t−1})
+            b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+            s[p] ← γ·(x_t − l_t) + (1−γ)·s[p]
+
+    Zero-seasonal init keeps the recurrence fully determined with no
+    season-ahead warm-up data requirement (the textbook first-cycle
+    averages need ≥ 2 complete cycles; with s init 0 the first cycle
+    degenerates to exactly Holt, then the profile fills in — the
+    same convention as l_1 = x_1 in :func:`ewma_smooth`).
+
+    Output one row per key: (by, n, level_last, trend_last,
+    season_next = s[n mod period] — the NEXT observation's phase
+    slot, forecast_1 = l_n + b_n + season_next), rounded. Runs on
+    :func:`_fold_series_by_key` (one Arrow kernel per batch, state =
+    2 + ``period`` doubles per key — constant-size, the state-store
+    argument of the streaming twins); the oracle replays the exact
+    double sequence as a recursive CTE carrying the seasonal profile
+    as a LIST column. Dyadic defaults make 1−α/1−β/1−γ exact so the
+    cross-engine parity argument is unconditional."""
+    if period < 1:
+        raise ValueError(
+            f"holt_winters_smooth: period must be >= 1, got {period}"
+        )
+    a = float(alpha)
+    ac = 1.0 - a
+    g = float(beta)
+    gc = 1.0 - g
+    d = float(gamma)
+    dc = 1.0 - d
+    m = int(period)
+    src = df.filter(
+        F.col(by).isNotNull()
+        & F.col(on).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+    )
+    sort_cols = ["_t"] + [f"_tb_{c}" for c in tiebreak_cols]
+
+    def make_state():
+        # [l, b, n, s(list of m)]
+        return [None, 0.0, 0, [0.0] * m]
+
+    def fold_chunk(st, vs):
+        lev, b, n, s = st
+        for v in vs:
+            if v != v:  # NaN guard: the streaming twin's exact skip
+                continue
+            v = float(v)
+            n += 1
+            if lev is None:
+                lev = v
+                b = 0.0
+            else:
+                p = (n - 1) % m
+                lnew = (a * (v - s[p])) + (ac * (lev + b))
+                b = (g * (lnew - lev)) + (gc * b)
+                s[p] = (d * (v - lnew)) + (dc * s[p])
+                lev = lnew
+        st[0], st[1], st[2] = lev, b, n
+
+    def finish(k, st, out):
+        lev, b, n, s = st
+        sn = s[n % m]
+        out["_k"].append(k)
+        out["n"].append(n)
+        out["level_last"].append(round(lev, round_to))
+        out["trend_last"].append(round(b, round_to))
+        out["season_next"].append(round(sn, round_to))
+        out["forecast_1"].append(round(lev + b + sn, round_to))
+
+    out_schema = (
+        f"_k {dict(df.dtypes)[by]}, n long, level_last double, "
+        "trend_last double, season_next double, forecast_1 double"
+    )
+    out_cols = [
+        "_k", "n", "level_last", "trend_last", "season_next",
+        "forecast_1",
+    ]
+    return _fold_series_by_key(
+        src, sort_cols, out_schema, out_cols, make_state, fold_chunk,
+        finish,
+    ).select(
+        F.col("_k").alias(by), "n", "level_last", "trend_last",
+        "season_next", "forecast_1",
+    )
+
+
 def ohlc_resample(
     df: DataFrame,
     on: str,

@@ -8300,6 +8300,74 @@ _HOLT_ORACLE = """WITH RECURSIVE
        FROM agg a JOIN lst l USING (user_id)"""
 
 
+def _holt_winters_oracle(m: int = 24) -> str:
+    """Recursive-CTE replay of the Holt-Winters additive fold: the
+    per-key recursion carries the ``m``-slot seasonal profile as a
+    LIST column; the new level is inlined everywhere it appears (the
+    Holt-oracle discipline) so every intermediate double is
+    bit-identical to the Arrow kernel's."""
+    p = f"((e.rn - 1) % {m})"
+    lnew = (
+        f"(CAST(0.5 AS DOUBLE) * (e.v - t.s[{p} + 1]))"
+        " + (CAST(0.5 AS DOUBLE) * (t.l + t.b))"
+    )
+    return f"""WITH RECURSIVE
+       ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+       t(rn, user_id, l, b, s) AS (
+         SELECT 1, user_id, v, CAST(0 AS DOUBLE),
+                list_transform(range({m}), i -> CAST(0 AS DOUBLE))
+         FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e.rn, e.user_id,
+                {lnew},
+                (CAST(0.25 AS DOUBLE) * (({lnew}) - t.l))
+                + (CAST(0.75 AS DOUBLE) * t.b),
+                list_transform(range({m}),
+                  i -> CASE WHEN i = {p}
+                       THEN (CAST(0.25 AS DOUBLE) * (e.v - ({lnew})))
+                            + (CAST(0.75 AS DOUBLE) * t.s[i + 1])
+                       ELSE t.s[i + 1] END)
+         FROM t JOIN ev e
+           ON e.user_id = t.user_id AND e.rn = t.rn + 1
+       ),
+       agg AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n
+               FROM t GROUP BY user_id)
+       SELECT a.user_id, a.n,
+              round(t1.l, 6) AS level_last,
+              round(t1.b, 6) AS trend_last,
+              round(t1.s[(a.n % {m}) + 1], 6) AS season_next,
+              round(t1.l + t1.b + t1.s[(a.n % {m}) + 1], 6)
+                AS forecast_1
+       FROM agg a JOIN t t1
+         ON t1.user_id = a.user_id AND t1.rn = a.n"""
+
+
+@_q(
+    "ts_holt_winters",
+    # the SEASONAL member completing the smoothing family (EWMA =
+    # level, Holt = +trend, Holt-Winters = +24-slot additive
+    # positional seasonal profile; Winters 1960). Same batched-fold
+    # engine — per-key state is 2 + period doubles, constant-size —
+    # and the recursive-CTE oracle carries the seasonal profile as a
+    # LIST column, updated one slot per step with the new level
+    # inlined (operators/sessions.py: holt_winters_smooth)
+    _holt_winters_oracle(24),
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.operators.sessions import (
+        holt_winters_smooth,
+    )
+
+    return holt_winters_smooth(
+        _t(spark, sf_dir, "events"), "ts", "user_id", "value", 24,
+        0.5, 0.25, 0.25, "event_id",
+    )
+
+
 @_q(
     "ts_holt",
     # the trend-aware member of the per-key monitor family (CUSUM =

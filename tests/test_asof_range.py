@@ -792,3 +792,55 @@ def test_fold_smoothers_skip_nan_and_null_keys(spark):
         assert not any(
             isinstance(x, float) and math.isnan(x) for x in b[0]
         )
+
+
+def test_holt_winters_hand_computed_and_first_cycle_is_holt(spark):
+    # Winters 1960 additive, period 2, alpha .5 beta .25 gamma .25 on
+    # [10, 12, 14, 10] — every intermediate is a dyadic rational so
+    # the hand computation is exact:
+    #   t1: l=10 b=0 s=[0,0]
+    #   t2 (p=1): l=11, b=.25, s[1]=.25
+    #   t3 (p=0): l=12.625, b=.59375, s[0]=.34375
+    #   t4 (p=1): l=11.484375, b=.16015625, s[1]=-.18359375
+    #   season_next = s[4 % 2 = 0] = .34375
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_spark.operators.sessions import (
+        holt_smooth,
+        holt_winters_smooth,
+    )
+
+    rows = [
+        (i + 1, 1, f"2024-01-01 0{i}:00:00", v)
+        for i, v in enumerate([10.0, 12.0, 14.0, 10.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = holt_winters_smooth(
+        df, "ts", "user_id", "value", 2, 0.5, 0.25, 0.25, "event_id"
+    ).collect()[0]
+    assert (
+        got["n"],
+        got["level_last"],
+        got["trend_last"],
+        got["season_next"],
+        got["forecast_1"],
+    ) == (4, 11.484375, 0.160156, 0.34375, 11.988281), got
+
+    # zero-seasonal init: for the first period+1 observations every
+    # seasonal READ is still 0, so level/trend are EXACTLY Holt's —
+    # the degeneracy that makes the init convention predictable
+    hw = holt_winters_smooth(
+        df, "ts", "user_id", "value", 3, 0.5, 0.25, 0.25, "event_id"
+    ).collect()[0]  # 4 observations = period+1
+    h = holt_smooth(
+        df, "ts", "user_id", "value", 0.5, 0.25, "event_id"
+    ).collect()[0]
+    assert (hw["level_last"], hw["trend_last"]) == (
+        h["level_last"], h["trend_last"],
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        holt_winters_smooth(df, "ts", "user_id", "value", 0)
