@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "sim_pq_lloyd_topk",
     "sim_ivfpq_lloyd_topk",
     "ts_holt_winters",
+    "stream_holt_winters",
 ]
 
 

@@ -8387,6 +8387,25 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_holt_winters",
+    # streaming twin of ts_holt_winters: the period-slot seasonal
+    # profile rides an ARRAY<DOUBLE> ValueState field and the per-key
+    # observation count in state drives the positional phase, so
+    # phases continue seamlessly across micro-batch boundaries
+    # (streaming/stateful.py: HoltWintersProcessor; cross-batch
+    # continuation pinned in test_skew_rmat_stateful.py). Batch
+    # analogue = the oracle-checked Arrow fold, shared oracle
+    _holt_winters_oracle(24),
+)
+def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_spark.streaming.stateful import (
+        tws_holt_winters,
+    )
+
+    return tws_holt_winters(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "stream_ewma",
     # streaming twin of ts_ewma: the fold state (E, running max, n)
     # lives in a named ValueState via transformWithStateInPandas and

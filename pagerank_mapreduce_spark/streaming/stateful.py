@@ -28,14 +28,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 __all__ = [
     "CusumProcessor",
     "EwmaProcessor",
+    "HoltWintersProcessor",
     "UserTotalsProcessor",
     "tws_cusum_alerts",
     "tws_ewma",
+    "tws_holt_winters",
     "tws_user_totals",
 ]
 
@@ -366,6 +374,132 @@ def tws_holt(
     return filtered.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=HoltProcessor(alpha, beta),
         outputStructType=_HOLT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_HW_OUTPUT_SCHEMA = (
+    "user_id bigint, n bigint, level_last double, trend_last double, "
+    "season_next double, forecast_1 double"
+)
+
+
+def _hw_state_schema() -> StructType:
+    # the seasonal profile rides a single ARRAY<DOUBLE> state field —
+    # per-key state stays 2 + period doubles (constant-size), the
+    # same state-store bound the scalar processors carry
+    return StructType(
+        [
+            StructField("l", DoubleType()),
+            StructField("b", DoubleType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+
+class HoltWintersProcessor(StatefulProcessor):
+    """Streaming Holt-Winters additive smoothing per key — the
+    transformWithStateInPandas twin of
+    operators.sessions.holt_winters_smooth (same cross-batch-state
+    rationale as HoltProcessor; same in-order-batches contract;
+    identical C-double fold incl. the per-phase seasonal slot, so a
+    single-batch stream reproduces the batch answer bit-for-bit).
+    POSITIONAL phase: the per-key observation COUNT carried in state
+    drives ``(t−1) mod period``, so phases continue seamlessly across
+    micro-batch boundaries."""
+
+    def __init__(
+        self, period: int, alpha: float, beta: float, gamma: float
+    ) -> None:
+        if period < 1:
+            raise ValueError(
+                f"HoltWintersProcessor: period must be >= 1, got {period}"
+            )
+        self._m = int(period)
+        self._a = float(alpha)
+        self._ac = 1.0 - float(alpha)
+        self._g = float(beta)
+        self._gc = 1.0 - float(beta)
+        self._d = float(gamma)
+        self._dc = 1.0 - float(gamma)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("hw", _hw_state_schema())
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        lev, b, n, s = None, 0.0, 0, [0.0] * self._m
+        if self._st.exists():
+            prev = self._st.get()
+            lev, b, n = float(prev[0]), float(prev[1]), int(prev[2])
+            s = [float(x) for x in prev[3]]
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in pdf["value"].to_numpy():
+            if v != v:
+                continue
+            v = float(v)
+            n += 1
+            if lev is None:
+                lev = v
+                b = 0.0
+            else:
+                p = (n - 1) % self._m
+                lnew = (self._a * (v - s[p])) + (self._ac * (lev + b))
+                b = (self._g * (lnew - lev)) + (self._gc * b)
+                s[p] = (self._d * (v - lnew)) + (self._dc * s[p])
+                lev = lnew
+        if lev is not None:
+            self._st.update((lev, b, n, s))
+        sn = s[n % self._m]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "level_last": [None if lev is None else round(lev, 6)],
+                "trend_last": [None if lev is None else round(b, 6)],
+                "season_next": [
+                    None if lev is None else round(sn, 6)
+                ],
+                "forecast_1": [
+                    None if lev is None else round(lev + b + sn, 6)
+                ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_holt_winters(
+    events: DataFrame,
+    period: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Streaming: per-user Holt-Winters additive level+trend+seasonal
+    with cross-batch state (period-slot profile in an ARRAY state
+    field). Batch: the oracle-checked Arrow fold
+    (operators.sessions.holt_winters_smooth)."""
+    if not events.isStreaming:
+        from pagerank_mapreduce_spark.operators.sessions import (
+            holt_winters_smooth,
+        )
+
+        return holt_winters_smooth(
+            events, "ts", "user_id", "value", period, alpha, beta,
+            gamma, "event_id",
+        )
+    filtered = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return filtered.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=HoltWintersProcessor(period, alpha, beta, gamma),
+        outputStructType=_HW_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

@@ -652,3 +652,93 @@ def test_tws_holt_across_batches(spark, tmp_path):
     ]
     assert (2, 15.0, 1.25, 16.25) in per_batch
     assert (3, 8.125, -0.78125, 7.34375) in per_batch
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (no pip copy and no cloud-sdk copy to shim — see conftest._ensure_protobuf)",
+)
+def test_tws_holt_winters_across_batches(spark, tmp_path):
+    # the (level, trend, seasonal-profile) state must continue from
+    # batch 1 — period 2, dyadic params, values 10, 20 | 0:
+    #   batch 1: t1 l=10 b=0; t2 (p=1) l=15, b=1.25, s=[0, 1.25]
+    #            -> season_next = s[0] = 0, forecast 16.25
+    #   batch 2: t3 (p=0) l=8.125, b=-0.78125, s[0]=-2.03125
+    #            -> season_next = s[1] = 1.25 (CARRIED from batch 1 —
+    #               impossible if the profile restarted), forecast
+    #               8.125 - 0.78125 + 1.25 = 8.59375
+    from pagerank_mapreduce_spark.streaming.stateful import (
+        tws_holt_winters,
+    )
+
+    d1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:01:00"]
+            ),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [10.0, 20.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 10:02:00"]),
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "tws_hw_src"
+    src.mkdir()
+    d1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    d2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = run_to_memory_sink(
+            tws_holt_winters(stream, period=2), "t_tws_hw", mode="update"
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.table("t_tws_hw").collect()
+    per_batch = [
+        (
+            r["n"], r["level_last"], r["trend_last"],
+            r["season_next"], r["forecast_1"],
+        )
+        for r in rows
+        if r["user_id"] == 1
+    ]
+    assert (2, 15.0, 1.25, 0.0, 16.25) in per_batch
+    assert (3, 8.125, -0.78125, 1.25, 8.59375) in per_batch
