@@ -64,10 +64,24 @@ def _make_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
             vocab.append(w)
     # Zipf weights over a shuffled rank assignment
     weights = [1.0 / (i + 3) ** 1.1 for i in range(VOCAB)]
-    texts = []
-    for d in range(n_docs):
-        ws = rng.choices(vocab, weights=weights, k=WORDS_PER_DOC)
-        texts.append(" ".join(ws))
+    if n_docs > 50 * DOCS_S1:
+        # s100: rng.choices at 200M draws is ~10 min of pure-Python
+        # bisects — draw the word INDICES with numpy's vectorized
+        # categorical sampler instead (identical vocabulary and Zipf
+        # distribution; a different but equally deterministic RNG,
+        # which is fine because the decade rows compare engine cost
+        # on same-distribution corpora, not byte-identical text)
+        import numpy as np
+
+        p = np.asarray(weights) / sum(weights)
+        g = np.random.default_rng(seed + 1)
+        idx = g.choice(VOCAB, size=(n_docs, WORDS_PER_DOC), p=p)
+        texts = [" ".join(vocab[i] for i in row) for row in idx]
+    else:
+        texts = []
+        for d in range(n_docs):
+            ws = rng.choices(vocab, weights=weights, k=WORDS_PER_DOC)
+            texts.append(" ".join(ws))
     t = pa.table(
         {
             "doc_id": pa.array(range(n_docs), pa.int64()),
@@ -80,10 +94,15 @@ def _make_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
 def main() -> None:
     quick = "--quick" in sys.argv
     k = 2_048 if quick else 32_768
-    scales = [("s1", DOCS_S1)] if quick else [
-        ("s1", DOCS_S1),
-        ("s10", DOCS_S1 * 10),
-    ]
+    if quick:
+        scales = [("s1", DOCS_S1)]
+    elif "--s100" in sys.argv:
+        # third decade point only: 2M docs / 200M word instances
+        # (~1.5 GB text; the 60k vocabulary saturates, so this decade
+        # isolates pure corpus-scan + join-back growth)
+        scales = [("s100", DOCS_S1 * 100)]
+    else:
+        scales = [("s1", DOCS_S1), ("s10", DOCS_S1 * 10)]
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
