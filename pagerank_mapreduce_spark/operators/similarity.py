@@ -871,8 +871,14 @@ def pq_lloyd_build(
     :func:`pq_build`.
 
     ``init_codebook`` (optional) replaces the sampled init — used by
-    :func:`ivfpq_lloyd_build`, whose init is residual samples rather
-    than raw-vector slices."""
+    :func:`ivfpq_lloyd_build` (residual samples), and the escape
+    hatch when SMALLEST-ID init sampling is geometrically biased:
+    the round-12 10× scorecard measured head-init PQ recall
+    collapsing to 0.031 on the translated-copies fixture (every init
+    sample sits in copy 0's region; 2 Lloyd iterations cannot escape
+    it) vs 0.131 with an evenly-id-SPREAD init of the same size —
+    when ids correlate with geometry, pass a spread init (equally
+    SQL-replayable: evenly-spaced ids instead of LIMIT n)."""
     if init_codebook is not None:
         if len(init_codebook) != n_sub or any(
             len(cb) != n_centroids for cb in init_codebook
