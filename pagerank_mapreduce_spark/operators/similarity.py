@@ -355,6 +355,84 @@ def assign_nearest_centroid_two_level(
     return embeddings.mapInPandas(_assign, schema)
 
 
+def spread_sample(
+    embeddings: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Pick ``n`` init vectors SPREAD evenly across the id domain —
+    the first-class promotion of the round-12 recall-scorecard
+    finding: smallest-id ("head") init sampling collapses learned
+    codebooks when ids correlate with geometry (every init sample
+    lands in one region; Lloyd cannot escape it — measured flat-PQ
+    r@10 0.031 head vs 0.131 spread on the 10× translated-copies
+    fixture). Spread init costs the same constant-size collect and
+    stays equally SQL-replayable.
+
+    Definition (both engines): bucket ``b = (id - min_id) * n DIV
+    (max_id - min_id + 1)`` (integer division — exact, no float
+    boundary drift), take the SMALLEST id in each bucket. With dense
+    or uniformly-strided ids this is exact rank-spread; gappy ids can
+    empty a bucket, in which case this raises rather than silently
+    degrading coverage (fall back to ``init="head"`` or fewer
+    centroids). Plan shape: one min/max agg + one n-key groupBy with
+    map-side partial ``min_by`` — no global sort, no window; both
+    jobs scan only (id, vec). Returns the rows sorted by id (codebook
+    ordinal = id order, same contract as the head init)."""
+    mm = embeddings.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if mm["lo"] is None:
+        raise ValueError("spread_sample: empty input")
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+    if span < n:
+        raise ValueError(
+            f"spread_sample: id span {span} < n={n} samples requested"
+        )
+    bucket = F.expr(
+        f"CAST((CAST({id_col} AS BIGINT) - {lo}) * {n} DIV {span} AS INT)"
+    )
+    picked = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .groupBy(bucket.alias("_b"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(vec_col, F.col(id_col)).alias(vec_col),
+        )
+    )
+    rows = picked.orderBy(id_col).drop("_b").collect()
+    if len(rows) < n:
+        raise ValueError(
+            f"spread_sample: only {len(rows)} of {n} id-domain buckets "
+            "are populated (gappy ids) — use init='head' or reduce n"
+        )
+    return rows
+
+
+def _init_sample(
+    embeddings: DataFrame,
+    n: int,
+    vec_col: str,
+    id_col: str,
+    init: str,
+    who: str,
+) -> list:
+    """Shared init-sampler dispatch for the sampled/Lloyd codebook
+    builds: ``init="head"`` = the n smallest-id vectors (the original
+    FAISS-style sample), ``init="spread"`` = :func:`spread_sample`.
+    Both return rows sorted by id; codebook ordinal = position."""
+    if init == "spread":
+        return spread_sample(embeddings, n, vec_col, id_col)
+    if init != "head":
+        raise ValueError(f"{who}: init must be 'head' or 'spread', got {init!r}")
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    if len(rows) < n:
+        raise ValueError(f"{who}: {len(rows)} vectors < {n} requested")
+    return rows
+
+
 def ivf_sampled_build(
     embeddings: DataFrame,
     n_lists: int = 8,
@@ -846,6 +924,7 @@ def pq_lloyd_build(
     id_col: str = "vec_id",
     round_to: int = 9,
     init_codebook: list[list[list[float]]] | None = None,
+    init: str = "head",
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """PQ encode with LEARNED per-subspace codebooks — the
     deterministic fixed-iteration Lloyd refinement of
@@ -878,7 +957,15 @@ def pq_lloyd_build(
     sample sits in copy 0's region; 2 Lloyd iterations cannot escape
     it) vs 0.131 with an evenly-id-SPREAD init of the same size —
     when ids correlate with geometry, pass a spread init (equally
-    SQL-replayable: evenly-spaced ids instead of LIMIT n)."""
+    SQL-replayable: evenly-spaced ids instead of LIMIT n).
+
+    ``init="spread"`` (round 12) is that escape hatch made first-
+    class: :func:`spread_sample` picks the init vectors evenly across
+    the id DOMAIN (min-id per id-range bucket — one agg, no global
+    sort) instead of the n smallest ids. Same collect size, same SQL
+    replayability (``_pq_lloyd_oracle(init="spread")`` re-derives
+    it), measured 4.2× flat-PQ recall lift on the geometry-correlated
+    10× fixture. Ignored when ``init_codebook`` is given."""
     if init_codebook is not None:
         if len(init_codebook) != n_sub or any(
             len(cb) != n_centroids for cb in init_codebook
@@ -892,17 +979,9 @@ def pq_lloyd_build(
         ]
         sd = len(codebook[0][0])
     else:
-        rows = (
-            embeddings.select(id_col, vec_col)
-            .orderBy(id_col)
-            .limit(n_centroids)
-            .collect()
+        rows = _init_sample(
+            embeddings, n_centroids, vec_col, id_col, init, "pq_lloyd_build"
         )
-        if len(rows) < n_centroids:
-            raise ValueError(
-                f"pq_lloyd_build: {len(rows)} vectors < "
-                f"n_centroids={n_centroids}"
-            )
         dim = len(rows[0][vec_col])
         if dim % n_sub:
             raise ValueError(
@@ -1026,6 +1105,7 @@ def lloyd_build(
     id_col: str = "vec_id",
     assignment: str = "expr",
     round_to: int = 9,
+    init: str = "head",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF build with a DETERMINISTIC fixed-iteration Lloyd codebook —
     the oracle-replayable middle ground between ``ivf_sampled_build``
@@ -1034,7 +1114,9 @@ def lloyd_build(
     irreproducible in SQL):
 
     - init: the ``n_lists`` smallest-id vectors (the sampled build's
-      codebook);
+      codebook), or id-domain-spread samples with ``init="spread"``
+      (:func:`spread_sample` — use when ids correlate with geometry;
+      the round-12 scorecard measured head init collapsing there);
     - each iteration: nearest-centroid assignment (squared-L2 argmin,
       ties → lowest index — the same contract every assignment mode
       here honors), then per-dimension mean ROUNDED to ``round_to``;
@@ -1056,11 +1138,7 @@ def lloyd_build(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    rows = e.orderBy(id_col).limit(n_lists).collect()
-    if len(rows) < n_lists:
-        raise ValueError(
-            f"lloyd_build: {len(rows)} vectors < n_lists={n_lists}"
-        )
+    rows = _init_sample(e, n_lists, "_v", id_col, init, "lloyd_build")
     centroids = [[float(x) for x in r["_v"]] for r in rows]
     for _ in range(iters):
         assigned = assign_nearest_centroid(

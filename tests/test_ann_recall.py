@@ -214,3 +214,92 @@ def test_full_probe_is_exact(recall_setup):
         emb, assigned, centroids, qvecs, k=K, nprobe=N_LISTS, exact=exact
     )
     assert r == 1.0, r
+
+
+# ------------------------------------------ spread init (round 12)
+
+
+def _clustered_emb(spark):
+    # 4 clusters at distinct corners of an 8-dim cube, ids GROUPED by
+    # cluster (id // 25 = cluster) — the id-geometry correlation that
+    # breaks head init: ids 0..3 (the head sample) all sit in cluster
+    # 0, so neither Lloyd nor the encode ever sees the other three.
+    corners = [
+        [10.0, 10, 10, 10, 0, 0, 0, 0],
+        [0.0, 0, 0, 0, 10, 10, 10, 10],
+        [10.0, 0, 10, 0, 10, 0, 10, 0],
+        [0.0, 10, 0, 10, 0, 10, 0, 10],
+    ]
+    rows = []
+    for vid in range(100):
+        c = corners[vid // 25]
+        # deterministic sub-unit jitter so vectors are distinct
+        rows.append((vid, [x + ((vid * 7 + d) % 10) / 20.0
+                           for d, x in enumerate(c)]))
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_spread_sample_dense_and_strided(spark):
+    emb = _clustered_emb(spark)
+    picked = [r["vec_id"] for r in S.spread_sample(emb, 4)]
+    assert picked == [0, 25, 50, 75]
+    # uniformly strided ids: same spread (bucket math is id-domain)
+    strided = emb.withColumn("vec_id", F.col("vec_id") * 10)
+    picked = [r["vec_id"] for r in S.spread_sample(strided, 4)]
+    assert picked == [0, 250, 500, 750]
+
+
+def test_spread_sample_gappy_ids_raise(spark):
+    emb = _clustered_emb(spark)
+    # ids 0..49 plus one far outlier: buckets 1-2 of 4 are empty
+    gappy = emb.filter((F.col("vec_id") < 50) | (F.col("vec_id") == 99))
+    gappy = gappy.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 99, F.lit(1000)).otherwise(F.col("vec_id")),
+    )
+    with pytest.raises(ValueError, match="buckets"):
+        S.spread_sample(gappy, 4)
+    with pytest.raises(ValueError, match="span"):
+        S.spread_sample(emb.limit(2), 4)
+
+
+def test_spread_init_escapes_id_geometry_correlation(spark):
+    # THE promoted scorecard finding as a deterministic unit test:
+    # on the clustered fixture, head init's PQ distortion is cluster-
+    # diameter-scale (every centroid in cluster 0), spread init's is
+    # jitter-scale — an order of magnitude apart, robust to margin.
+    from pagerank_mapreduce_spark.operators.similarity import (
+        matrix_lit,
+        sqdist,
+    )
+
+    emb = _clustered_emb(spark).localCheckpoint()
+
+    def distortion(coded, cb):
+        n_sub, sd = len(cb), len(cb[0][0])
+        v = F.col("embedding").cast("array<double>")
+        err = None
+        for s in range(n_sub):
+            sl = F.slice(v, s * sd + 1, sd)
+            term = F.element_at(
+                F.transform(matrix_lit(cb[s]), lambda c: sqdist(sl, c)),
+                F.col("codes")[s] + 1,
+            )
+            err = term if err is None else err + term
+        return coded.agg(F.avg(err)).first()[0]
+
+    kw = dict(n_sub=2, n_centroids=4, iters=2)
+    coded_h, cb_h = S.pq_lloyd_build(emb, **kw)
+    coded_s, cb_s = S.pq_lloyd_build(emb, init="spread", **kw)
+    d_h, d_s = distortion(coded_h, cb_h), distortion(coded_s, cb_s)
+    assert d_s < d_h * 0.5, (d_h, d_s)
+    # same story for the IVF coarse quantizer: spread-init Lloyd
+    # centroids land one per cluster, so every assignment is local
+    _, cents = S.lloyd_build(emb, n_lists=4, iters=2, init="spread")
+    owners = {min(range(4), key=lambda c: sum(
+        (cents[c][d] - corner[d]) ** 2 for d in range(8)))
+        for corner in ([10.0, 10, 10, 10, 0, 0, 0, 0],
+                       [0.0, 0, 0, 0, 10, 10, 10, 10],
+                       [10.0, 0, 10, 0, 10, 0, 10, 0],
+                       [0.0, 10, 0, 10, 0, 10, 0, 10])}
+    assert len(owners) == 4, cents
