@@ -370,44 +370,80 @@ def spread_sample(
     fixture). Spread init costs the same constant-size collect and
     stays equally SQL-replayable.
 
-    Definition (both engines): bucket ``b = (id - min_id) * n DIV
-    (max_id - min_id + 1)`` (integer division — exact, no float
-    boundary drift), take the SMALLEST id in each bucket. With dense
-    or uniformly-strided ids this is exact rank-spread; gappy ids can
-    empty a bucket, in which case this raises rather than silently
-    degrading coverage (fall back to ``init="head"`` or fewer
-    centroids). Plan shape: one min/max agg + one n-key groupBy with
-    map-side partial ``min_by`` — no global sort, no window; both
-    jobs scan only (id, vec). Returns the rows sorted by id (codebook
-    ordinal = id order, same contract as the head init)."""
-    mm = embeddings.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    Definition (both engines): exact RANK spread — partition the id
+    order into ``n`` equal rank-groups ``g = rank * n DIV N`` and
+    take the first row of each group (rank ``ceil(i*N/n)``). Rank
+    spread, not id-DOMAIN spread, because real corpora stride ids:
+    the 10× scale fixture offsets each copy's ids by 10M, so domain
+    buckets between copies are empty while rank-groups never are —
+    any input with ``N >= n`` rows yields exactly ``n`` picks.
+
+    Scale shape (no global sort, no full-table window): pass 1 is a
+    4096-fine-bucket histogram over the id domain (one groupBy with
+    map-side combine, constant-size collect); the driver locates each
+    target rank's (bucket, rank-within-bucket) from the cumulative
+    counts; pass 2 ranks ONLY the ≤ n target buckets (pushed
+    ``isin`` filter, window partitioned per bucket). Caveat: a
+    pathologically concentrated id distribution (≫ N/4096 of the
+    rows inside one fine bucket) makes pass 2's window partition
+    large — it still completes (sort spills), it just loses
+    parallelism. Both passes scan only (id, vec). Returns the rows
+    sorted by id (codebook ordinal = id order, same contract as the
+    head init)."""
+    from pyspark.sql import Window
+
+    agg = embeddings.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
     ).collect()[0]
-    if mm["lo"] is None:
+    total = int(agg["cnt"])
+    if total == 0:
         raise ValueError("spread_sample: empty input")
-    lo, hi = int(mm["lo"]), int(mm["hi"])
+    if total < n:
+        raise ValueError(
+            f"spread_sample: only {total} rows < n={n} samples requested"
+        )
+    lo, hi = int(agg["lo"]), int(agg["hi"])
     span = hi - lo + 1
-    if span < n:
-        raise ValueError(
-            f"spread_sample: id span {span} < n={n} samples requested"
-        )
-    bucket = F.expr(
-        f"CAST((CAST({id_col} AS BIGINT) - {lo}) * {n} DIV {span} AS INT)"
+    n_fine = 4096
+    fb = F.expr(
+        f"CAST((CAST({id_col} AS BIGINT) - {lo}) * {n_fine}"
+        f" DIV {span} AS INT)"
     )
-    picked = (
+    hist = (
+        embeddings.select(fb.alias("_fb"))
+        .groupBy("_fb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy("_fb")
+        .collect()
+    )
+    # locate each target rank ceil(i*N/n) = first rank of group i
+    targets = [(i * total + n - 1) // n for i in range(n)]
+    want: list[tuple[int, int]] = []  # (fine bucket, rank within it)
+    cum = 0
+    ti = 0
+    for r in hist:
+        c = int(r["_c"])
+        while ti < n and targets[ti] < cum + c:
+            want.append((int(r["_fb"]), targets[ti] - cum))
+            ti += 1
+        cum += c
+    buckets = sorted({b for b, _ in want})
+    wanted = set(want)
+    w = Window.partitionBy("_fb").orderBy(id_col)
+    ranked = (
         embeddings.select(F.col(id_col), F.col(vec_col))
-        .groupBy(bucket.alias("_b"))
-        .agg(
-            F.min(id_col).alias(id_col),
-            F.min_by(vec_col, F.col(id_col)).alias(vec_col),
-        )
+        .withColumn("_fb", fb)
+        .filter(F.col("_fb").isin(buckets))
+        .withColumn("_r", F.row_number().over(w) - 1)
     )
-    rows = picked.orderBy(id_col).drop("_b").collect()
-    if len(rows) < n:
-        raise ValueError(
-            f"spread_sample: only {len(rows)} of {n} id-domain buckets "
-            "are populated (gappy ids) — use init='head' or reduce n"
-        )
+    cond = None
+    for b, r in wanted:
+        c = (F.col("_fb") == b) & (F.col("_r") == r)
+        cond = c if cond is None else cond | c
+    rows = ranked.filter(cond).drop("_fb", "_r").orderBy(id_col).collect()
+    assert len(rows) == n, (len(rows), n)
     return rows
 
 
@@ -960,9 +996,9 @@ def pq_lloyd_build(
     SQL-replayable: evenly-spaced ids instead of LIMIT n).
 
     ``init="spread"`` (round 12) is that escape hatch made first-
-    class: :func:`spread_sample` picks the init vectors evenly across
-    the id DOMAIN (min-id per id-range bucket — one agg, no global
-    sort) instead of the n smallest ids. Same collect size, same SQL
+    class: :func:`spread_sample` picks the init vectors at evenly
+    SPREAD RANKS in id order (histogram + targeted-bucket passes — no
+    global sort) instead of the n smallest ids. Same collect size, same SQL
     replayability (``_pq_lloyd_oracle(init="spread")`` re-derives
     it), measured 4.2× flat-PQ recall lift on the geometry-correlated
     10× fixture. Ignored when ``init_codebook`` is given."""
@@ -1114,7 +1150,7 @@ def lloyd_build(
     irreproducible in SQL):
 
     - init: the ``n_lists`` smallest-id vectors (the sampled build's
-      codebook), or id-domain-spread samples with ``init="spread"``
+      codebook), or rank-spread samples with ``init="spread"``
       (:func:`spread_sample` — use when ids correlate with geometry;
       the round-12 scorecard measured head init collapsing there);
     - each iteration: nearest-centroid assignment (squared-L2 argmin,
@@ -1260,6 +1296,7 @@ def ivfpq_lloyd_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 9,
+    init: str = "head",
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """IVF-PQ with BOTH codebooks learned — the fully-trained FAISS
     IndexIVFPQ shape: deterministic fixed-iteration Lloyd for the
@@ -1274,7 +1311,15 @@ def ivfpq_lloyd_build(
 
     Probe with :func:`ivfpq_topk`, unchanged (only the codebook
     literals improve). Returns ``(coded, centroids, codebook)``
-    exactly like :func:`ivfpq_build`."""
+    exactly like :func:`ivfpq_build`.
+
+    ``init="spread"`` (round 12) rank-spreads BOTH inits: the coarse
+    codebook via :func:`lloyd_build`'s spread option, and the
+    residual-PQ samples as a spread over the rows EXCLUDING the
+    coarse sample ids (the spread analogue of the head build's
+    "next n_centroids after the coarse window" convention — keeps
+    the two sample sets disjoint so PQ never initializes from a
+    near-centroid's near-zero residual)."""
     assigned, centroids = lloyd_build(
         embeddings,
         n_lists=n_lists,
@@ -1282,18 +1327,31 @@ def ivfpq_lloyd_build(
         vec_col=vec_col,
         id_col=id_col,
         round_to=round_to,
+        init=init,
     )
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_lists + n_centroids)
-        .collect()
-    )
-    if len(rows) < n_lists + n_centroids:
-        raise ValueError(
-            f"ivfpq_lloyd_build: {len(rows)} vectors < n_lists + "
-            f"n_centroids = {n_lists + n_centroids}"
+    if init == "spread":
+        coarse_ids = [
+            r[id_col]
+            for r in spread_sample(embeddings, n_lists, vec_col, id_col)
+        ]
+        rows = spread_sample(
+            embeddings.filter(~F.col(id_col).isin(coarse_ids)),
+            n_centroids,
+            vec_col,
+            id_col,
         )
+    else:
+        rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_lists + n_centroids)
+            .collect()
+        )
+        if len(rows) < n_lists + n_centroids:
+            raise ValueError(
+                f"ivfpq_lloyd_build: {len(rows)} vectors < n_lists + "
+                f"n_centroids = {n_lists + n_centroids}"
+            )
     dim = len(rows[0][vec_col])
     if dim % n_sub:
         raise ValueError(
@@ -1309,8 +1367,9 @@ def ivfpq_lloyd_build(
                 best, bi = d, i
         return bi
 
+    sample_rows = rows if init == "spread" else rows[n_lists:]
     res_samples = []
-    for r in rows[n_lists:]:
+    for r in sample_rows:
         vec = [float(x) for x in r[vec_col]]
         c = centroids[_assign_py(vec)]
         res_samples.append([x - y for x, y in zip(vec, c)])

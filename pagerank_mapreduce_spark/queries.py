@@ -6179,17 +6179,20 @@ def _pq_lloyd_oracle(
         " * (sub.sv[i + 1] - c.cv[i + 1])))"
     ).format(sd=sd)
     if init == "spread":
-        # spread_sample's exact definition: bucket by id-domain
-        # position (integer DIV, like the engine's expression), keep
-        # the smallest id per bucket — codebook ordinal = id order
+        # spread_sample's exact definition: rank-spread — first row
+        # of each of n_cent equal rank-groups g = rank * n DIV N
+        # (the engine reaches the same rows via its histogram +
+        # targeted-bucket passes; the oracle can afford the window)
         init_sel = f"""(SELECT vec_id, v FROM (
-             SELECT e.vec_id, e.v,
+             SELECT vec_id, v,
                     row_number() OVER (
-                      PARTITION BY ((e.vec_id - mm.lo) * {n_cent})
-                                   // (mm.hi - mm.lo + 1)
-                      ORDER BY e.vec_id) AS rn
-             FROM e, (SELECT min(vec_id) AS lo, max(vec_id) AS hi
-                      FROM e) mm) WHERE rn = 1)"""
+                      PARTITION BY (rn * {n_cent} // nn)
+                      ORDER BY rn) AS gr
+             FROM (SELECT e.vec_id, e.v,
+                          row_number() OVER (ORDER BY e.vec_id) - 1
+                            AS rn,
+                          count(*) OVER () AS nn
+                   FROM e)) WHERE gr = 1)"""
     else:
         init_sel = f"(SELECT * FROM e ORDER BY vec_id LIMIT {n_cent})"
     parts = [
@@ -6282,9 +6285,10 @@ def q_sim_pq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("sim_pq_spread_topk", _pq_lloyd_oracle(init="spread"))
 def q_sim_pq_spread_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPREAD-init learned PQ (round 12, promoted from the 10×
-    # scorecard measurement): init vectors picked evenly across the
-    # id DOMAIN (min-id per id-range bucket — one agg, no global
-    # sort) instead of the n smallest ids. When ids correlate with
+    # scorecard measurement): init vectors picked at evenly SPREAD
+    # RANKS in id order (fine histogram + targeted-bucket ranking —
+    # no global sort) instead of the n smallest ids. When ids
+    # correlate with
     # geometry (the translated-copies fixture), head init collapses
     # recall (0.031) because every init sample sits in one region;
     # spread init of identical size lifts it 4.2× (0.131) at zero

@@ -79,6 +79,10 @@ def main() -> None:
         "lloyd iters=2 (SQL-replayable)": lambda: S.lloyd_build(
             emb, n_lists=n_lists, iters=2, assignment="vectorized"
         ),
+        "lloyd iters=2 SPREAD init": lambda: S.lloyd_build(
+            emb, n_lists=n_lists, iters=2, assignment="vectorized",
+            init="spread",
+        ),
         "spark-ml kmeans (learned)": lambda: S.ivf_build(
             emb, n_lists=n_lists
         ),
@@ -86,14 +90,25 @@ def main() -> None:
     print(f"fixture={fixture} n={n} dim=64 k={K} queries={len(qids)} "
           f"n_lists={n_lists}; exact scan x{len(qids)}: "
           f"{exact_wall:.2f}s")
-    print("| codebook path | build s | nprobe=2 recall@10 | probe s "
-          "| nprobe=4 recall@10 | probe s |")
-    print("|---|---|---|---|---|---|")
+    # `top4 %` = share of rows in the 4 largest lists: an unbalanced
+    # codebook (head init on id-geometry-correlated data piles whole
+    # regions into few lists) makes nprobe=4 an accidental near-full
+    # scan — its high recall is paid for in scanned rows, which is
+    # why recall must be read WITH balance, never alone.
+    print("| codebook path | build s | top4 % | nprobe=2 recall@10 "
+          "| probe s | nprobe=4 recall@10 | probe s |")
+    print("|---|---|---|---|---|---|---|")
     for name, build in builds.items():
         t0 = time.monotonic()
         assigned, centroids = build()
         assigned = assigned.localCheckpoint()  # index materialized once
         build_wall = time.monotonic() - t0
+        sizes = sorted(
+            (r["count"] for r in
+             assigned.groupBy("list_id").count().collect()),
+            reverse=True,
+        )
+        top4 = 100.0 * sum(sizes[:4]) / max(1, sum(sizes))
         cells = []
         for nprobe in (2, 4):
             t0 = time.monotonic()
@@ -103,7 +118,59 @@ def main() -> None:
             )
             probe_wall = time.monotonic() - t0
             cells.append(f"{recall:.3f} | {probe_wall:.2f}")
-        print(f"| {name} | {build_wall:.2f} | {cells[0]} | {cells[1]} |")
+        print(f"| {name} | {build_wall:.2f} | {top4:.1f} | {cells[0]} "
+              f"| {cells[1]} |")
+
+    # PQ-family compression paths (the round-12 scorecard section,
+    # now committed: head vs SPREAD init side by side). n_centroids
+    # scales with the fixture like n_lists does.
+    n_cent = n_lists
+    pq_paths = {
+        "pq lloyd-2 head init": lambda: S.pq_lloyd_build(
+            emb, n_centroids=n_cent, iters=2
+        ),
+        "pq lloyd-2 SPREAD init": lambda: S.pq_lloyd_build(
+            emb, n_centroids=n_cent, iters=2, init="spread"
+        ),
+    }
+    print("| pq path | build s | recall@10 | probe s |")
+    print("|---|---|---|---|")
+    for name, build in pq_paths.items():
+        t0 = time.monotonic()
+        coded, cb = build()
+        coded = coded.localCheckpoint()
+        build_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        r = S.topk_recall_at_k(
+            emb, lambda qv, k: S.pq_topk(coded, cb, qv, k=k),
+            qvecs, k=K, exact=exact,
+        )
+        probe_wall = time.monotonic() - t0
+        print(f"| {name} | {build_wall:.2f} | {r:.3f} | {probe_wall:.2f} |")
+    for name, init in (
+        ("ivfpq lloyd head init, np=4", "head"),
+        ("ivfpq lloyd SPREAD init, np=4", "spread"),
+    ):
+        t0 = time.monotonic()
+        coded, cents, cb = S.ivfpq_lloyd_build(
+            emb, n_lists=n_lists, n_centroids=n_cent, init=init
+        )
+        coded = coded.localCheckpoint()
+        build_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        r = S.topk_recall_at_k(
+            emb,
+            lambda qv, k: S.ivfpq_topk(coded, cents, cb, qv, k=k, nprobe=4),
+            qvecs, k=K, exact=exact,
+        )
+        probe_wall = time.monotonic() - t0
+        print(f"| {name} | {build_wall:.2f} | {r:.3f} | {probe_wall:.2f} |")
+    t0 = time.monotonic()
+    r = S.topk_recall_at_k(
+        emb, lambda qv, k: S.int8_topk(emb, qv, k=k),
+        qvecs, k=K, exact=exact,
+    )
+    print(f"| int8 symmetric | — | {r:.3f} | {time.monotonic() - t0:.2f} |")
     spark.stop()
 
 
