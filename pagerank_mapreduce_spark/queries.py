@@ -1064,6 +1064,68 @@ def _ivf_probe_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 10) -> str:
     LIMIT {k}"""
 
 
+def _ivf_int8_oracle(n_lists: int = 8, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB mirror of the IVF+SQ8 probe: the sampled-codebook
+    assignment and nprobe list choice of ``_ivf_probe_oracle``
+    composed with ``sim_int8_topk``'s symmetric per-vector
+    quantization over the CANDIDATES only (the engine quantizes the
+    probed lists, not the corpus), query quantized from its own raw
+    vector. round() is half-away-from-zero in both engines, so codes
+    replay exactly; the approximate semantics are hash-checked."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY vec_id LIMIT {n_lists}),
+    a AS (SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, c.cv), c.cid)
+                   AS rn
+          FROM e CROSS JOIN c),
+    asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM c, q ORDER BY list_distance(cv, qv), cid
+              LIMIT {nprobe}),
+    cand AS (SELECT vec_id, v FROM asg
+             WHERE cid IN (SELECT cid FROM probe)),
+    qs AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+           FROM cand),
+    qc AS (SELECT vec_id, v,
+                  list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                    ELSE CAST(round(x / s) AS INTEGER) END) AS qvec
+           FROM qs),
+    qq AS (SELECT list_transform(qv, x -> CASE
+             WHEN list_max(list_transform(qv, y -> abs(y))) = 0 THEN 0
+             ELSE CAST(round(x / (list_max(list_transform(qv, y -> abs(y)))
+                                  / 127.0)) AS INTEGER) END) AS query_q
+           FROM q)
+    SELECT vec_id,
+           round(list_dot_product(CAST(qvec AS DOUBLE[]),
+                                  CAST(query_q AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),
+                                      CAST(qvec AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(query_q AS DOUBLE[]),
+                                      CAST(query_q AS DOUBLE[])))),
+             8) AS q_cos,
+           round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v))
+              * sqrt(list_dot_product(qv, qv))), 8) AS cos
+    FROM qc CROSS JOIN qq CROSS JOIN q
+    ORDER BY q_cos DESC, vec_id LIMIT {k}"""
+
+
+@_q("sim_ivf_int8_topk", _ivf_int8_oracle())
+def q_sim_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF+SQ8 (round 12): the scorecard's two survivors composed —
+    # IVF prunes the scan to nprobe lists, int8 scores the survivors
+    # at 4x less bandwidth with the exact cosine alongside. Sampled
+    # codebook keeps the whole pipeline SQL-replayable.
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.ivf_sampled_build(emb, n_lists=8)
+    return S.ivf_int8_topk(assigned, centroids, query, k=10, nprobe=4)
+
+
 @_q("sim_ivf_topk", _ivf_probe_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN with the SQL-replayable sampled codebook (centroids =

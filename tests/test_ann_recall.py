@@ -125,6 +125,18 @@ def test_quantized_paths_recall_floors(recall_setup):
         qvecs, k=K, exact=exact,
     )
     assert r_lsh >= 0.10, r_lsh
+    # IVF+SQ8 (round 12): int8 scoring on the probed lists loses
+    # (almost) nothing vs float scoring — measured 0.683 here, equal
+    # to the float sampled-IVF row, and 0.858 on spread-Lloyd vs its
+    # float 0.867. Floors track the float paths' floors.
+    assigned, cents = S.ivf_sampled_build(emb, n_lists=N_LISTS)
+    assigned = assigned.localCheckpoint()
+    r_i = S.topk_recall_at_k(
+        emb,
+        lambda qv, k: S.ivf_int8_topk(assigned, cents, qv, k=k, nprobe=4),
+        qvecs, k=K, exact=exact,
+    )
+    assert r_i >= 0.60, r_i
 
 
 def test_pq_lloyd_refines_distortion_and_holds_recall(recall_setup):

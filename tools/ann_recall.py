@@ -171,6 +171,27 @@ def main() -> None:
         qvecs, k=K, exact=exact,
     )
     print(f"| int8 symmetric | — | {r:.3f} | {time.monotonic() - t0:.2f} |")
+    # IVF+SQ8: int8's recall at a fraction of its scan — the
+    # composition the two standalone rows above argue for
+    for name, build in (
+        ("ivf(head)+int8, np=4", lambda: S.ivf_sampled_build(
+            emb, n_lists=n_lists, assignment="vectorized")),
+        ("ivf(SPREAD lloyd)+int8, np=4", lambda: S.lloyd_build(
+            emb, n_lists=n_lists, iters=2, assignment="vectorized",
+            init="spread")),
+    ):
+        t0 = time.monotonic()
+        assigned, cents = build()
+        assigned = assigned.localCheckpoint()
+        build_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        r = S.topk_recall_at_k(
+            emb,
+            lambda qv, k: S.ivf_int8_topk(assigned, cents, qv, k=k, nprobe=4),
+            qvecs, k=K, exact=exact,
+        )
+        probe_wall = time.monotonic() - t0
+        print(f"| {name} | {build_wall:.2f} | {r:.3f} | {probe_wall:.2f} |")
     spark.stop()
 
 
