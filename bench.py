@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "sim_ivfpq_lloyd_topk",
     "ts_holt_winters",
     "stream_holt_winters",
+    # round-12 continuation: spread-init learned PQ, IVF+SQ8,
+    # IVF batch ANN join
+    "sim_pq_spread_topk",
+    "sim_ivf_int8_topk",
+    "sim_ivf_knn_join",
 ]
 
 

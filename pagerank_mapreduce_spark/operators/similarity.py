@@ -1575,6 +1575,77 @@ def ivf_int8_topk(
     return int8_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_knn_join(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN join through the IVF index — the production shape
+    for MANY queries (``sim_knn_join``'s brute-force join scores
+    |queries| × n pairs; this scores only pairs sharing a probed
+    list, Σ_lists |list| × queries-probing-it). Unlike
+    :func:`ivf_topk` (one driver-side probe per query), the
+    query-to-list assignment is an EXPRESSION (struct array_sort over
+    the centroid matrix literal, ties → lowest list id), so a million
+    queries cost one job, not a driver loop.
+
+    Plan shape at 100 TB: the probed (qid, list_id, qv) pairs are
+    tiny → broadcast; the big side joins on ``list_id`` with NO
+    shuffle (and with the index written partitioned/bucketed by
+    ``list_id``, the join prunes to the probed partition files);
+    per-query top-k is a window over candidates only. Each candidate
+    vector lives in exactly one list, so no dedup step is needed.
+
+    Output: (qid, nid, cos DOUBLE round-6), ties → lowest nid."""
+    from pyspark.sql import Window
+
+    qv = F.col(qvec_col).cast("array<double>")
+    dists = F.transform(matrix_lit(centroids), lambda c: sqdist(qv, c))
+    probe_ids = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    dists,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cid"],
+    )
+    pairs = queries.select(
+        F.col(qid_col), F.col(qvec_col), F.explode(probe_ids).alias("list_id")
+    )
+    cand = assigned.join(F.broadcast(pairs), "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col).alias("nid"),
+        F.round(
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col(qvec_col).cast("array<double>"),
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 # ------------------------------------------------ MMR diversity re-rank
 
 

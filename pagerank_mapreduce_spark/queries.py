@@ -2551,6 +2551,51 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sim_ivf_knn_join",
+    # IVF-accelerated batch ANN join (round 12): queries assign to
+    # their nprobe nearest lists expression-side, candidates = pairs
+    # sharing a probed list (each vector lives in exactly one list,
+    # so no dedup), per-query top-k. The oracle replays codebook,
+    # vector assignment, query probe choice (ties -> lowest list id;
+    # sqdist vs list_distance order identically), and scoring.
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e
+             ORDER BY vec_id LIMIT 8),
+       a AS (SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY list_distance(e.v, c.cv),
+                                                c.cid) AS rn
+             FROM e CROSS JOIN c),
+       asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+       qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       qp AS (SELECT qid, qv, cid FROM (
+                SELECT qs.qid, qs.qv, c.cid,
+                       row_number() OVER (PARTITION BY qs.qid
+                                          ORDER BY list_distance(qs.qv, c.cv),
+                                                   c.cid) AS rn
+                FROM qs CROSS JOIN c) WHERE rn <= 2),
+       cand AS (SELECT qp.qid, asg.vec_id AS nid,
+                       round(list_cosine_similarity(asg.v, qp.qv), 6) AS cos
+                FROM qp JOIN asg ON asg.cid = qp.cid
+                WHERE asg.vec_id <> qp.qid)
+       SELECT qid, nid, cos FROM cand
+       QUALIFY row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) <= 3""",
+)
+def q_sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path for sim_knn_join's workload: same query set and
+    # k, but candidates pruned to the probed lists instead of the
+    # full cross product — Σ|probed list| pairs, not |q| × n
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_sampled_build(emb, n_lists=8)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ivf_knn_join(assigned, centroids, q, k=3, nprobe=2)
+
+
 # ==================================== TPC-H breadth (round 1, batch 2)
 # Deeper TPC-H shapes: nested aggregates, correlated EXISTS, nation-
 # pair self-join, NOT IN, disjunctive pushdown, nested semi chains.

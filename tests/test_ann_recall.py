@@ -335,3 +335,35 @@ def test_spread_init_escapes_id_geometry_correlation(spark):
                        [10.0, 0, 10, 0, 10, 0, 10, 0],
                        [0.0, 10, 0, 10, 0, 10, 0, 10])}
     assert len(owners) == 4, cents
+
+
+def test_ivf_knn_join_full_probe_matches_brute(recall_setup):
+    # batch-join analogue of test_full_probe_is_exact: with nprobe ==
+    # n_lists every list is probed, so the pruned join IS the brute
+    # join — per-query results must match exactly (ids AND order).
+    # Also pins the scale plan: the probe-pairs side broadcasts; the
+    # corpus side never sort-merge-joins.
+    from pagerank_mapreduce_spark.plans.audit import join_strategies
+
+    emb, qvecs, exact = recall_setup
+    assigned, cents = S.ivf_sampled_build(emb, n_lists=N_LISTS)
+    assigned = assigned.localCheckpoint()
+    qids = sorted(qvecs)[:3]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = S.ivf_knn_join(assigned, cents, q, k=5, nprobe=N_LISTS)
+    strat = join_strategies(out)
+    assert strat.get("BroadcastHashJoin", 0) >= 1, strat
+    assert strat.get("SortMergeJoin", 0) == 0, strat
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append(r["nid"])
+    for qid in qids:
+        brute = [
+            r["vec_id"]
+            for r in S.cosine_topk(
+                emb.filter(F.col("vec_id") != qid), list(qvecs[qid]), k=5
+            ).collect()
+        ]
+        assert got[qid] == brute, (qid, got[qid], brute)
