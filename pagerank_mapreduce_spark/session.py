@@ -53,6 +53,10 @@ def get_spark(
     ==================  =================================================
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python side of the handshake timeout (see the JVM conf below);
+    # the worker daemon inherits this env in local mode. setdefault so
+    # an explicit caller/CI value wins.
+    os.environ.setdefault("SPARK_AUTH_SOCKET_TIMEOUT", "120")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -77,6 +81,18 @@ def get_spark(
         .config("spark.sql.debug.maxToStringFields", "25")
         .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.sql.maxMetadataStringLength", "200")
+        # Python-worker handshake timeout: both sides of the
+        # worker<->JVM connect-back default to 15 s (JVM accept:
+        # spark.python.authenticate.socketTimeout; Python connect:
+        # SPARK_AUTH_SOCKET_TIMEOUT read in util.py). On an
+        # oversubscribed host (the 9-JVM concurrent test layout) a
+        # fresh worker spawn — especially transformWithStateInPandas,
+        # which adds a state-server socket per worker — can exceed
+        # 15 s of scheduler delay and fail the stream with
+        # CANNOT_OPEN_SOCKET / "Python worker failed to connect
+        # back". 120 s changes nothing on a healthy host (the accept
+        # completes in ms) and removes the spurious failure mode.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

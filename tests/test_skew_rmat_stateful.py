@@ -16,6 +16,7 @@ from pagerank_mapreduce_spark.operators import skew
 from pagerank_mapreduce_spark.sources.tables import load_table
 from pagerank_mapreduce_spark.streaming.stateful import tws_user_totals
 from pagerank_mapreduce_spark.streaming.windows import run_to_memory_sink
+from tests.conftest import worker_handshake_guard
 
 
 # ------------------------------------------------------------- skew
@@ -274,8 +275,11 @@ def test_tws_totals_across_batches(spark, tmp_path):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        q = run_to_memory_sink(tws_user_totals(stream), "t_tws", mode="update")
-        q.awaitTermination(120)
+        with worker_handshake_guard():
+            q = run_to_memory_sink(
+                tws_user_totals(stream), "t_tws", mode="update"
+            )
+            q.awaitTermination(120)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -431,10 +435,11 @@ def test_tws_cusum_across_batches(spark, tmp_path):
         "RocksDBStateStoreProvider",
     )
     try:
-        q = run_to_memory_sink(
-            tws_cusum_alerts(stream), "t_tws_cusum", mode="update"
-        )
-        q.awaitTermination(120)
+        with worker_handshake_guard():
+            q = run_to_memory_sink(
+                tws_cusum_alerts(stream), "t_tws_cusum", mode="update"
+            )
+            q.awaitTermination(120)
     finally:
         if prev is None:
             spark.conf.unset(
@@ -539,8 +544,11 @@ def test_tws_ewma_across_batches(spark, tmp_path):
         "RocksDBStateStoreProvider",
     )
     try:
-        q = run_to_memory_sink(tws_ewma(stream), "t_tws_ewma", mode="update")
-        q.awaitTermination(120)
+        with worker_handshake_guard():
+            q = run_to_memory_sink(
+                tws_ewma(stream), "t_tws_ewma", mode="update"
+            )
+            q.awaitTermination(120)
     finally:
         if prev is None:
             spark.conf.unset(
@@ -633,8 +641,11 @@ def test_tws_holt_across_batches(spark, tmp_path):
         "RocksDBStateStoreProvider",
     )
     try:
-        q = run_to_memory_sink(tws_holt(stream), "t_tws_holt", mode="update")
-        q.awaitTermination(120)
+        with worker_handshake_guard():
+            q = run_to_memory_sink(
+                tws_holt(stream), "t_tws_holt", mode="update"
+            )
+            q.awaitTermination(120)
     finally:
         if prev is None:
             spark.conf.unset(
@@ -718,10 +729,11 @@ def test_tws_holt_winters_across_batches(spark, tmp_path):
         "RocksDBStateStoreProvider",
     )
     try:
-        q = run_to_memory_sink(
-            tws_holt_winters(stream, period=2), "t_tws_hw", mode="update"
-        )
-        q.awaitTermination(120)
+        with worker_handshake_guard():
+            q = run_to_memory_sink(
+                tws_holt_winters(stream, period=2), "t_tws_hw", mode="update"
+            )
+            q.awaitTermination(120)
     finally:
         if prev is None:
             spark.conf.unset(

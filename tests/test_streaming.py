@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from pagerank_mapreduce_spark.sources.tables import load_table
 from pagerank_mapreduce_spark.streaming import windows as W
+from tests.conftest import worker_handshake_guard
 
 
 @pytest.fixture(scope="module")
@@ -478,18 +479,19 @@ def test_soak_tws_fold_rate_source_exactly_once(spark):
         "RocksDBStateStoreProvider",
     )
     try:
-        q = (
-            tws_user_totals(events)
-            .writeStream.format("memory")
-            .queryName("soak_tws_totals")
-            .outputMode("update")
-            .start()
-        )
-        try:
-            progress = _soak_wait(q, max(4, _BATCH_FLOOR // 3))
-        finally:
-            q.stop()
-            q.awaitTermination(60)
+        with worker_handshake_guard():
+            q = (
+                tws_user_totals(events)
+                .writeStream.format("memory")
+                .queryName("soak_tws_totals")
+                .outputMode("update")
+                .start()
+            )
+            try:
+                progress = _soak_wait(q, max(4, _BATCH_FLOOR // 3))
+            finally:
+                q.stop()
+                q.awaitTermination(60)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
