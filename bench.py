@@ -40,6 +40,68 @@ from pagerank_mapreduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ------------------- host-health canary (round 13, r12 verdict item 1)
+# The r12 driver artifact swung 2.14x vs r11 purely on host regime,
+# and the evidence lived in prose. The canary makes the regime
+# MACHINE-CHECKABLE inside the artifact: a fixed, pure-Python,
+# single-thread, allocation-free integer loop whose wall time scales
+# with effective CPU speed (frequency scaling, heterogeneous cores,
+# steal) and whose wall/cpu ratio exposes scheduler contention.
+#
+# REF_CANARY_MS: the best wall observed on this container idle
+# (measured min 254.6 ms over repeated runs at round 13) — pinned so
+# regime ≈ 1.0 means "as fast as the healthy host ever ran" and
+# regime 2.0 means "this artifact's walls are ~2x inflated by the
+# host, not the code". The same host measured 500-730 ms for the
+# identical loop minutes later, which is precisely the r12 swing.
+REF_CANARY_MS = 250.0
+
+
+def _canary_rep() -> tuple[float, float]:
+    """One canary rep: (wall_ms, cpu_ms) of the fixed LCG loop."""
+    w0, c0 = time.perf_counter(), time.process_time()
+    x = 0
+    for i in range(2_000_000):
+        x = (x * 1103515245 + 12345 + i) & 0x7FFFFFFF
+    assert x >= 0
+    return (
+        (time.perf_counter() - w0) * 1000.0,
+        (time.process_time() - c0) * 1000.0,
+    )
+
+
+def canary_py(reps: int = 5) -> dict:
+    """Min-wall canary over ``reps``: {"py": wall_ms, "spin":
+    wall/cpu of the best rep (≈1.0 healthy, >1.2 = scheduler
+    contention), "regime": wall / REF_CANARY_MS (>1 = host slower
+    than the pinned healthy reference)}."""
+    best = None
+    for _ in range(reps):
+        w, c = _canary_rep()
+        if best is None or w < best[0]:
+            best = (w, c)
+    w, c = best
+    return {
+        "py": round(w, 1),
+        "spin": round(w / c, 3) if c > 0 else 1.0,
+        "regime": round(w / REF_CANARY_MS, 2),
+    }
+
+
+def canary_jvm(spark, reps: int = 2) -> float:
+    """Min wall (ms) of a tiny fixed Spark job — JVM/scheduler-side
+    health alongside the Python loop (8 tasks, one shuffle-free
+    aggregate; measures task dispatch + codegen steady state)."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 5_000_000, 1, 8).selectExpr(
+            "count(*) AS n", "sum(id % 7) AS s"
+        ).collect()
+        dt = (time.perf_counter() - t0) * 1000.0
+        best = dt if best is None or dt < best else best
+    return round(best, 1)
+
 BENCH_QUERIES = [
     "pagerank",
     "graph_rev_adjacency",
@@ -158,6 +220,46 @@ BENCH_QUERIES = [
     "sim_pq_spread_topk",
     "sim_ivf_int8_topk",
     "sim_ivf_knn_join",
+    # round-13 additions: spherical (cosine-metric) Lloyd IVF
+    "sim_ivf_cosine_topk",
+]
+
+# Canonical driver-facing named set (round 13, r12 verdict item 7):
+# FIXED across rounds, so consecutive BENCH_r*.json artifacts carry
+# an IDENTICAL "queries" key set and the round-over-round geomean
+# always covers the same entries (the r12-vs-r11 comparison recovered
+# only 58 common entries because the old moved/new-first policy
+# rotated the named set with each round's timings). Chosen once from
+# the r12 artifacts' slowest entries (the regression-relevant tail)
+# plus the flagship; new entries are APPENDED here explicitly when
+# they join BENCH_QUERIES — a reviewed diff, never a runtime policy.
+# Everything else rolls up into rest{n,sum}; the complete per-entry
+# map always rides the detail line (and the committed local
+# artifact's "all_queries").
+FINAL_NAMED = [
+    "sim_pq_spread_topk", "graph_louvain_full", "text_textrank_phrases",
+    "graph_betweenness", "sim_ivfpq_lloyd_topk", "graph_link_scores",
+    "sim_pq_lloyd_topk", "sim_ivf_int8_topk", "graph_adamic_adar",
+    "pagerank", "graph_hits", "graph_harmonic", "graph_cc_star",
+    "sim_ivfpq_topk", "graph_scc", "graph_node2vec", "rel_skyline",
+    "dedup_fuzzy_pairs", "sim_ivf_lloyd_topk", "text_bpe_train",
+    "sim_hybrid_fusion", "graph_walks", "dedup_minhash_pairs",
+    "dedup_span_coverage", "mm_ahash_probe_pairs", "text_bpe_pack",
+    "sim_semdedup", "sim_int8_topk", "graph_kcore", "dedup_incremental",
+    "text_dsir_weights", "graph_triangles", "dedup_paragraphs",
+    "text_lm_score", "graph_core_numbers", "sim_ivf_knn_join",
+    "graph_louvain_quality", "dedup_containment",
+    "rel_q21_waiting_supplier", "text_decontaminate",
+    "ml_spearman_corr", "rel_q9_product_profit",
+    "text_bpe_apply_rank_merge", "graph_connected_components",
+    "ts_interpolate_hourly", "text_nb_predict", "sim_pq_topk",
+    "mm_ahash_near_dups", "ml_gain_deciles", "rel_cms_user_counts",
+    "ts_asof_bucketed", "text_tfidf_topk", "ml_bootstrap_ci",
+    "stream_drift_psi", "stream_drift_ks", "sim_mmr_rerank",
+    "text_rrf_fusion", "text_bpe_apply_chunked",
+    "text_winnow_fingerprints", "text_tfidf_cosine_pairs",
+    "ml_ks_statistic", "ml_auc_by_source", "ts_resample_hourly",
+    "rel_bloom_prune", "rel_fm_distinct", "sim_ivf_cosine_topk",
 ]
 
 
@@ -168,6 +270,7 @@ def materialize(df) -> None:
 def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    c_before = canary_py()
     spark = get_spark(app_name="pagerank-mapreduce-spark-bench")
     # JVM/codegen warm-up on the tiniest fixture: exercise the parquet
     # reader, join, aggregate, window and checkpoint code paths once so
@@ -214,16 +317,30 @@ def main() -> None:
         timings[name] = min(reps_here)
 
     total = round(sum(timings.values()), 3)
+    # canary AGAIN after the query loop (the regime can shift mid-run
+    # — r12's reruns improved monotonically) + the JVM-side job; the
+    # reported regime is the WORSE of the two python measurements, so
+    # host degradation is never understated
+    c_after = canary_py()
+    jvm_ms = canary_jvm(spark)
+    worst = c_before if c_before["py"] >= c_after["py"] else c_after
+    canary = {
+        "py": c_before["py"],
+        "py2": c_after["py"],
+        "spin": worst["spin"],
+        "jvm": jvm_ms,
+        "regime": worst["regime"],
+    }
     # per-run detail rides an EARLIER line: complete, but expendable
     # if the driver's 2000-char tail window cuts it
-    print(json.dumps({"detail": "per_run", "runs": runs},
-                     separators=(",", ":")))
-    print(final_line(timings, total, sf))
+    print(json.dumps({"detail": "per_run", "runs": runs,
+                      "canary": canary}, separators=(",", ":")))
+    print(final_line(timings, total, sf, canary=canary))
     spark.stop()
 
 
 def _prev_local(root: str) -> tuple[str, dict] | None:
-    """The newest committed BENCH_r*_local.json's (tag, queries)."""
+    """The newest committed BENCH_r*_local.json's (tag, whole doc)."""
     import glob
 
     best = None
@@ -235,23 +352,35 @@ def _prev_local(root: str) -> tuple[str, dict] | None:
         return None
     try:
         with open(best[1]) as fh:
-            prev = json.load(fh).get("queries", {})
+            doc = json.load(fh)
     except (OSError, ValueError):
         return None
-    return f"r{best[0]:02d}_local", prev
+    return f"r{best[0]:02d}_local", doc
 
 
-def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
+def geo_cmp(
+    timings: dict[str, float], root: str, regime: float | None = None
+) -> dict | None:
     """Geomean runtime ratio vs the newest committed BENCH_r*_local.json
     over the queries present in both (current/previous, <1 = faster) —
     computed over the FULL timing map, before any final-line rollup,
-    so the comparable set never shrinks with line capacity."""
+    so the comparable set never shrinks with line capacity. The prev
+    artifact's complete map ("all_queries", round 13+) is preferred
+    over its named subset ("queries").
+
+    ``regime`` (the current canary's host-regime factor, round 13):
+    when given, adds "rn" — the ratio NORMALIZED by the round-over-
+    round change in host regime (prev artifact's canary regime, 1.0
+    if it predates the canary), so an r12-style 2.14x host swing
+    reads ≈1.0 normalized and a genuine code regression still reads
+    as one."""
     import math
 
     pl = _prev_local(root)
     if pl is None:
         return None
-    _, prev = pl
+    _, doc = pl
+    prev = doc.get("all_queries") or doc.get("queries", {})
     shared = [
         q for q in timings
         if isinstance(prev.get(q), (int, float)) and prev[q] > 0
@@ -260,16 +389,14 @@ def geo_cmp(timings: dict[str, float], root: str) -> dict | None:
     if not shared:
         return None
     lg = sum(math.log(timings[q] / prev[q]) for q in shared) / len(shared)
-    return {"vs": pl[0], "n": len(shared),
-            "ratio": round(math.exp(lg), 3)}
-
-
-# the driver's 2000-char tail physically caps how many per-query
-# names fit on one JSON line (~25 chars each at 1 decimal); past this
-# count the FASTEST entries roll up into a `rest` summary on the
-# driver-facing line — the committed BENCH_r*_local.json always
-# carries the complete map, so nothing is lost from the record
-MAX_FINAL_ENTRIES = 68
+    out = {"vs": pl[0], "n": len(shared), "ratio": round(math.exp(lg), 3)}
+    if regime is not None:
+        prev_regime = (doc.get("canary") or {}).get("regime", 1.0)
+        if regime > 0 and prev_regime > 0:
+            out["rn"] = round(
+                out["ratio"] / (regime / prev_regime), 3
+            )
+    return out
 
 
 def final_line(
@@ -278,66 +405,48 @@ def final_line(
     sf: float,
     budget: int = 1900,
     root: str | None = None,
+    canary: dict | None = None,
 ) -> str:
     """The one line the driver must be able to parse out of its
-    2000-char stdout tail: compact separators; if the headline set
-    grows the line past ``budget``, per-query values degrade to 2
-    then 1 decimals (the detail line keeps 3), then the FASTEST
-    entries beyond ``MAX_FINAL_ENTRIES`` roll up into
-    ``rest: {n, sum}`` (slowest entries — the regression-relevant
-    ones — stay named), then geo_cmp drops. Asserts the budget holds
-    so growth past every lever fails HERE, at bench time, not
-    silently at the driver."""
+    2000-char stdout tail: compact separators; the named per-query
+    map is EXACTLY ``FINAL_NAMED`` ∩ timings (a fixed set, so
+    consecutive driver artifacts share identical keys — r12 verdict
+    item 7); everything else rolls up into ``rest: {n, sum}``
+    deterministically (the detail line and the committed local
+    artifact carry the complete map). If the line still exceeds
+    ``budget``, per-query values degrade to 2 then 1 decimals, then
+    geo_cmp drops. Asserts the budget holds so growth past every
+    lever fails HERE, at bench time, not silently at the driver.
+    ``canary`` (round 13) rides the line as the host-health regime
+    evidence — see :func:`canary_py`."""
     if root is None:
         root = os.path.dirname(os.path.abspath(__file__))
+    named = {q: timings[q] for q in FINAL_NAMED if q in timings}
+    rest = {q: v for q, v in timings.items() if q not in named}
     doc = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": named,
         "sf": sf,
     }
-    cmp_ = geo_cmp(timings, root)
+    if rest:
+        doc["rest"] = {
+            "n": len(rest),
+            "sum": round(sum(rest.values()), 2),
+        }
+    if canary:
+        doc["canary"] = canary
+    cmp_ = geo_cmp(
+        timings, root, regime=(canary or {}).get("regime")
+    )
     if cmp_:
         doc["geo_cmp"] = cmp_
     line = json.dumps(doc, separators=(",", ":"))
-    digits = 3
     for digits in (2, 1):
         if len(line) <= budget:
             break
-        doc["queries"] = {q: round(v, digits) for q, v in timings.items()}
-        line = json.dumps(doc, separators=(",", ":"))
-    if len(line) > budget and len(timings) > MAX_FINAL_ENTRIES:
-        # which entries get NAMED on the capped line (r10 verdict
-        # item 3 — a pure slowest-first cut silently dropped the
-        # round-over-round number for whichever fast entries moved):
-        #   1. every entry whose ratio vs the newest committed local
-        #      artifact moved >1.15x either way (regression-relevant
-        #      regardless of absolute cost),
-        #   2. every entry NEW since that artifact (first driver
-        #      number on record),
-        #   3. then the slowest of the rest until capacity.
-        # Unmoved, previously-recorded fast entries roll up into
-        # rest{n,sum}; their numbers stay in BENCH_r*_local.json.
-        pl = _prev_local(root)
-        prev = pl[1] if pl else {}
-
-        def prio(q: str) -> tuple:
-            p = prev.get(q)
-            if not isinstance(p, (int, float)) or p <= 0:
-                return (1, -timings[q])  # new entry
-            r = timings[q] / p if timings[q] > 0 else 1.0
-            moved = r > 1.15 or r < 1 / 1.15
-            return (1 if moved else 2, -timings[q])
-
-        keep = sorted(timings.items(), key=lambda kv: (*prio(kv[0]), kv[0]))
-        named = dict(keep[:MAX_FINAL_ENTRIES])
-        rest = keep[MAX_FINAL_ENTRIES:]
         doc["queries"] = {q: round(v, digits) for q, v in named.items()}
-        doc["rest"] = {
-            "n": len(rest),
-            "sum": round(sum(v for _, v in rest), 2),
-        }
         line = json.dumps(doc, separators=(",", ":"))
     if len(line) > budget and "geo_cmp" in doc:
         # last lever before failing: the geomean also lives in the

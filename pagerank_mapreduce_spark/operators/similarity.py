@@ -389,7 +389,16 @@ def spread_sample(
     large — it still completes (sort spills), it just loses
     parallelism. Both passes scan only (id, vec). Returns the rows
     sorted by id (codebook ordinal = id order, same contract as the
-    head init)."""
+    head init).
+
+    DETERMINISM REQUIREMENT: the two passes recompute ``embeddings``
+    independently, so the input must be deterministic — a
+    nondeterministic source (``sample`` without a seed, an unordered
+    ``limit`` over a shuffling plan) can shift rows between the
+    histogram and the ranking pass and miss target ranks. Feed a
+    parquet-backed or ``localCheckpoint``-ed relation; a missed
+    target raises ValueError below instead of silently returning a
+    short codebook."""
     from pyspark.sql import Window
 
     agg = embeddings.agg(
@@ -443,7 +452,16 @@ def spread_sample(
         c = (F.col("_fb") == b) & (F.col("_r") == r)
         cond = c if cond is None else cond | c
     rows = ranked.filter(cond).drop("_fb", "_r").orderBy(id_col).collect()
-    assert len(rows) == n, (len(rows), n)
+    if len(rows) != n:
+        # not an assert: survives python -O, and the common cause is
+        # user error (a nondeterministic input shifting rows between
+        # the two passes — see the determinism requirement above)
+        raise ValueError(
+            f"spread_sample: targeted {n} ranks but matched {len(rows)} "
+            "rows — the input changed between the histogram and "
+            "ranking passes (nondeterministic source?); cache or "
+            "localCheckpoint the input"
+        )
     return rows
 
 
@@ -522,12 +540,27 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "l2",
 ) -> DataFrame:
     """IVF probe: rank the codebook against the query on the driver
     (n_lists is tiny), then score only vectors in the ``nprobe``
     nearest inverted lists. With nprobe == n_lists this is exactly the
-    brute-force result (the recall invariant the tests assert)."""
-    q = np.asarray(query, dtype=float)
+    brute-force result (the recall invariant the tests assert).
+
+    ``metric="cosine"``: rank the lists against the round-9
+    NORMALIZED query instead — with a spherical codebook
+    (:func:`lloyd_build` ``metric="cosine"``, unit centroids) the L2
+    ranking of a unit query IS the cosine ranking (``|q−c|² =
+    2−2q·c``), so probe order matches the cosine geometry the
+    candidates are scored in. Candidate scoring is unchanged (it was
+    always exact cosine)."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(
+            f"ivf_topk: metric must be 'l2' or 'cosine', got {metric!r}"
+        )
+    q = np.asarray(
+        _unit_py(list(query)) if metric == "cosine" else query, dtype=float
+    )
     order = sorted(
         range(len(centroids)),
         key=lambda i: float(np.linalg.norm(np.asarray(centroids[i]) - q)),
@@ -551,6 +584,7 @@ def ivf_recall_at_k(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: dict | None = None,
+    metric: str = "l2",
 ) -> float:
     """Mean recall@k of the IVF probe against the exact brute-force
     top-k over the given ``query_vecs`` ({query_id: vector}) — the
@@ -573,7 +607,7 @@ def ivf_recall_at_k(
         embeddings,
         lambda qv, kk: ivf_topk(
             assigned, centroids, qv, k=kk, nprobe=nprobe,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=vec_col, id_col=id_col, metric=metric,
         ),
         query_vecs,
         k=k,
@@ -896,6 +930,73 @@ def _sqdist_py(a: list[float], b: list[float]) -> float:
     return d
 
 
+# ------------------------- cosine-metric (spherical) support, round 13
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Round a double exactly as Spark's ``F.round`` and DuckDB's
+    ``round`` do — half AWAY from zero on the shortest decimal
+    representation (``BigDecimal.valueOf(double)`` semantics).
+    Python's builtin ``round`` is banker's rounding and disagrees on
+    exact halves, so driver-side codebook arithmetic must use this
+    to stay replayable (the same pitfall ``int8_topk`` documents)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _unit_py(v: list[float], round_to: int = 9) -> list[float]:
+    """Driver-side L2 normalization with the engine's rounding: the
+    norm is a left-to-right sum of squares (``_sqdist_py``'s order =
+    Spark's fold = DuckDB's list_sum), each component rounded
+    half-away-from-zero to ``round_to``. Zero vectors pass through
+    unchanged (both engines' convention in :func:`with_unit`)."""
+    import math
+
+    s = 0.0
+    for x in v:
+        s += float(x) * float(x)
+    n = math.sqrt(s)
+    if n == 0.0:
+        return [float(x) for x in v]
+    return [_round_half_up(float(x) / n, round_to) for x in v]
+
+
+def with_unit(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Append ``out_col`` = the round-``round_to`` L2-normalized copy
+    of ``vec_col`` — the cosine-metric pre-transform: on unit
+    vectors, squared-L2 is ``2 - 2·cos``, so every L2 argmin /
+    ranking in this module becomes a cosine argmax with identical
+    tie behavior, and the whole existing assignment/probe machinery
+    (and its DuckDB oracle replay) carries over unchanged.
+
+    The rounding is the replayability discipline (see
+    :func:`lloyd_build`): engine and oracle normalize with sums in
+    the same order, and round-9 collapses any last-ulp divergence to
+    identical literals. Zero vectors stay zero (cosine undefined —
+    they land wherever ties send them, deterministically). Pure
+    expressions, one ``withColumn`` — no shuffle, no Python."""
+    nrm = "_unit_nrm"
+    v = F.col(vec_col).cast("array<double>")
+    d = df.withColumn(nrm, norm(v))
+    d = d.withColumn(
+        out_col,
+        F.when(F.col(nrm) == 0.0, v).otherwise(
+            F.transform(v, lambda x: F.round(x / F.col(nrm), round_to))
+        ),
+    )
+    return d.drop(nrm)
+
+
 def pq_build(
     embeddings: DataFrame,
     n_sub: int = 8,
@@ -1142,6 +1243,8 @@ def lloyd_build(
     assignment: str = "expr",
     round_to: int = 9,
     init: str = "head",
+    metric: str = "l2",
+    init_rows: list | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF build with a DETERMINISTIC fixed-iteration Lloyd codebook —
     the oracle-replayable middle ground between ``ivf_sampled_build``
@@ -1169,13 +1272,69 @@ def lloyd_build(
     literals, so the NEXT iteration's assignment compares identical
     codebooks. Per-iteration driver work is one k×dim collect — the
     constant-size-codebook argument of every build here. Returns
-    (assigned, centroids) like the other builds."""
-    e = embeddings.select(
-        F.col(id_col).alias(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    rows = _init_sample(e, n_lists, "_v", id_col, init, "lloyd_build")
-    centroids = [[float(x) for x in r["_v"]] for r in rows]
+    (assigned, centroids) like the other builds.
+
+    ``metric="cosine"`` (round 13) is deterministic SPHERICAL
+    k-means — the fix for the 10× scorecard's binding finding that
+    L2-trained codebooks probe badly against cosine ground truth
+    (r@10 ~0.27 on the geometry-correlated fixture): training runs
+    on round-9 L2-NORMALIZED vectors (:func:`with_unit`), so the
+    squared-L2 argmin IS the cosine argmax (``|u−c|² = 2−2u·c`` on
+    units) with identical tie behavior, and each updated centroid is
+    re-normalized (driver-side, half-away-from-zero rounding —
+    :func:`_unit_py`) back onto the sphere, the spherical-k-means
+    mean-direction update. Still exactly ``iters`` iterations, still
+    one aggregation job per iteration, still SQL-replayable end to
+    end (the oracle normalizes with the same rounding — queries.py
+    ``_lloyd_cosine_probe_oracle``). The returned ``assigned`` maps
+    the ORIGINAL vectors by cosine (= L2 argmin of their normalized
+    copies against the unit centroids); the returned centroids are
+    unit vectors — probe them with a NORMALIZED query and the
+    existing L2 probe ranking is cosine ranking (``ivf_topk``'s
+    ``metric="cosine"`` does exactly that).
+
+    ``init_rows`` (round 13): precomputed init sample rows (id,
+    vector), e.g. one :func:`spread_sample` result shared between
+    this build and a caller that also needs the sample ids
+    (``ivfpq_lloyd_build`` — avoids recomputing the sample and
+    re-relying on input determinism). Overrides ``init``."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(
+            f"lloyd_build: metric must be 'l2' or 'cosine', got {metric!r}"
+        )
+    if metric == "cosine":
+        e = with_unit(
+            embeddings.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("_raw"),
+            ),
+            "_raw",
+            "_v",
+            round_to,
+        ).select(id_col, "_v")
+    else:
+        e = embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    if init_rows is not None:
+        if len(init_rows) != n_lists:
+            raise ValueError(
+                f"lloyd_build: {len(init_rows)} init_rows != n_lists"
+                f" = {n_lists}"
+            )
+        vecs = [list(r[1] if isinstance(r, tuple) else r[vec_col])
+                for r in init_rows]
+        centroids = (
+            [_unit_py(v, round_to) for v in vecs]
+            if metric == "cosine"
+            else [[float(x) for x in v] for v in vecs]
+        )
+    else:
+        rows = _init_sample(e, n_lists, "_v", id_col, init, "lloyd_build")
+        # cosine: e is already normalized, so the sample rows are the
+        # unit init centroids directly (same literals the oracle gets)
+        centroids = [[float(x) for x in r["_v"]] for r in rows]
     for _ in range(iters):
         assigned = assign_nearest_centroid(
             e, centroids, "_v", "list_id", assignment
@@ -1192,15 +1351,33 @@ def lloyd_build(
         for r in means:
             by_list.setdefault(r["list_id"], {})[r["_dim"]] = r["_m"]
         dim = len(centroids[0])
+        # spherical update (cosine): mean direction, back onto the
+        # sphere — but ONLY for clusters that actually updated.
+        # Emptied clusters keep the previous centroid VERBATIM (it is
+        # already unit): re-normalizing a round-9 unit vector is not
+        # idempotent (norm = 1±eps, re-round can shift a last digit),
+        # and the oracle's coalesce keeps the old literal unchanged.
+        # An all-zero mean (exactly cancelling members) keeps the
+        # zero — the probe then ties it deterministically last.
         centroids = [
-            [by_list[i][d] for d in range(dim)]
+            (
+                _unit_py([by_list[i][d] for d in range(dim)], round_to)
+                if metric == "cosine"
+                else [by_list[i][d] for d in range(dim)]
+            )
             if i in by_list
             else centroids[i]
             for i in range(n_lists)
         ]
-    assigned = assign_nearest_centroid(
-        embeddings, centroids, vec_col, "list_id", assignment
-    )
+    if metric == "cosine":
+        en = with_unit(embeddings, vec_col, "_vn_assign", round_to)
+        assigned = assign_nearest_centroid(
+            en, centroids, "_vn_assign", "list_id", assignment
+        ).drop("_vn_assign")
+    else:
+        assigned = assign_nearest_centroid(
+            embeddings, centroids, vec_col, "list_id", assignment
+        )
     return assigned, centroids
 
 
@@ -1320,20 +1497,23 @@ def ivfpq_lloyd_build(
     "next n_centroids after the coarse window" convention — keeps
     the two sample sets disjoint so PQ never initializes from a
     near-centroid's near-zero residual)."""
-    assigned, centroids = lloyd_build(
-        embeddings,
-        n_lists=n_lists,
-        iters=coarse_iters,
-        vec_col=vec_col,
-        id_col=id_col,
-        round_to=round_to,
-        init=init,
-    )
     if init == "spread":
-        coarse_ids = [
-            r[id_col]
-            for r in spread_sample(embeddings, n_lists, vec_col, id_col)
-        ]
+        # one spread_sample, shared: the same rows seed lloyd_build's
+        # init (via init_rows) AND supply the exclusion ids for the
+        # residual-PQ sample — the coarse selection is computed once,
+        # saving two Spark job rounds per build and relying on input
+        # determinism only once (round-13 ADVICE fix).
+        coarse_rows = spread_sample(embeddings, n_lists, vec_col, id_col)
+        assigned, centroids = lloyd_build(
+            embeddings,
+            n_lists=n_lists,
+            iters=coarse_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            round_to=round_to,
+            init_rows=coarse_rows,
+        )
+        coarse_ids = [r[id_col] for r in coarse_rows]
         rows = spread_sample(
             embeddings.filter(~F.col(id_col).isin(coarse_ids)),
             n_centroids,
@@ -1341,6 +1521,15 @@ def ivfpq_lloyd_build(
             id_col,
         )
     else:
+        assigned, centroids = lloyd_build(
+            embeddings,
+            n_lists=n_lists,
+            iters=coarse_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            round_to=round_to,
+            init=init,
+        )
         rows = (
             embeddings.select(id_col, vec_col)
             .orderBy(id_col)
@@ -1586,6 +1775,9 @@ def ivf_knn_join(
     qid_col: str = "qid",
     qvec_col: str = "qv",
     exclude_self: bool = True,
+    broadcast: bool | None = None,
+    max_broadcast_pairs: int = 4_000_000,
+    prune_scan: bool = False,
 ) -> DataFrame:
     """Batch ANN join through the IVF index — the production shape
     for MANY queries (``sim_knn_join``'s brute-force join scores
@@ -1596,11 +1788,31 @@ def ivf_knn_join(
     the centroid matrix literal, ties → lowest list id), so a million
     queries cost one job, not a driver loop.
 
-    Plan shape at 100 TB: the probed (qid, list_id, qv) pairs are
-    tiny → broadcast; the big side joins on ``list_id`` with NO
-    shuffle (and with the index written partitioned/bucketed by
-    ``list_id``, the join prunes to the probed partition files);
-    per-query top-k is a window over candidates only. Each candidate
+    Plan shape at 100 TB: for a BOUNDED query batch the probed
+    (qid, list_id, qv) pairs are tiny → broadcast, and the big side
+    joins on ``list_id`` with no shuffle. But at the corpus-scale
+    SELF-join (every document queries the index) the pairs relation
+    is |corpus| × nprobe rows of full vectors — gigabytes, where a
+    forced broadcast hint means a driver/executor OOM instead of a
+    plan. So the hint is GATED (round 13): ``broadcast=None`` (auto)
+    counts the query side through a ``limit(cap+1)`` — a bounded
+    probe that never scans past ``max_broadcast_pairs // nprobe``
+    rows — and falls back to a shuffled ``list_id`` join when the
+    batch is too big (AQE may still upgrade it back to broadcast if
+    runtime stats allow; skewed hot lists are AQE skew-join
+    territory). ``broadcast=True/False`` pins the choice jobless.
+
+    ``prune_scan=True`` materializes the probed-list union first
+    (one tiny distinct job, ≤ n_lists rows) and applies it as a
+    LITERAL ``isin`` filter on the index side — with the index
+    stored partitioned by ``list_id``
+    (:func:`sources.partitioned.write_partitioned`), that filter is
+    a PartitionFilters entry and the scan reads ONLY the probed
+    lists' files (``scan_is_pruned`` pins it in tests). With few
+    queries probing few lists this is the difference between
+    scanning nprobe/n_lists of the corpus and scanning all of it.
+
+    Per-query top-k is a window over candidates only. Each candidate
     vector lives in exactly one list, so no dedup step is needed.
 
     Output: (qid, nid, cos DOUBLE round-6), ties → lowest nid."""
@@ -1624,7 +1836,24 @@ def ivf_knn_join(
     pairs = queries.select(
         F.col(qid_col), F.col(qvec_col), F.explode(probe_ids).alias("list_id")
     )
-    cand = assigned.join(F.broadcast(pairs), "list_id")
+    if prune_scan:
+        # probed-list union as a LITERAL filter: ≤ n_lists rows, one
+        # bounded job; on a partitioned-by-list_id index layout this
+        # becomes PartitionFilters (directory pruning, not row eval)
+        probed_union = sorted(
+            r["list_id"]
+            for r in pairs.select("list_id").distinct().collect()
+        )
+        assigned = assigned.filter(F.col("list_id").isin(probed_union))
+    if broadcast is None:
+        cap = max(1, max_broadcast_pairs // max(1, nprobe))
+        # bounded count: stops scanning at cap+1 query rows, so the
+        # auto probe costs O(cap) regardless of the batch size
+        n_seen = queries.select(qid_col).limit(cap + 1).count()
+        broadcast = n_seen <= cap
+    cand = assigned.join(
+        F.broadcast(pairs) if broadcast else pairs, "list_id"
+    )
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(qid_col))
     scored = cand.select(

@@ -1212,6 +1212,100 @@ def q_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_cosine_probe_oracle(
+    n_lists: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10
+) -> str:
+    """DuckDB mirror of the SPHERICAL (cosine-metric) Lloyd IVF probe
+    (round 13): every vector is round-9 L2-normalized up front (zero
+    vectors pass through), the fixed Lloyd iterations run in plain
+    squared-L2 over the UNIT vectors (on units, L2 argmin IS cosine
+    argmax: |u-c|^2 = 2-2u.c), and each UPDATED centroid's mean is
+    re-normalized back onto the sphere with the same round-9
+    discipline — emptied clusters keep the previous centroid literal
+    VERBATIM via the coalesce (matching the engine's
+    no-renormalize-on-keep rule; re-normalizing a round-9 unit vector
+    is not idempotent). Probe ranking compares the codebook against
+    the NORMALIZED query; candidate scoring stays exact cosine on the
+    RAW vectors, as in the L2 entry."""
+
+    def unit(v: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({v}, {v})) = 0 THEN {v} "
+            f"ELSE list_transform({v}, x -> round(x / "
+            f"sqrt(list_dot_product({v}, {v})), 9)) END"
+        )
+
+    parts = [
+        """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv
+             FROM embeddings),
+    e AS (SELECT vec_id, rv, {u} AS v FROM e0),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n}))""".format(
+            n=n_lists, u=unit("rv")
+        )
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.cv),
+                                               c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c),
+    asg{i} AS (SELECT vec_id, v, cid FROM a{i} WHERE rn = 1),
+    md{i} AS (SELECT cid, t.i - 1 AS dim, round(avg(v[t.i]), 9) AS m
+              FROM asg{i}, unnest(range(1, len(v) + 1)) AS t(i)
+              GROUP BY cid, dim),
+    mc{i} AS (SELECT cid, list(m ORDER BY dim) AS mv
+              FROM md{i} GROUP BY cid),
+    mn{i} AS (SELECT cid, {unit('mv')} AS mv FROM mc{i}),
+    c{i} AS (SELECT c.cid, coalesce(mn.mv, c.cv) AS cv
+             FROM c{i - 1} c LEFT JOIN mn{i} mn USING (cid))"""
+        )
+    last = f"c{iters}"
+    parts.append(
+        f"""fa AS (SELECT e.vec_id, e.rv, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, c.cv),
+                                             c.cid) AS rn
+          FROM e CROSS JOIN {last} c),
+    fasg AS (SELECT vec_id, rv, cid FROM fa WHERE rn = 1),
+    q AS (SELECT rv AS qv, v AS qn FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM {last}, q
+              ORDER BY list_distance(cv, qn), cid LIMIT {nprobe})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT fasg.vec_id,
+           round(round(list_cosine_similarity(fasg.rv, q.qv), 8), 6) AS cos
+    FROM fasg, q
+    WHERE fasg.cid IN (SELECT cid FROM probe)
+    ORDER BY round(list_cosine_similarity(fasg.rv, q.qv), 8) DESC,
+             fasg.vec_id
+    LIMIT {k}"""
+    )
+
+
+@_q("sim_ivf_cosine_topk", _lloyd_cosine_probe_oracle())
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SPHERICAL (cosine-metric) deterministic Lloyd IVF — the round-13
+    # fix for the 10x scorecard's binding finding (L2-trained
+    # codebooks probe badly against cosine ground truth): training
+    # runs on round-9 unit vectors, updated centroids re-normalize
+    # onto the sphere, and the probe ranks lists against the unit
+    # query, so probe geometry matches the cosine the candidates are
+    # scored in. Fully hash-checked by the unrolled spherical oracle.
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assigned, centroids = S.lloyd_build(
+        emb, n_lists=8, iters=2, metric="cosine"
+    )
+    return S.ivf_topk(
+        assigned, centroids, query, k=10, nprobe=2, metric="cosine"
+    ).select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 @_q(
     "sim_ivfpq_topk",
     # full replay of the IVF-PQ probe: sampled coarse codebook (first

@@ -356,8 +356,14 @@ def test_ivf_knn_join_full_probe_matches_brute(recall_setup):
     strat = join_strategies(out)
     assert strat.get("BroadcastHashJoin", 0) >= 1, strat
     assert strat.get("SortMergeJoin", 0) == 0, strat
+    # re-derive per-query rank from the row VALUES, not collect()
+    # order — Spark does not guarantee the window's intra-partition
+    # sort survives to collect (round-13 ADVICE fix). (cos desc, nid)
+    # is exactly the window's ordering, so this is the same ranking.
     got = {}
-    for r in out.collect():
+    for r in sorted(
+        out.collect(), key=lambda r: (r["qid"], -r["cos"], r["nid"])
+    ):
         got.setdefault(r["qid"], []).append(r["nid"])
     for qid in qids:
         brute = [
@@ -367,3 +373,62 @@ def test_ivf_knn_join_full_probe_matches_brute(recall_setup):
             ).collect()
         ]
         assert got[qid] == brute, (qid, got[qid], brute)
+
+
+def test_ivf_knn_join_shuffle_and_pruned_modes(recall_setup, tmp_path):
+    # round-13 de-risk of the batch join at self-join scale: the
+    # broadcast hint is gated (auto falls back to a shuffled list_id
+    # join past max_broadcast_pairs), and prune_scan turns the probed
+    # -list union into a PartitionFilters entry on a partitioned
+    # index layout. Every mode must be row-identical to the forced-
+    # broadcast baseline.
+    from pagerank_mapreduce_spark.sources.partitioned import (
+        read_partitioned,
+        scan_is_pruned,
+        write_partitioned,
+    )
+
+    emb, qvecs, exact = recall_setup
+    assigned, cents = S.ivf_sampled_build(emb, n_lists=N_LISTS)
+    assigned = assigned.localCheckpoint()
+    qids = sorted(qvecs)[:3]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["nid"], r["cos"]) for r in df.collect()
+        )
+
+    base = rows(
+        S.ivf_knn_join(assigned, cents, q, k=5, nprobe=2, broadcast=True)
+    )
+    # forced shuffle fallback: identical result (AQE may or may not
+    # re-upgrade the join — only the VALUES are contractual here)
+    assert rows(
+        S.ivf_knn_join(assigned, cents, q, k=5, nprobe=2, broadcast=False)
+    ) == base
+    # auto mode with a 1-pair budget must take the fallback branch
+    # (and still match); with the default budget it must broadcast
+    assert rows(
+        S.ivf_knn_join(
+            assigned, cents, q, k=5, nprobe=2, max_broadcast_pairs=1
+        )
+    ) == base
+    from pagerank_mapreduce_spark.plans.audit import join_strategies
+
+    auto = S.ivf_knn_join(assigned, cents, q, k=5, nprobe=2)
+    assert join_strategies(auto).get("BroadcastHashJoin", 0) >= 1
+    assert rows(auto) == base
+    # partitioned-by-list index + prune_scan: the probed-list union
+    # lands in PartitionFilters (directory pruning), rows unchanged
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivf_index")
+    write_partitioned(assigned, path, "list_id")
+    idx = read_partitioned(spark, path)
+    pruned = S.ivf_knn_join(
+        idx, cents, q, k=5, nprobe=2, prune_scan=True
+    )
+    assert scan_is_pruned(pruned)
+    assert rows(pruned) == base

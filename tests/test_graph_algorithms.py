@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from pagerank_mapreduce_spark.graph import algorithms as GA
 
@@ -1070,6 +1071,95 @@ def test_louvain_levels_weighted_splits_at_the_light_bridge(spark):
             info["modularity_trail"], info["modularity_trail"][1:]
         )
     )
+
+
+def test_louvain_levels_decimal_lane_matches_int64(spark):
+    # round 13 (r12 verdict item 6): past m_w ~1.5e9 the acceptance
+    # and gain terms switch to DECIMAL(38,0) instead of raising. The
+    # partition is invariant to a uniform integer scaling of w, so
+    # scaling the light-bridge fixture by 1e9 (m_w = 6.1e10, firmly
+    # past the int64 bound) must return EXACTLY the unscaled
+    # partition — computed, not refused.
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_levels
+
+    rows = (
+        [(0, 1, 5), (1, 0, 5), (1, 2, 10), (2, 0, 10)]
+        + [(3, 4, 10), (4, 5, 10), (5, 3, 10)]
+        + [(2, 3, 1)]
+    )
+    SCALE = 1_000_000_000
+    small = spark.createDataFrame(
+        rows, "src bigint, dst bigint, w bigint"
+    )
+    big = spark.createDataFrame(
+        [(s, d, w * SCALE) for s, d, w in rows],
+        "src bigint, dst bigint, w bigint",
+    )
+    info_small, info_big = {}, {}
+    out_small = {
+        r.id: r.comm
+        for r in louvain_levels(
+            small, max_levels=6, info=info_small, weight_col="w"
+        ).collect()
+    }
+    out_big = {
+        r.id: r.comm
+        for r in louvain_levels(
+            big, max_levels=6, info=info_big, weight_col="w"
+        ).collect()
+    }
+    assert out_big == out_small
+    assert info_big["levels_used"] == info_small["levels_used"]
+    # modularity is scale-invariant too (numerator and 4*m_w^2 both
+    # scale by SCALE^2)
+    for a, b in zip(
+        info_small["modularity_trail"], info_big["modularity_trail"]
+    ):
+        assert abs(a - b) < 1e-12, (a, b)
+
+
+def test_louvain_sweep_decimal_lane_is_value_identical(spark):
+    # lane equality at the operator level: the same level graph swept
+    # through the int64 and DECIMAL(38,0) gain expressions must pick
+    # identical adoptions (sign tests and struct-min ordering agree).
+    from pagerank_mapreduce_spark.graph.algorithms import (
+        _louvain_sweep,
+        _strength,
+        edge_upper,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)],
+        "src bigint, dst bigint",
+    )
+    g = edge_upper(e).select(
+        "a", "b", F.lit(1).cast("bigint").alias("w")
+    ).localCheckpoint()
+    st = _strength(g)
+    m_w = 7
+    a = sorted(
+        (r["v"], r["comm"])
+        for r in _louvain_sweep(g, st, m_w, use_decimal=False).collect()
+    )
+    b = sorted(
+        (r["v"], r["comm"])
+        for r in _louvain_sweep(g, st, m_w, use_decimal=True).collect()
+    )
+    assert a == b
+
+
+def test_louvain_levels_overflow_guard_past_decimal_bound(spark):
+    # the loud guard survives for the truly unbounded case: one edge
+    # heavier than the DECIMAL(38,0) bound still raises instead of
+    # risking silent precision loss.
+    from pagerank_mapreduce_spark.graph.algorithms import louvain_levels
+
+    e = spark.createDataFrame(
+        [(0, 1, 2_000_000_000_000_000_000)],
+        "src bigint, dst bigint, w bigint",
+    )
+    with pytest.raises(OverflowError, match="DECIMAL"):
+        louvain_levels(e, max_levels=2, weight_col="w").collect()
 
 
 def test_louvain_levels_stops_on_no_improvement(spark):

@@ -72,19 +72,49 @@ def main() -> None:
         }
     exact_wall = time.monotonic() - t0
 
+    # (build fn, probe metric): "cosine" rows train SPHERICAL Lloyd
+    # (round 13 — unit-normalized vectors, re-normalized centroids)
+    # and probe with the normalized query, so list ranking matches
+    # the cosine geometry the candidates are scored in — the fix for
+    # the r12 finding that L2-trained codebooks probe badly against
+    # cosine ground truth on the geometry-correlated 10x fixture.
     builds = {
-        "ivf_sampled (SQL-replayable)": lambda: S.ivf_sampled_build(
-            emb, n_lists=n_lists, assignment="vectorized"
+        "ivf_sampled (SQL-replayable)": (
+            lambda: S.ivf_sampled_build(
+                emb, n_lists=n_lists, assignment="vectorized"
+            ),
+            "l2",
         ),
-        "lloyd iters=2 (SQL-replayable)": lambda: S.lloyd_build(
-            emb, n_lists=n_lists, iters=2, assignment="vectorized"
+        "lloyd iters=2 (SQL-replayable)": (
+            lambda: S.lloyd_build(
+                emb, n_lists=n_lists, iters=2, assignment="vectorized"
+            ),
+            "l2",
         ),
-        "lloyd iters=2 SPREAD init": lambda: S.lloyd_build(
-            emb, n_lists=n_lists, iters=2, assignment="vectorized",
-            init="spread",
+        "lloyd iters=2 SPREAD init": (
+            lambda: S.lloyd_build(
+                emb, n_lists=n_lists, iters=2, assignment="vectorized",
+                init="spread",
+            ),
+            "l2",
         ),
-        "spark-ml kmeans (learned)": lambda: S.ivf_build(
-            emb, n_lists=n_lists
+        "SPHERICAL lloyd-2 (cosine)": (
+            lambda: S.lloyd_build(
+                emb, n_lists=n_lists, iters=2, assignment="vectorized",
+                metric="cosine",
+            ),
+            "cosine",
+        ),
+        "SPHERICAL lloyd-2 SPREAD init": (
+            lambda: S.lloyd_build(
+                emb, n_lists=n_lists, iters=2, assignment="vectorized",
+                init="spread", metric="cosine",
+            ),
+            "cosine",
+        ),
+        "spark-ml kmeans (learned)": (
+            lambda: S.ivf_build(emb, n_lists=n_lists),
+            "l2",
         ),
     }
     print(f"fixture={fixture} n={n} dim=64 k={K} queries={len(qids)} "
@@ -98,7 +128,7 @@ def main() -> None:
     print("| codebook path | build s | top4 % | nprobe=2 recall@10 "
           "| probe s | nprobe=4 recall@10 | probe s |")
     print("|---|---|---|---|---|---|---|")
-    for name, build in builds.items():
+    for name, (build, metric) in builds.items():
         t0 = time.monotonic()
         assigned, centroids = build()
         assigned = assigned.localCheckpoint()  # index materialized once
@@ -114,7 +144,7 @@ def main() -> None:
             t0 = time.monotonic()
             recall = S.ivf_recall_at_k(
                 emb, assigned, centroids, qvecs, k=K, nprobe=nprobe,
-                exact=exact,
+                exact=exact, metric=metric,
             )
             probe_wall = time.monotonic() - t0
             cells.append(f"{recall:.3f} | {probe_wall:.2f}")
