@@ -123,11 +123,18 @@ def _ensure_protobuf() -> None:
             continue
         link = os.path.join(pkg, entry)
         if not os.path.lexists(link):
-            os.symlink(os.path.join(_PB_SRC, entry), link)
+            try:
+                os.symlink(os.path.join(_PB_SRC, entry), link)
+            except FileExistsError:
+                pass  # concurrent shard won the race; same target
     rv = os.path.join(pkg, "runtime_version.py")
     if not os.path.exists(rv):
-        with open(rv, "w") as f:
+        # write-then-rename so a concurrent shard never imports a
+        # half-written module; both writers produce identical bytes
+        tmp = rv + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write(_PB_RUNTIME_VERSION_SHIM)
+        os.replace(tmp, rv)
     shim = os.path.join(repo, ".tmp", "pb_shim")
     sys.path.append(shim)
     os.environ["PYTHONPATH"] = (
