@@ -18,6 +18,8 @@ embedded as literals — deterministic across runs and engines.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,9 +29,38 @@ from pagerank_mapreduce_spark.functions.vectors import (
     cosine,
     dot,
     matrix_lit,
+    matrix_sql,
     norm,
     sqdist,
+    sqdist_sql,
 )
+
+
+def _vec_sql(vec_col: str) -> str:
+    """``vec_col`` as an ARRAY<DOUBLE> SQL fragment (the string twin
+    of ``F.col(vec_col).cast("array<double>")``)."""
+    return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+
+
+@contextmanager
+def _trainer_conf(spark):
+    """Codebook-trainer job regime (the pagerank-loop precedent):
+    AQE off for the duration of the trainer's driver loop, restored
+    on exit. Every in-trainer action is a tiny CONSTANT-SHAPE
+    aggregate whose output is codebook-sized (k×dim rows) regardless
+    of input scale, so AQE's per-stage re-planning and extra shuffle
+    materialization add latency (measured ~1.2 s per collect on the
+    sf0.1 fixture) and can never help — the shuffle it would coalesce
+    carries at most maps×k×dim partially-aggregated rows. The final
+    returned DataFrames are lazy and execute AFTER restore, so probe/
+    scan plans still get AQE."""
+    conf = spark.conf
+    saved = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved)
 
 
 def cosine_topk(
@@ -152,6 +183,56 @@ def ivf_build(
     return assigned, centroids
 
 
+def nearest_idx_sql(v_sql: str, centroid_rows) -> str:
+    """:func:`nearest_idx` as ONE SQL fragment over a vector-SQL
+    fragment — the string form exists because Column-tree construction
+    was the measured bottleneck of the trainer loops: every Python
+    lambda in the Column form costs dozens of py4j round trips and a
+    per-subspace codebook loop spent ~0.9 s of pure driver-side
+    expression building PER Lloyd iteration vs ~0.1 s for one parsed
+    string (the analyzed plans are identical)."""
+    return (
+        "CAST(array_min(transform(" + matrix_sql(centroid_rows) + ", "
+        f"(c, i) -> struct({sqdist_sql(v_sql, 'c')} AS d, i AS i)"
+        ")).i AS INT)"
+    )
+
+
+def _pq_codes_expr(v_sql: str, codebook, sd: int) -> "F.Column":
+    """The PQ code array ``[argmin_s0, argmin_s1, ...]`` over a
+    vector-SQL fragment as ONE parsed expression (n_sub nearest-
+    centroid folds over subvector slices) — see :func:`nearest_idx_sql`
+    for why the string form."""
+    parts = [
+        nearest_idx_sql(f"slice({v_sql}, {s * sd + 1}, {sd})", cb)
+        for s, cb in enumerate(codebook)
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def nearest_idx(v, centroid_rows) -> "F.Column":
+    """Index of the squared-L2-nearest centroid (ties → lowest index)
+    as ONE fold over the codebook literal: ``array_min`` over
+    ``(distance, index)`` structs — lexicographic struct comparison is
+    exactly first-minimum argmin. Value-identical to the previous
+    ``array_position(dists, array_min(dists))`` form but evaluates the
+    per-centroid distance fold ONCE instead of twice (the ``dists``
+    subexpression appeared in both arguments and higher-order lambdas
+    are interpreted, so the duplicate fold was measured ~2× the
+    assignment cost on every expr-mode path).
+
+    ``v`` may be a Column or a SQL fragment (str) — the str form
+    parses the whole argmin as one expression, see
+    :func:`nearest_idx_sql`."""
+    if isinstance(v, str):
+        return F.expr(nearest_idx_sql(v, centroid_rows))
+    pairs = F.transform(
+        matrix_lit(centroid_rows),
+        lambda c, i: F.struct(sqdist(v, c).alias("d"), i.alias("i")),
+    )
+    return F.array_min(pairs)["i"].cast("int")
+
+
 def assign_nearest_centroid(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -187,10 +268,9 @@ def assign_nearest_centroid(
     never shuffles in either mode.
     """
     if assignment == "expr":
-        v = F.col(vec_col).cast("array<double>")
-        dists = F.transform(matrix_lit(centroids), lambda c: sqdist(v, c))
-        idx = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return embeddings.withColumn(out_col, idx)
+        return embeddings.withColumn(
+            out_col, nearest_idx(_vec_sql(vec_col), centroids)
+        )
     if assignment != "vectorized":
         raise ValueError(
             f"assignment must be expr|vectorized, got {assignment!r}"
@@ -401,6 +481,16 @@ def spread_sample(
     short codebook."""
     from pyspark.sql import Window
 
+    with _trainer_conf(embeddings.sparkSession):
+        return _spread_sample_jobs(embeddings, n, vec_col, id_col, Window)
+
+
+def _spread_sample_jobs(
+    embeddings: DataFrame, n: int, vec_col: str, id_col: str, Window
+) -> list:
+    """:func:`spread_sample`'s three bounded jobs, run under the
+    trainer conf regime (tiny constant-shape aggregates — see
+    :func:`_trainer_conf`)."""
     agg = embeddings.agg(
         F.min(id_col).alias("lo"),
         F.max(id_col).alias("hi"),
@@ -1041,15 +1131,8 @@ def pq_build(
         [[float(x) for x in r[vec_col][s * sd : (s + 1) * sd]] for r in rows]
         for s in range(n_sub)
     ]
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
-    for s in range(n_sub):
-        sl = F.slice(v, s * sd + 1, sd)
-        dists = F.transform(matrix_lit(codebook[s]), lambda c: sqdist(sl, c))
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return embeddings.withColumn("codes", F.array(*codes)), codebook
+    codes = _pq_codes_expr(_vec_sql(vec_col), codebook, sd)
+    return embeddings.withColumn("codes", codes), codebook
 
 
 def pq_lloyd_build(
@@ -1132,54 +1215,42 @@ def pq_lloyd_build(
             ]
             for s in range(n_sub)
         ]
-    v = F.col(vec_col).cast("array<double>")
-    for _ in range(iters):
-        per_sub = []
-        for s in range(n_sub):
-            sl = F.slice(v, s * sd + 1, sd)
-            dists = F.transform(
-                matrix_lit(codebook[s]), lambda c: sqdist(sl, c)
-            )
-            cid = (F.array_position(dists, F.array_min(dists)) - 1).cast(
-                "int"
-            )
-            per_sub.append(
-                F.struct(
-                    F.lit(s).alias("s"), cid.alias("cid"), sl.alias("sv")
+    v_sql = _vec_sql(vec_col)
+    with _trainer_conf(embeddings.sparkSession):
+        for _ in range(iters):
+            per_sub = []
+            for s in range(n_sub):
+                sl = f"slice({v_sql}, {s * sd + 1}, {sd})"
+                cid = nearest_idx_sql(sl, codebook[s])
+                per_sub.append(f"struct({s} AS s, {cid} AS cid, {sl} AS sv)")
+            exploded = embeddings.select(
+                F.explode(
+                    F.expr("array(" + ",".join(per_sub) + ")")
+                ).alias("_e")
+            ).select("_e.s", "_e.cid", "_e.sv")
+            means = (
+                exploded.groupBy("s", "cid")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.col("sv").getItem(i)), round_to
+                        ).alias(f"m{i}")
+                        for i in range(sd)
+                    ]
                 )
+                .collect()
             )
-        exploded = embeddings.select(
-            F.explode(F.array(*per_sub)).alias("_e")
-        ).select("_e.s", "_e.cid", "_e.sv")
-        means = (
-            exploded.groupBy("s", "cid")
-            .agg(
-                *[
-                    F.round(F.avg(F.col("sv").getItem(i)), round_to).alias(
-                        f"m{i}"
-                    )
-                    for i in range(sd)
-                ]
-            )
-            .collect()
-        )
-        new_cb = [
-            [list(codebook[s][c]) for c in range(n_centroids)]
-            for s in range(n_sub)
-        ]
-        for r in means:
-            new_cb[r["s"]][r["cid"]] = [
-                float(r[f"m{i}"]) for i in range(sd)
+            new_cb = [
+                [list(codebook[s][c]) for c in range(n_centroids)]
+                for s in range(n_sub)
             ]
-        codebook = new_cb
-    codes = []
-    for s in range(n_sub):
-        sl = F.slice(v, s * sd + 1, sd)
-        dists = F.transform(matrix_lit(codebook[s]), lambda c: sqdist(sl, c))
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return embeddings.withColumn("codes", F.array(*codes)), codebook
+            for r in means:
+                new_cb[r["s"]][r["cid"]] = [
+                    float(r[f"m{i}"]) for i in range(sd)
+                ]
+            codebook = new_cb
+    codes = _pq_codes_expr(v_sql, codebook, sd)
+    return embeddings.withColumn("codes", codes), codebook
 
 
 def pq_topk(
@@ -1302,16 +1373,26 @@ def lloyd_build(
         raise ValueError(
             f"lloyd_build: metric must be 'l2' or 'cosine', got {metric!r}"
         )
+    en = None
+    spark = embeddings.sparkSession
     if metric == "cosine":
-        e = with_unit(
-            embeddings.select(
-                F.col(id_col),
-                F.col(vec_col).cast("array<double>").alias("_raw"),
-            ),
-            "_raw",
-            "_v",
-            round_to,
-        ).select(id_col, "_v")
+        # materialize the round-9 unit copy ONCE (localCheckpoint):
+        # every downstream consumer (the per-iteration mean jobs, the
+        # final assignment, and the caller's probe filter) otherwise
+        # re-derives the normalization EXPRESSION, and because filter
+        # pushdown substitutes it into higher-order lambdas where
+        # argument subtrees are re-evaluated per array element, the
+        # probe degraded to ~dim·k re-normalizations per row
+        # (measured 4.85 s vs 0.37 s for the materialized relation on
+        # the sf0.1 fixture). The checkpoint is the "build the index"
+        # materialization every real IVF index performs anyway; the
+        # doubles written are exactly the ones the lazy plan computed,
+        # so results are bit-identical.
+        en = with_unit(embeddings, vec_col, "_vn_assign", round_to)
+        en = en.localCheckpoint()
+        e = en.select(
+            F.col(id_col), F.col("_vn_assign").alias("_v")
+        )
     else:
         e = embeddings.select(
             F.col(id_col).alias(id_col),
@@ -1335,42 +1416,43 @@ def lloyd_build(
         # cosine: e is already normalized, so the sample rows are the
         # unit init centroids directly (same literals the oracle gets)
         centroids = [[float(x) for x in r["_v"]] for r in rows]
-    for _ in range(iters):
-        assigned = assign_nearest_centroid(
-            e, centroids, "_v", "list_id", assignment
-        )
-        means = (
-            assigned.select(
-                "list_id", F.posexplode("_v").alias("_dim", "_x")
+    with _trainer_conf(spark):
+        for _ in range(iters):
+            assigned = assign_nearest_centroid(
+                e, centroids, "_v", "list_id", assignment
             )
-            .groupBy("list_id", "_dim")
-            .agg(F.round(F.avg("_x"), round_to).alias("_m"))
-            .collect()
-        )
-        by_list: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_list.setdefault(r["list_id"], {})[r["_dim"]] = r["_m"]
-        dim = len(centroids[0])
-        # spherical update (cosine): mean direction, back onto the
-        # sphere — but ONLY for clusters that actually updated.
-        # Emptied clusters keep the previous centroid VERBATIM (it is
-        # already unit): re-normalizing a round-9 unit vector is not
-        # idempotent (norm = 1±eps, re-round can shift a last digit),
-        # and the oracle's coalesce keeps the old literal unchanged.
-        # An all-zero mean (exactly cancelling members) keeps the
-        # zero — the probe then ties it deterministically last.
-        centroids = [
-            (
-                _unit_py([by_list[i][d] for d in range(dim)], round_to)
-                if metric == "cosine"
-                else [by_list[i][d] for d in range(dim)]
+            means = (
+                assigned.select(
+                    "list_id", F.posexplode("_v").alias("_dim", "_x")
+                )
+                .groupBy("list_id", "_dim")
+                .agg(F.round(F.avg("_x"), round_to).alias("_m"))
+                .collect()
             )
-            if i in by_list
-            else centroids[i]
-            for i in range(n_lists)
-        ]
+            by_list: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_list.setdefault(r["list_id"], {})[r["_dim"]] = r["_m"]
+            dim = len(centroids[0])
+            # spherical update (cosine): mean direction, back onto the
+            # sphere — but ONLY for clusters that actually updated.
+            # Emptied clusters keep the previous centroid VERBATIM (it
+            # is already unit): re-normalizing a round-9 unit vector is
+            # not idempotent (norm = 1±eps, re-round can shift a last
+            # digit), and the oracle's coalesce keeps the old literal
+            # unchanged. An all-zero mean (exactly cancelling members)
+            # keeps the zero — the probe ties it deterministically last.
+            centroids = [
+                (
+                    _unit_py([by_list[i][d] for d in range(dim)], round_to)
+                    if metric == "cosine"
+                    else [by_list[i][d] for d in range(dim)]
+                )
+                if i in by_list
+                else centroids[i]
+                for i in range(n_lists)
+            ]
     if metric == "cosine":
-        en = with_unit(embeddings, vec_col, "_vn_assign", round_to)
+        # en is the checkpointed unit-augmented relation from above
         assigned = assign_nearest_centroid(
             en, centroids, "_vn_assign", "list_id", assignment
         ).drop("_vn_assign")
@@ -1449,17 +1531,14 @@ def ivfpq_build(
         [rs[s * sd : (s + 1) * sd] for rs in res_samples]
         for s in range(n_sub)
     ]
-    v = F.col(vec_col).cast("array<double>")
-    cvec = F.element_at(matrix_lit(centroids), F.col("list_id") + 1)
-    resid = F.zip_with(v, cvec, lambda x, y: x - y)
-    codes = []
-    for s in range(n_sub):
-        sl = F.slice(resid, s * sd + 1, sd)
-        dists = F.transform(matrix_lit(codebook[s]), lambda c: sqdist(sl, c))
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    coded = assigned.withColumn("codes", F.array(*codes))
+    resid_sql = (
+        f"zip_with({_vec_sql(vec_col)}, "
+        f"element_at({matrix_sql(centroids)}, (`list_id` + 1)), "
+        "(x, y) -> x - y)"
+    )
+    coded = assigned.withColumn(
+        "codes", _pq_codes_expr(resid_sql, codebook, sd)
+    )
     return coded, centroids, codebook
 
 
@@ -1566,11 +1645,22 @@ def ivfpq_lloyd_build(
         [rs[s * sd : (s + 1) * sd] for rs in res_samples]
         for s in range(n_sub)
     ]
-    v = F.col(vec_col).cast("array<double>")
-    cvec = F.element_at(matrix_lit(centroids), F.col("list_id") + 1)
-    resid_df = assigned.withColumn(
-        "_rv", F.zip_with(v, cvec, lambda x, y: x - y)
+    resid_sql = (
+        f"zip_with({_vec_sql(vec_col)}, "
+        f"element_at({matrix_sql(centroids)}, (`list_id` + 1)), "
+        "(x, y) -> x - y)"
     )
+    # materialize (list_id, residual) ONCE: the residual expression
+    # nests the coarse assignment, and the per-subspace Lloyd lambdas
+    # downstream re-evaluate their argument subtree per codebook
+    # element — lazily that multiplied the whole coarse-assign +
+    # zip_with chain by ~n_sub·n_centroids per row per iteration
+    # (measured ~0.7 s off the sf0.1 build, more at scale where the
+    # residual table IS the index artifact a real IVF-PQ build
+    # materializes). Values are the same doubles; bit-identical.
+    resid_df = assigned.withColumn(
+        "_rv", F.expr(resid_sql)
+    ).localCheckpoint()
     coded, codebook = pq_lloyd_build(
         resid_df,
         n_sub=n_sub,
@@ -1698,18 +1788,25 @@ def int8_topk(
     quantization error directly instead of trusting it. Scan shape is
     identical to :func:`cosine_topk`: one pass, partial top-k per
     partition, no shuffle beyond the final limit."""
-    # quantize the query through the SAME engine expression as the
-    # data side (one constant row) — a driver-side Python round()
-    # would be banker's rounding and disagree on exact halves
-    q = int8_quantize(
-        embeddings.sparkSession.createDataFrame(
-            [(0, [float(x) for x in query])],
-            f"{id_col} long, {vec_col} array<double>",
-        ),
-        vec_col,
-        id_col,
-    ).first()
-    qq = [int(x) for x in q["qvec"]]
+    # quantize the query DRIVER-SIDE with the engine's exact
+    # arithmetic: the scale fold is left-to-right greatest(|x|) (same
+    # doubles as F.aggregate's sequential fold), the division is IEEE
+    # double either way, and _round_half_up(x, 0) IS F.round(x)'s
+    # BigDecimal.valueOf half-away-from-zero — so the codes are
+    # bit-identical to the previous one-row createDataFrame round
+    # trip, without spending a whole Spark job (plan + schedule,
+    # ~0.3 s) on a single constant row.
+    _mx = 0.0
+    for _x in query:
+        _ax = abs(float(_x))
+        if _ax > _mx:
+            _mx = _ax
+    _scale = _mx / 127.0
+    qq = (
+        [0 for _ in query]
+        if _scale == 0.0
+        else [int(_round_half_up(float(_x) / _scale, 0)) for _x in query]
+    )
     coded = int8_quantize(embeddings, vec_col, id_col)
     qi = F.col("qvec").cast("array<double>")
     qlit = array_lit([float(x) for x in qq])
