@@ -51,9 +51,11 @@ def _trainer_conf(spark):
     of input scale, so AQE's per-stage re-planning and extra shuffle
     materialization add latency (measured ~1.2 s per collect on the
     sf0.1 fixture) and can never help — the shuffle it would coalesce
-    carries at most maps×k×dim partially-aggregated rows. The final
-    returned DataFrames are lazy and execute AFTER restore, so probe/
-    scan plans still get AQE."""
+    carries at most maps×k×dim partially-aggregated rows. (Whole-stage
+    codegen was also tried here and in the graph loops and measured a
+    wash in interleaved A/Bs — not kept.) The final returned
+    DataFrames are lazy and execute AFTER restore, so probe/scan
+    plans still get AQE."""
     conf = spark.conf
     saved = conf.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
