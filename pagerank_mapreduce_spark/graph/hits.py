@@ -45,8 +45,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from pagerank_mapreduce_spark.graph.pagerank import websize
-
 HITS_ITERATIONS = 20
 
 
@@ -116,7 +114,18 @@ def hits(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = edges.sparkSession
-    n = num_vertices if num_vertices is not None else websize(edges)
+    # websize + loop-sizing count fused into ONE aggregate job (the
+    # graph/pagerank.py pre-loop fusion; values unchanged)
+    if num_vertices is not None:
+        n = num_vertices
+        m = edges.count()
+    else:
+        _row = edges.agg(
+            (F.greatest(F.max("src"), F.max("dst")) + 1).alias("n"),
+            F.count(F.lit(1)).alias("m"),
+        ).first()
+        n = int(_row["n"]) if _row["n"] is not None else 0
+        m = int(_row["m"])
     if n <= 0:
         raise ValueError("empty graph")
 
@@ -126,7 +135,6 @@ def hits(
         "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
     }
     try:
-        m = edges.count()
         loop_partitions = max(
             4, min(int(saved["spark.sql.shuffle.partitions"]), m // 250_000 + 1)
         )

@@ -204,7 +204,19 @@ def pagerank(
     embedded as an ``isin`` literal — the common small-seed-set case;
     a million-vertex seed set would want a broadcast-join variant."""
     spark = edges.sparkSession
-    n = num_vertices if num_vertices is not None else websize(edges)
+    # websize and the loop-sizing edge count ride ONE aggregate job
+    # (they were two separate full scans of the edge relation; the
+    # values are unchanged — greatest(max,max)+1 and count(*))
+    if num_vertices is not None:
+        n = num_vertices
+        m = edges.count()
+    else:
+        _row = edges.agg(
+            (F.greatest(F.max("src"), F.max("dst")) + 1).alias("n"),
+            F.count(F.lit(1)).alias("m"),
+        ).first()
+        n = int(_row["n"]) if _row["n"] is not None else 0
+        m = int(_row["m"])
     if n <= 0:
         raise ValueError("empty graph")
     if personalize is not None:
@@ -227,7 +239,6 @@ def pagerank(
     # per-iteration plans are tiny and fixed-shape, and AQE's per-stage
     # re-planning latency dominates them (measured ~30% of iteration
     # wall time at test scale). Both settings are restored on exit.
-    m = edges.count()
     conf = spark.conf
     saved = {
         "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
