@@ -1808,117 +1808,111 @@ def louvain_levels(
             .groupBy("a", "b")
             .agg(F.sum("w").alias("w"))
         )
-    # loop regime (round 13): the level loop ran at session confs —
-    # AQE re-planning + per-level whole-stage compiles on vocabulary-
-    # sized graphs; _loop_confs gives it the same AQE-off / sized-
-    # partitions / size-gated-codegen treatment as every other
-    # iterative algorithm here (its observe-on-checkpoint probe
-    # replaces the explicit localCheckpoint, so no extra job)
-    with _loop_confs(g) as g:
-        mapping = (
-            g.select(F.col("a").alias("id"))
-            .unionAll(g.select(F.col("b").alias("id")))
-            .distinct()
-            .select("id", F.col("id").alias("comm"))
+    g = g.localCheckpoint()
+    mapping = (
+        g.select(F.col("a").alias("id"))
+        .unionAll(g.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comm"))
+        .localCheckpoint()
+    )
+    # the loop's per-level driver traffic is TWO scalars: m_w's
+    # count up front, then one 1-row collect per level. The numerator
+    # arithmetic rides the AGGREGATED graph (round-11 fusion): the
+    # candidate next level g' preserves both ingredients exactly —
+    # Σ_in(new partition) = g'-self-loop weight, S_c = g'-strength —
+    # so the sweep evaluates ONCE per level (inside g''s checkpoint)
+    # instead of once for the acceptance test and again for the
+    # aggregation (measured 9.5 → ~7 s on graph_louvain_full). The
+    # previous partition's numerator carries forward from the last
+    # accepted level (for level 1: the identity partition on g, with
+    # Σ_in = g's self weight = 0 for a simple-graph start).
+    # m_w is summed in DECIMAL(38,0) unconditionally (exact however
+    # large the weights; one tiny scalar agg on the checkpointed g)
+    # so the arithmetic-regime dispatch below never reads a silently
+    # wrapped int64 total.
+    m_w = int(
+        g.agg(
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("m")
+        ).first()["m"]
+        or 0
+    )
+    # the exact-integer acceptance numerator 4*m_w*sw - s2 and the
+    # sweep gain 2*m_w*w - S_v*S_n hold terms up to (2*m_w)^2; past
+    # m_w ~ 1.5e9 they silently wrap int64 — so past that bound the
+    # executor-side terms switch to DECIMAL(38,0) (round 13, r12
+    # verdict item 6: COMPUTE instead of refusing; exactness
+    # preserved — every term ≤ (2*m_w)^2 < 10^38 under the decimal
+    # bound). Driver-side numerators are Python ints (arbitrary
+    # precision) either way. Only past the DECIMAL(38,0) capacity
+    # ((2*m_w)^2 < 10^38 ⇒ m_w ≤ 5e18/... kept conservative at
+    # 1.5e18) does the loud guard remain.
+    # int64 bound: floor(sqrt(2^63 - 1)) / 2 = 1_518_500_249.
+    _M_W_INT64_BOUND = 1_518_500_249
+    _M_W_DEC_BOUND = 1_500_000_000_000_000_000
+    if m_w > _M_W_DEC_BOUND:
+        raise OverflowError(
+            f"louvain_levels: total edge weight m_w={m_w} exceeds the "
+            f"DECIMAL(38,0) acceptance bound {_M_W_DEC_BOUND} "
+            "((2*m_w)^2 must fit in 38 digits); rescale edge weights "
+            "(the partition is invariant to a uniform integer "
+            "down-scaling of w)"
+        )
+    use_decimal = m_w > _M_W_INT64_BOUND
+
+    def _s2_of(strength_df):
+        s = (
+            F.col("s").cast("decimal(38,0)")
+            if use_decimal
+            else F.col("s")
+        )
+        return strength_df.agg(F.sum(s * s).alias("s2"))
+
+    m_row = g.agg(
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("w"))).alias("sw"),
+    ).crossJoin(_s2_of(_strength(g))).first()
+    n_prev = 4 * m_w * int(m_row["sw"] or 0) - int(m_row["s2"] or 0)
+    trail: list[float] = []
+    levels_used = 0
+    for _ in range(max_levels):
+        if m_w == 0:
+            break
+        lab = _louvain_sweep(g, _strength(g), m_w, use_decimal)
+        ca = lab.select(F.col("v").alias("a"), F.col("comm").alias("_ca"))
+        cb = lab.select(F.col("v").alias("b"), F.col("comm").alias("_cb"))
+        g_next = (
+            g.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                F.least("_ca", "_cb").alias("a"),
+                F.greatest("_ca", "_cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
             .localCheckpoint()
         )
-        # the loop's per-level driver traffic is TWO scalars: m_w's
-        # count up front, then one 1-row collect per level. The numerator
-        # arithmetic rides the AGGREGATED graph (round-11 fusion): the
-        # candidate next level g' preserves both ingredients exactly —
-        # Σ_in(new partition) = g'-self-loop weight, S_c = g'-strength —
-        # so the sweep evaluates ONCE per level (inside g''s checkpoint)
-        # instead of once for the acceptance test and again for the
-        # aggregation (measured 9.5 → ~7 s on graph_louvain_full). The
-        # previous partition's numerator carries forward from the last
-        # accepted level (for level 1: the identity partition on g, with
-        # Σ_in = g's self weight = 0 for a simple-graph start).
-        # m_w is summed in DECIMAL(38,0) unconditionally (exact however
-        # large the weights; one tiny scalar agg on the checkpointed g)
-        # so the arithmetic-regime dispatch below never reads a silently
-        # wrapped int64 total.
-        m_w = int(
-            g.agg(
-                F.sum(F.col("w").cast("decimal(38,0)")).alias("m")
-            ).first()["m"]
-            or 0
-        )
-        # the exact-integer acceptance numerator 4*m_w*sw - s2 and the
-        # sweep gain 2*m_w*w - S_v*S_n hold terms up to (2*m_w)^2; past
-        # m_w ~ 1.5e9 they silently wrap int64 — so past that bound the
-        # executor-side terms switch to DECIMAL(38,0) (round 13, r12
-        # verdict item 6: COMPUTE instead of refusing; exactness
-        # preserved — every term ≤ (2*m_w)^2 < 10^38 under the decimal
-        # bound). Driver-side numerators are Python ints (arbitrary
-        # precision) either way. Only past the DECIMAL(38,0) capacity
-        # ((2*m_w)^2 < 10^38 ⇒ m_w ≤ 5e18/... kept conservative at
-        # 1.5e18) does the loud guard remain.
-        # int64 bound: floor(sqrt(2^63 - 1)) / 2 = 1_518_500_249.
-        _M_W_INT64_BOUND = 1_518_500_249
-        _M_W_DEC_BOUND = 1_500_000_000_000_000_000
-        if m_w > _M_W_DEC_BOUND:
-            raise OverflowError(
-                f"louvain_levels: total edge weight m_w={m_w} exceeds the "
-                f"DECIMAL(38,0) acceptance bound {_M_W_DEC_BOUND} "
-                "((2*m_w)^2 must fit in 38 digits); rescale edge weights "
-                "(the partition is invariant to a uniform integer "
-                "down-scaling of w)"
-            )
-        use_decimal = m_w > _M_W_INT64_BOUND
-
-        def _s2_of(strength_df):
-            s = (
-                F.col("s").cast("decimal(38,0)")
-                if use_decimal
-                else F.col("s")
-            )
-            return strength_df.agg(F.sum(s * s).alias("s2"))
-
-        m_row = g.agg(
-            F.sum(F.when(F.col("a") == F.col("b"), F.col("w"))).alias("sw"),
-        ).crossJoin(_s2_of(_strength(g))).first()
-        n_prev = 4 * m_w * int(m_row["sw"] or 0) - int(m_row["s2"] or 0)
-        trail: list[float] = []
-        levels_used = 0
-        for _ in range(max_levels):
-            if m_w == 0:
-                break
-            lab = _louvain_sweep(g, _strength(g), m_w, use_decimal)
-            ca = lab.select(F.col("v").alias("a"), F.col("comm").alias("_ca"))
-            cb = lab.select(F.col("v").alias("b"), F.col("comm").alias("_cb"))
-            g_next = (
-                g.join(ca, "a")
-                .join(cb, "b")
-                .select(
-                    F.least("_ca", "_cb").alias("a"),
-                    F.greatest("_ca", "_cb").alias("b"),
-                    "w",
-                )
-                .groupBy("a", "b")
-                .agg(F.sum("w").alias("w"))
-                .localCheckpoint()
-            )
-            row = g_next.agg(
-                F.sum(
-                    F.when(F.col("a") == F.col("b"), F.col("w"))
-                ).alias("sw")
-            ).crossJoin(_s2_of(_strength(g_next))).first()
-            n_new = 4 * m_w * int(row["sw"] or 0) - int(row["s2"] or 0)
-            if n_new <= n_prev:
-                break  # g_next discarded; its checkpoint blocks GC away
-            levels_used += 1
-            trail.append(n_new / (4.0 * m_w * m_w))
-            n_prev = n_new
-            lv = lab.select(F.col("v").alias("_lv"), F.col("comm").alias("_lc"))
-            # composition stays LAZY: each lab re-derives from its
-            # level's checkpointed graph in one join+aggregate, and the
-            # chain is at most max_levels joins of shrinking relations —
-            # checkpointing the mapping per level cost one extra job per
-            # level for nothing (measured ~1 s/level at the entry scale)
-            mapping = mapping.join(
-                lv, mapping["comm"] == lv["_lv"]
-            ).select("id", F.col("_lc").alias("comm"))
-            g = g_next
+        row = g_next.agg(
+            F.sum(
+                F.when(F.col("a") == F.col("b"), F.col("w"))
+            ).alias("sw")
+        ).crossJoin(_s2_of(_strength(g_next))).first()
+        n_new = 4 * m_w * int(row["sw"] or 0) - int(row["s2"] or 0)
+        if n_new <= n_prev:
+            break  # g_next discarded; its checkpoint blocks GC away
+        levels_used += 1
+        trail.append(n_new / (4.0 * m_w * m_w))
+        n_prev = n_new
+        lv = lab.select(F.col("v").alias("_lv"), F.col("comm").alias("_lc"))
+        # composition stays LAZY: each lab re-derives from its
+        # level's checkpointed graph in one join+aggregate, and the
+        # chain is at most max_levels joins of shrinking relations —
+        # checkpointing the mapping per level cost one extra job per
+        # level for nothing (measured ~1 s/level at the entry scale)
+        mapping = mapping.join(
+            lv, mapping["comm"] == lv["_lv"]
+        ).select("id", F.col("_lc").alias("comm"))
+        g = g_next
     if info is not None:
         info["levels_used"] = levels_used
         info["modularity_trail"] = trail
