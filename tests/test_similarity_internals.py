@@ -1,0 +1,135 @@
+"""Focused pins for the round-13 similarity-internals optimizations.
+
+The r13 optimization round changed HOW several similarity operators
+build their expressions and jobs without changing WHAT they compute:
+
+- ``nearest_idx`` became a single ``array_min`` fold over
+  (distance, index) structs (was the double-fold
+  ``array_position(dists, array_min(dists))``), and grew a SQL-string
+  construction path (``nearest_idx_sql``) so trainer loops parse ONE
+  expression instead of building py4j Column trees per iteration;
+- the trainers run under ``_trainer_conf`` (AQE off, restored);
+- ``int8_topk`` quantizes the query driver-side with arithmetic that
+  must stay bit-identical to the engine's ``int8_quantize``
+  expression.
+
+These tests pin the equivalences directly, so a future refactor of
+any one layer fails HERE with a named invariant instead of as an
+opaque oracle-hash mismatch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_spark.operators.similarity import (
+    _round_half_up,
+    _trainer_conf,
+    int8_quantize,
+    nearest_idx,
+    nearest_idx_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [2.9, 4.2]),
+        (3, [0.0, 0.0]),
+        (4, [2.0, 3.0]),  # exactly equidistant to cb[0] and cb[1]
+        (5, [-1.5, 7.25]),
+    ]
+    return spark.createDataFrame(rows, "id long, emb array<double>")
+
+
+# codebook with a duplicated row (0 and 2) so ties exercise the
+# lowest-index contract, plus a pair straddling row 4's midpoint
+CB = [[1.0, 2.0], [3.0, 4.0], [1.0, 2.0], [5.0, 0.5]]
+
+
+def test_nearest_idx_sql_string_matches_column_form(vec_df):
+    """The parsed-string argmin and the Column-tree argmin are the
+    same expression: identical assignments on every row, including
+    the duplicated-centroid tie (row 1 -> index 0, never 2)."""
+    a = vec_df.select(
+        "id",
+        nearest_idx(F.col("emb").cast("array<double>"), CB).alias("x"),
+    ).collect()
+    b = vec_df.select(
+        "id", nearest_idx("CAST(`emb` AS ARRAY<DOUBLE>)", CB).alias("x")
+    ).collect()
+    assert a == b
+    got = {r["id"]: r["x"] for r in a}
+    assert got[1] == 0  # exact match on centroid 0 (dup at 2 loses)
+    assert got[3] == 0  # origin ties 0/2 -> lowest index
+
+
+def test_nearest_idx_matches_double_fold_reference(vec_df):
+    """The single-fold struct argmin equals the pre-r13
+    array_position(dists, array_min(dists)) - 1 reference on every
+    row (same distances, same first-minimum tie rule)."""
+    from pagerank_mapreduce_spark.functions.vectors import (
+        matrix_lit,
+        sqdist,
+    )
+
+    v = F.col("emb").cast("array<double>")
+    dists = F.transform(matrix_lit(CB), lambda c: sqdist(v, c))
+    ref = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    rows = vec_df.select(
+        "id",
+        ref.alias("old"),
+        nearest_idx(v, CB).alias("new"),
+    ).collect()
+    assert all(r["old"] == r["new"] for r in rows), rows
+
+
+def test_trainer_conf_restores_aqe_even_on_error(spark):
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    with _trainer_conf(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    with pytest.raises(RuntimeError):
+        with _trainer_conf(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_driver_side_query_quantization_matches_engine(spark):
+    """int8_topk's driver-side query quantization must reproduce the
+    engine expression bit-for-bit — exercised on the cases where a
+    naive round() would diverge: exact .5 quotients (banker's vs
+    half-away-from-zero), negatives, zeros, and a zero vector."""
+    queries = [
+        [1.0, -2.0, 63.5, 127.0],   # 63.5/scale lands on an exact half
+        [0.0, 0.0, 0.0, 0.0],        # zero vector -> scale 0 -> all 0
+        [-127.0, 1.5, -1.5, 0.5],
+        [0.3333333333333333, -0.6666666666666666, 1e-12, -1e-12],
+    ]
+    for q in queries:
+        # engine side: the int8_quantize expression on a one-row frame
+        # (the pre-r13 implementation shape)
+        row = int8_quantize(
+            spark.createDataFrame(
+                [(0, [float(x) for x in q])],
+                "vec_id long, embedding array<double>",
+            ),
+            "embedding",
+            "vec_id",
+        ).first()
+        engine_codes = [int(x) for x in row["qvec"]]
+        # driver side: the r13 arithmetic, replicated from int8_topk
+        mx = 0.0
+        for x in q:
+            ax = abs(float(x))
+            if ax > mx:
+                mx = ax
+        scale = mx / 127.0
+        driver_codes = (
+            [0 for _ in q]
+            if scale == 0.0
+            else [int(_round_half_up(float(x) / scale, 0)) for x in q]
+        )
+        assert driver_codes == engine_codes, (q, driver_codes, engine_codes)
