@@ -539,11 +539,18 @@ def _spread_sample_jobs(
         .filter(F.col("_fb").isin(buckets))
         .withColumn("_r", F.row_number().over(w) - 1)
     )
-    cond = None
-    for b, r in wanted:
-        c = (F.col("_fb") == b) & (F.col("_r") == r)
-        cond = c if cond is None else cond | c
-    rows = ranked.filter(cond).drop("_fb", "_r").orderBy(id_col).collect()
+    # ONE flat membership test on a composite (bucket, rank) key — the
+    # previous per-target OR-chain nested n Column terms and overflowed
+    # the expression converter's stack at production codebook sizes
+    # (n=1600 at the s100 fixture); ranks are bounded by the bucket's
+    # row count < 2^33, so the packing is collision-free
+    key = F.col("_fb").cast("bigint") * F.lit(1 << 33) + F.col("_r")
+    rows = (
+        ranked.filter(key.isin([(b << 33) + r for b, r in wanted]))
+        .drop("_fb", "_r")
+        .orderBy(id_col)
+        .collect()
+    )
     if len(rows) != n:
         # not an assert: survives python -O, and the common cause is
         # user error (a nondeterministic input shifting rows between
@@ -1863,6 +1870,62 @@ def ivf_int8_topk(
     return int8_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def _probe_pairs_vectorized(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    qvec_col: str,
+) -> DataFrame:
+    """The batch-join query probe as ONE Arrow/BLAS kernel: per query
+    row the ``nprobe`` nearest list ids (squared-L2 expanded form,
+    ties → lowest list id via stable argsort — the
+    :func:`assign_nearest_centroid` vectorized contract). Emits the
+    queries' columns plus ``list_id`` (nprobe rows per query), same
+    relation the expr path explodes. Centroids broadcast inside the
+    closure (kilobytes, the codebook discipline)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    npb = min(int(nprobe), len(centroids))
+    schema = StructType(
+        list(queries.schema.fields)
+        + [StructField("list_id", IntegerType(), False)]
+    )
+    # same d² temporary cap as assign_nearest_centroid: chunk rows so
+    # the rows×k block stays ~32 MB however large the codebook
+    chunk = max(1, 4_000_000 // max(len(c2), 1))
+
+    def _probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["list_id"] = pd.array([], dtype="int32")
+                yield out
+                continue
+            X = np.asarray(list(pdf[qvec_col]), dtype=np.float64)
+            picks = np.empty((len(pdf), npb), dtype=np.int64)
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                xb = X[lo:hi]
+                d2 = (
+                    (xb * xb).sum(axis=1)[:, None]
+                    - 2.0 * (xb @ C.T)
+                    + c2[None, :]
+                )
+                # stable sort on distance: equal distances keep index
+                # order, i.e. ties → lowest list id
+                picks[lo:hi] = np.argsort(d2, axis=1, kind="stable")[
+                    :, :npb
+                ]
+            out = pdf.loc[pdf.index.repeat(npb)].reset_index(drop=True)
+            out["list_id"] = picks.reshape(-1).astype("int32")
+            yield out
+
+    return queries.mapInPandas(_probe, schema)
+
+
 def ivf_knn_join(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -1877,6 +1940,7 @@ def ivf_knn_join(
     broadcast: bool | None = None,
     max_broadcast_pairs: int = 4_000_000,
     prune_scan: bool = False,
+    probe_assignment: str = "expr",
 ) -> DataFrame:
     """Batch ANN join through the IVF index — the production shape
     for MANY queries (``sim_knn_join``'s brute-force join scores
@@ -1886,6 +1950,19 @@ def ivf_knn_join(
     query-to-list assignment is an EXPRESSION (struct array_sort over
     the centroid matrix literal, ties → lowest list id), so a million
     queries cost one job, not a driver loop.
+
+    ``probe_assignment`` (round 13): ``"expr"`` (default) is that
+    SQL-replayable expression — but it evaluates an INTERPRETED
+    O(n_lists·dim) fold per query row, and under the N/k-constant
+    codebook sizing n_lists grows a decade per decade of corpus: at
+    the s100 fixture (200k vectors, 1600 lists) the probe-ranking
+    expression alone cost 26 s of the 41 s join (measured; it was
+    invisible at 16-160 lists). ``"vectorized"`` computes the same
+    nprobe list ids per query in one Arrow/BLAS kernel (argsort of
+    the expanded ``|q|²−2qCᵀ+|c|²`` distance block, ties → lowest
+    list id via stable sort — the :func:`assign_nearest_centroid`
+    vectorized contract, equality asserted on the fixtures in tests);
+    the catalog entry pins "expr" so the oracle replays bit-for-bit.
 
     Plan shape at 100 TB: for a BOUNDED query batch the probed
     (qid, list_id, qv) pairs are tiny → broadcast, and the big side
@@ -1917,24 +1994,39 @@ def ivf_knn_join(
     Output: (qid, nid, cos DOUBLE round-6), ties → lowest nid."""
     from pyspark.sql import Window
 
-    qv = F.col(qvec_col).cast("array<double>")
-    dists = F.transform(matrix_lit(centroids), lambda c: sqdist(qv, c))
-    probe_ids = F.transform(
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    dists,
-                    lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
-                )
+    if probe_assignment == "expr":
+        qv = F.col(qvec_col).cast("array<double>")
+        dists = F.transform(matrix_lit(centroids), lambda c: sqdist(qv, c))
+        probe_ids = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        dists,
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+                    )
+                ),
+                1,
+                nprobe,
             ),
-            1,
+            lambda s: s["cid"],
+        )
+        pairs = queries.select(
+            F.col(qid_col),
+            F.col(qvec_col),
+            F.explode(probe_ids).alias("list_id"),
+        )
+    elif probe_assignment == "vectorized":
+        pairs = _probe_pairs_vectorized(
+            queries.select(qid_col, qvec_col),
+            centroids,
             nprobe,
-        ),
-        lambda s: s["cid"],
-    )
-    pairs = queries.select(
-        F.col(qid_col), F.col(qvec_col), F.explode(probe_ids).alias("list_id")
-    )
+            qvec_col,
+        )
+    else:
+        raise ValueError(
+            "probe_assignment must be expr|vectorized, got "
+            f"{probe_assignment!r}"
+        )
     if prune_scan:
         # probed-list union as a LITERAL filter: ≤ n_lists rows, one
         # bounded job; on a partitioned-by-list_id index layout this

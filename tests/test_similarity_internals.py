@@ -133,3 +133,32 @@ def test_driver_side_query_quantization_matches_engine(spark):
             else [int(_round_half_up(float(x) / scale, 0)) for x in q]
         )
         assert driver_codes == engine_codes, (q, driver_codes, engine_codes)
+
+
+def test_ivf_knn_join_vectorized_probe_matches_expr(spark, sf_dir):
+    """probe_assignment="vectorized" (Arrow/BLAS argsort, the round-13
+    scale path for large codebooks — the expr probe's interpreted
+    O(n_lists·dim) fold per query surfaced as 26 s of a 41 s join at
+    the s100 fixture) must reproduce the expr probe's output rows
+    exactly on the fixture."""
+    from pagerank_mapreduce_spark.operators.similarity import (
+        ivf_knn_join,
+        ivf_sampled_build,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = ivf_sampled_build(emb, n_lists=8)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    def rows(mode):
+        return sorted(
+            (r["qid"], r["nid"], r["cos"])
+            for r in ivf_knn_join(
+                assigned, cents, q, k=3, nprobe=2,
+                probe_assignment=mode,
+            ).collect()
+        )
+    assert rows("expr") == rows("vectorized")
+    with pytest.raises(ValueError):
+        ivf_knn_join(assigned, cents, q, probe_assignment="nope")
