@@ -2221,14 +2221,21 @@ def betweenness_sampled(
         verts = (
             adj.select(F.col("src").alias("id")).distinct().persist()
         )
-        sources = [
-            r["id"]
-            for r in verts.orderBy("id").limit(n_sources).collect()
-        ]
-        spark = edges.sparkSession
-        seed = spark.createDataFrame(
-            [(s, s, 0, 1) for s in sources], "s long, v long, d int, sig long"
-        ).localCheckpoint()
+        # seed derived IN-PLAN from verts: the previous
+        # collect + createDataFrame + localCheckpoint round trip cost
+        # a driver action plus ~1.5 s of local-relation checkpoint
+        # overhead (measured, round 14) for four rows — and a driver
+        # hop a 100-TB posture never needs; same rows, same schema
+        seed = (
+            verts.orderBy("id").limit(n_sources)
+            .select(
+                F.col("id").alias("s"),
+                F.col("id").alias("v"),
+                F.lit(0).alias("d"),
+                F.lit(1).cast("bigint").alias("sig"),
+            )
+            .localCheckpoint()
+        )
         # `levels[d]` holds ONLY level d's rows, checkpointed once;
         # `visited` is a LAZY union over those frames. The r9 shape
         # re-checkpointed the full union every level — O(depth·S·V)
@@ -2237,19 +2244,32 @@ def betweenness_sampled(
         # is now written exactly once (total S·V), the anti-join
         # reads the same rows either way, and the backward phase
         # indexes levels directly instead of re-filtering the union.
+        #
+        # NOT fused two-levels-per-job (round 14): advancing level
+        # d+2 inside level d+1's checkpoint job (with the d+1
+        # subtree persisted or recomputed) was implemented and
+        # measured +1.3-2.1 s per entry at sf0.1 in matched-regime
+        # A/Bs — the fused job re-scans the visited union an extra
+        # time and doubles plan depth, which costs more than the
+        # saved job launch, and at scale the fused shape's work is
+        # strictly >= the unfused loop's. One level per job stays.
         levels = [seed]
         visited = seed
         frontier = seed
         depth = 0
-        while depth < max_depth:
-            nxt = (
-                frontier.join(adj, frontier["v"] == adj["src"])
+
+        def _expand(fr, vis, d):
+            return (
+                fr.join(adj, fr["v"] == adj["src"])
                 .select("s", F.col("dst").alias("v"), "sig")
                 .groupBy("s", "v")
                 .agg(F.sum("sig").alias("sig"))
-                .join(visited.select("s", "v"), ["s", "v"], "left_anti")
-                .select("s", "v", F.lit(depth + 1).alias("d"), "sig")
+                .join(vis.select("s", "v"), ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(d).alias("d"), "sig")
             )
+
+        while depth < max_depth:
+            nxt = _expand(frontier, visited, depth + 1)
             obs = Observation(f"bc_fwd_{depth}")
             nxt = nxt.observe(obs, F.count(F.lit(1)).alias("m"))
             nxt = nxt.localCheckpoint()
@@ -2405,28 +2425,37 @@ def harmonic_sampled(
     with _loop_confs(sym) as sym:
         adj = sym.repartition("src").persist()
         verts = adj.select(F.col("src").alias("id")).distinct().persist()
-        sources = [
-            r["id"]
-            for r in verts.orderBy("id").limit(n_sources).collect()
-        ]
-        spark = edges.sparkSession
-        seed = spark.createDataFrame(
-            [(s, s, 0) for s in sources], "s long, v long, d int"
-        ).localCheckpoint()
+        # seed derived in-plan from verts (no collect/createDataFrame
+        # round trip) — see betweenness_sampled
+        seed = (
+            verts.orderBy("id").limit(n_sources)
+            .select(
+                F.col("id").alias("s"),
+                F.col("id").alias("v"),
+                F.lit(0).alias("d"),
+            )
+            .localCheckpoint()
+        )
         # lazy union over once-checkpointed level frames — same
         # O(depth·S·V) → O(S·V) checkpoint-storage fix as
-        # betweenness_sampled (the two share the frontier shape)
+        # betweenness_sampled (the two share the frontier shape; the
+        # two-levels-per-job fusion was measured slower there and is
+        # likewise not applied here)
         visited = seed
         frontier = seed
         depth = 0
-        while depth < max_depth:
-            nxt = (
-                frontier.join(adj, frontier["v"] == adj["src"])
+
+        def _expand(fr, vis, d):
+            return (
+                fr.join(adj, fr["v"] == adj["src"])
                 .select("s", F.col("dst").alias("v"))
                 .distinct()
-                .join(visited.select("s", "v"), ["s", "v"], "left_anti")
-                .withColumn("d", F.lit(depth + 1))
+                .join(vis.select("s", "v"), ["s", "v"], "left_anti")
+                .withColumn("d", F.lit(d))
             )
+
+        while depth < max_depth:
+            nxt = _expand(frontier, visited, depth + 1)
             obs = Observation(f"hc_fwd_{depth}")
             nxt = nxt.observe(obs, F.count(F.lit(1)).alias("m"))
             nxt = nxt.localCheckpoint()
