@@ -1830,13 +1830,30 @@ def louvain_levels(
     # m_w is summed in DECIMAL(38,0) unconditionally (exact however
     # large the weights; one tiny scalar agg on the checkpointed g)
     # so the arithmetic-regime dispatch below never reads a silently
-    # wrapped int64 total.
-    m_w = int(
+    # wrapped int64 total. It rides ONE job together with the
+    # previous-partition numerator ingredients (sw, s2) below — they
+    # were two separate scalar passes over the checkpointed g; the
+    # pre-loop s2 is summed in DECIMAL(38,0) unconditionally for the
+    # same exactness-at-any-weight reason (the per-level acceptance
+    # aggregates keep the m_w-dispatched lane).
+    m_row = (
         g.agg(
-            F.sum(F.col("w").cast("decimal(38,0)")).alias("m")
-        ).first()["m"]
-        or 0
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("m"),
+            F.sum(
+                F.when(F.col("a") == F.col("b"), F.col("w"))
+            ).alias("sw"),
+        )
+        .crossJoin(
+            _strength(g).agg(
+                F.sum(
+                    F.col("s").cast("decimal(38,0)")
+                    * F.col("s").cast("decimal(38,0)")
+                ).alias("s2")
+            )
+        )
+        .first()
     )
+    m_w = int(m_row["m"] or 0)
     # the exact-integer acceptance numerator 4*m_w*sw - s2 and the
     # sweep gain 2*m_w*w - S_v*S_n hold terms up to (2*m_w)^2; past
     # m_w ~ 1.5e9 they silently wrap int64 — so past that bound the
@@ -1868,16 +1885,24 @@ def louvain_levels(
         )
         return strength_df.agg(F.sum(s * s).alias("s2"))
 
-    m_row = g.agg(
-        F.sum(F.when(F.col("a") == F.col("b"), F.col("w"))).alias("sw"),
-    ).crossJoin(_s2_of(_strength(g))).first()
     n_prev = 4 * m_w * int(m_row["sw"] or 0) - int(m_row["s2"] or 0)
     trail: list[float] = []
     levels_used = 0
     for _ in range(max_levels):
         if m_w == 0:
             break
-        lab = _louvain_sweep(g, _strength(g), m_w, use_decimal)
+        # the sweep result is materialized ONCE per level (eager,
+        # vertex-of-the-level-sized): its subtree otherwise evaluates
+        # three times — the ca and cb branches of the aggregation
+        # join below plus the final mapping-composition chain — and
+        # each evaluation re-runs the strength aggregation and the
+        # candidate join. Interleaved same-session A/B at sf0.1:
+        # median 6.86 s (lazy) → 5.82 s (checkpointed); a persist()
+        # variant measured between the two (in-job cache population
+        # overhead). Values are unchanged — the checkpoint stores
+        # exactly the rows the lazy plan computed, and the sweep is
+        # all-integer arithmetic.
+        lab = _louvain_sweep(g, _strength(g), m_w, use_decimal).localCheckpoint()
         ca = lab.select(F.col("v").alias("a"), F.col("comm").alias("_ca"))
         cb = lab.select(F.col("v").alias("b"), F.col("comm").alias("_cb"))
         g_next = (
