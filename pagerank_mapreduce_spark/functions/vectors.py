@@ -47,8 +47,21 @@ def matrix_lit(rows) -> Column:
 def array_sql(xs) -> str:
     """The :func:`array_lit` literal as a raw SQL fragment (for
     callers composing ONE ``F.expr`` string instead of a Column
-    tree)."""
-    return "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
+    tree).
+
+    Non-finite values are rejected up front: ``repr(inf)``/``repr(nan)``
+    are not SQL literals, so a NaN smuggled into a codebook (e.g. from
+    degenerate input) would otherwise surface far downstream as an
+    opaque ParseException instead of naming the bad entry here."""
+    vals = [float(x) for x in xs]
+    for i, v in enumerate(vals):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(
+                f"array_sql: non-finite value {v!r} at index {i} — "
+                "cannot be embedded as a SQL literal (degenerate "
+                "codebook entry?)"
+            )
+    return "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
 
 
 def matrix_sql(rows) -> str:

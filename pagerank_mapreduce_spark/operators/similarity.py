@@ -42,6 +42,18 @@ def _vec_sql(vec_col: str) -> str:
     return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
 
 
+# nesting depth per SparkSession for _trainer_conf: composed trainers
+# (ivfpq_lloyd_build runs the coarse and PQ trainers under one scope,
+# spread_sample inside pq_lloyd_build under another) must not restore
+# AQE mid-trainer, and two overlapping scopes must restore the value
+# saved by the OUTERMOST one (r13 ADVICE: the flat save/restore was
+# non-reentrant). Keyed by id(session); driver loops are
+# single-threaded per session — concurrent queries on one session
+# would still see AQE off while a trainer runs, which is the
+# documented session-global trade-off.
+_TRAINER_CONF_DEPTH: dict[int, tuple[int, str]] = {}
+
+
 @contextmanager
 def _trainer_conf(spark):
     """Codebook-trainer job regime (the pagerank-loop precedent):
@@ -55,14 +67,29 @@ def _trainer_conf(spark):
     codegen was also tried here and in the graph loops and measured a
     wash in interleaved A/Bs — not kept.) The final returned
     DataFrames are lazy and execute AFTER restore, so probe/scan
-    plans still get AQE."""
+    plans still get AQE.
+
+    Reentrant per session (nesting counter): only the outermost scope
+    saves and restores, so nested trainer scopes can never restore a
+    stale value or re-enable AQE mid-trainer. NOT thread-safe — the
+    assumption (true everywhere in this repo) is one single-threaded
+    driver loop per SparkSession."""
     conf = spark.conf
-    saved = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    key = id(spark)
+    depth, saved = _TRAINER_CONF_DEPTH.get(key, (0, ""))
+    if depth == 0:
+        saved = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.adaptive.enabled", "false")
+    _TRAINER_CONF_DEPTH[key] = (depth + 1, saved)
     try:
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", saved)
+        depth, saved = _TRAINER_CONF_DEPTH[key]
+        if depth == 1:
+            conf.set("spark.sql.adaptive.enabled", saved)
+            del _TRAINER_CONF_DEPTH[key]
+        else:
+            _TRAINER_CONF_DEPTH[key] = (depth - 1, saved)
 
 
 def cosine_topk(
@@ -1804,10 +1831,20 @@ def int8_topk(
     # BigDecimal.valueOf half-away-from-zero — so the codes are
     # bit-identical to the previous one-row createDataFrame round
     # trip, without spending a whole Spark job (plan + schedule,
-    # ~0.3 s) on a single constant row.
+    # ~0.3 s) on a single constant row. Non-finite components are
+    # rejected up front: the driver max-abs loop would silently skip
+    # NaN where the engine's greatest() fold propagates it — the two
+    # codes must never be allowed to diverge (r13 ADVICE).
     _mx = 0.0
     for _x in query:
-        _ax = abs(float(_x))
+        _fx = float(_x)
+        if _fx != _fx or _fx in (float("inf"), float("-inf")):
+            raise ValueError(
+                f"int8_topk: non-finite query component {_fx!r} — "
+                "driver-side and engine-side quantization would "
+                "diverge on NaN/inf instead of failing identically"
+            )
+        _ax = abs(_fx)
         if _ax > _mx:
             _mx = _ax
     _scale = _mx / 127.0
@@ -1963,6 +2000,19 @@ def ivf_knn_join(
     list id via stable sort — the :func:`assign_nearest_centroid`
     vectorized contract, equality asserted on the fixtures in tests);
     the catalog entry pins "expr" so the oracle replays bit-for-bit.
+
+    FLOAT-DIVERGENCE CAVEAT (r13 ADVICE): the expanded form is not
+    bit-identical to the expr probe's sequential ``(x−y)²`` fold —
+    EXACT ties rank identically in both modes (both break ties by
+    lowest list id), but a pair of centroids whose true distances to
+    a query differ by less than the ~1e-13-relative rearrangement
+    error can rank differently, changing which lists are probed and
+    hence the candidates. That needs the two nearest centroids to be
+    equidistant from the query to ~13 significant digits WITHOUT
+    being exactly tied — adversarially constructible (the near-tie
+    equality test in tests/test_similarity_internals.py probes
+    exactly that construction), not observed on any fixture. Callers
+    that must replay bit-for-bit pin ``"expr"``.
 
     Plan shape at 100 TB: for a BOUNDED query batch the probed
     (qid, list_id, qv) pairs are tiny → broadcast, and the big side

@@ -1198,6 +1198,120 @@ def _lloyd_probe_oracle(
     )
 
 
+def _lloyd_chain_cte(
+    prefix: str,
+    init_sel: str,
+    n_lists: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+) -> list[str]:
+    """The deterministic-Lloyd train → assign → probe → top-k block
+    of ``_lloyd_probe_oracle`` with every CTE name prefixed, so two
+    independently-initialized chains (head + spread) can coexist in
+    one oracle query (``_ivf_kmeans_quality_oracle``). Expects ``e``
+    (vec_id, v) and ``q`` (qv) to be defined by the caller; emits
+    ``{prefix}top`` = the probe's top-``k`` (vec_id, c8) with the
+    engine's rounding and tiebreak."""
+    p = prefix
+    parts = [
+        f"""{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   v AS cv
+            FROM {init_sel})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""{p}a{i} AS (SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.cv),
+                                               c.cid) AS rn
+            FROM e CROSS JOIN {p}c{i - 1} c),
+    {p}asg{i} AS (SELECT vec_id, v, cid FROM {p}a{i} WHERE rn = 1),
+    {p}md{i} AS (SELECT cid, t.i - 1 AS dim, round(avg(v[t.i]), 9) AS m
+              FROM {p}asg{i}, unnest(range(1, len(v) + 1)) AS t(i)
+              GROUP BY cid, dim),
+    {p}mc{i} AS (SELECT cid, list(m ORDER BY dim) AS mv
+              FROM {p}md{i} GROUP BY cid),
+    {p}c{i} AS (SELECT c.cid, coalesce(mc.mv, c.cv) AS cv
+             FROM {p}c{i - 1} c LEFT JOIN {p}mc{i} mc USING (cid))"""
+        )
+    last = f"{p}c{iters}"
+    parts.append(
+        f"""{p}fa AS (SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, c.cv),
+                                             c.cid) AS rn
+          FROM e CROSS JOIN {last} c),
+    {p}fasg AS (SELECT vec_id, v, cid FROM {p}fa WHERE rn = 1),
+    {p}probe AS (SELECT cid FROM {last}, q
+              ORDER BY list_distance(cv, qv), cid LIMIT {nprobe}),
+    {p}top AS (SELECT fasg.vec_id,
+                      round(list_cosine_similarity(fasg.v, q.qv), 8) AS c8
+               FROM {p}fasg fasg, q
+               WHERE fasg.cid IN (SELECT cid FROM {p}probe)
+               ORDER BY c8 DESC, fasg.vec_id
+               LIMIT {k})"""
+    )
+    return parts
+
+
+def _ivf_kmeans_quality_oracle(
+    n_lists: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10
+) -> str:
+    """DuckDB mirror of the LEARNED-codebook IVF quality entry
+    (round 14, r13 verdict item 7): the spread-init deterministic
+    Lloyd chain (assignment/update exactly as ``_lloyd_probe_oracle``,
+    init re-derived by the rank-spread window), its probe top-k with
+    the brute-force/in-exact and head-init-Lloyd agreement metrics,
+    and the quality verdict — upgrading the entry from rows-only
+    (whose sampled correctness slot could never pass) to full hash."""
+    spread_init = f"""(SELECT vec_id, v FROM (
+             SELECT vec_id, v,
+                    row_number() OVER (
+                      PARTITION BY (rn * {n_lists} // nn)
+                      ORDER BY rn) AS gr
+             FROM (SELECT e.vec_id, e.v,
+                          row_number() OVER (ORDER BY e.vec_id) - 1
+                            AS rn,
+                          count(*) OVER () AS nn
+                   FROM e)) WHERE gr = 1)"""
+    head_init = f"(SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})"
+    parts = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
+    ]
+    parts += _lloyd_chain_cte("sp", spread_init, n_lists, iters, nprobe, k)
+    parts += _lloyd_chain_cte("hd", head_init, n_lists, iters, nprobe, k)
+    parts.append(
+        f"""ex AS (SELECT e.vec_id FROM e, q
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 8) DESC,
+                    e.vec_id
+           LIMIT {k}),
+    outq AS (SELECT s.vec_id, s.c8,
+                    (s.vec_id IN (SELECT vec_id FROM ex))
+                      AS in_exact_topk
+             FROM sptop s),
+    mets AS (SELECT
+               (SELECT count(*) FROM outq WHERE in_exact_topk)
+                 / {float(k)} AS recall10,
+               (SELECT count(*) FROM outq
+                WHERE vec_id IN (SELECT vec_id FROM hdtop))
+                 / {float(k)} AS lloyd_agree,
+               (SELECT max(vec_id = 0 AND round(c8, 6) = 1.0)
+                FROM outq) AS self_hit)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT o.vec_id, round(o.c8, 6) AS cos, o.in_exact_topk,
+           m.recall10, m.lloyd_agree,
+           (m.recall10 >= 0.3 AND m.self_hit) AS quality_ok
+    FROM outq o, mets m"""
+    )
+
+
 @_q("sim_ivf_lloyd_topk", _lloyd_probe_oracle())
 def q_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN with a deterministic fixed-iteration Lloyd codebook —
@@ -1538,26 +1652,35 @@ def q_sim_ivfpq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "adc", F.round("cos", 6).alias("cos"))
 
 
-@_q("sim_ivf_kmeans_topk", None)  # learned codebook — rows-only
+@_q("sim_ivf_kmeans_topk", _ivf_kmeans_quality_oracle())
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN quality path: KMeans codebook + probe-pruned search;
-    # with nprobe == n_lists it reproduces sim_cosine_topk exactly
-    # (tests/test_text_dedup.py asserts that invariant).
-    #
-    # Strengthened rows-only contract (round 9): the learned codebook
-    # can never have an exact oracle, so its QUALITY rides in the row
-    # itself, cross-checked against two in-query twins — the exact
+    # IVF ANN quality path with a LEARNED codebook + probe-pruned
+    # search, cross-checked against two in-query twins — the exact
     # brute-force top-k (`in_exact_topk` per row, `recall10` overall)
-    # and the deterministic-Lloyd IVF (`lloyd_agree`), whose own
-    # catalog entry is hash-green. `quality_ok` = recall floor 0.3
-    # (the regression bound test_ivf_kmeans_narrow_probe_recall_floor
-    # documents: a broken assignment lands near k/n ≈ 0.02) AND the
-    # query's own vector present at cos 1. Tests pin quality_ok true;
-    # the driver's rows/schema check now carries a verdict, not just
-    # a row count.
+    # and the head-init deterministic-Lloyd IVF (`lloyd_agree`).
+    # `quality_ok` = recall floor 0.3 (the regression bound
+    # test_ivf_kmeans_narrow_probe_recall_floor documents: a broken
+    # assignment lands near k/n ≈ 0.02) AND the query's own vector
+    # present at cos 1.
+    #
+    # Round 14 (r13 verdict item 7): the learned codebook is now the
+    # SPREAD-INIT deterministic Lloyd build instead of Spark ML
+    # KMeans. KMeans' kmeans|| init made the entry permanently
+    # rows-only (oracle None) and every driver correctness sample
+    # that drew it was unjudgeable; the spread-init Lloyd build is
+    # the same learned-codebook shape (real centroid refinement, an
+    # init the head-init twin does not share) and replays exactly —
+    # the entry is now FULL-HASH checked, metrics and verdict
+    # included (_ivf_kmeans_quality_oracle). KMeans itself remains in
+    # the operator library (ivf_build) with its recall gates.
+    # The agreement sums are coalesced so an empty overlap reads
+    # 0.0, not NULL (the oracle counts rows, which can never be
+    # NULL); both fixtures measure overlap > 0 either way.
     emb = _t(spark, sf_dir, "embeddings")
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    assigned, centroids = S.ivf_build(emb, n_lists=8)
+    assigned, centroids = S.lloyd_build(
+        emb, n_lists=8, iters=2, init="spread"
+    )
     out = S.ivf_topk(assigned, centroids, query, k=10, nprobe=2)
     exact = S.cosine_topk(emb, query, k=10).select("vec_id")
     l_assigned, l_centroids = S.lloyd_build(emb, n_lists=8, iters=2)
@@ -1568,10 +1691,14 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("in_exact_topk", F.lit(True)), "vec_id", "left"
     ).withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
     metrics = out.join(lloyd.withColumn("_l", F.lit(True)), "vec_id", "left").agg(
-        (F.sum(F.col("in_exact_topk").cast("int")) / F.lit(10.0)).alias(
-            "recall10"
-        ),
-        (F.sum(F.col("_l").cast("int")) / F.lit(10.0)).alias("lloyd_agree"),
+        (
+            F.coalesce(F.sum(F.col("in_exact_topk").cast("int")), F.lit(0))
+            / F.lit(10.0)
+        ).alias("recall10"),
+        (
+            F.coalesce(F.sum(F.col("_l").cast("int")), F.lit(0))
+            / F.lit(10.0)
+        ).alias("lloyd_agree"),
         F.max(
             (F.col("vec_id") == 0) & (F.round("cos", 6) == 1.0)
         ).alias("_self_hit"),
@@ -8421,16 +8548,34 @@ def _textrank_topk(
     )
     va = vocab.select(F.col("word").alias("a"), F.col("wid").alias("_sa"))
     vb = vocab.select(F.col("word").alias("b"), F.col("wid").alias("_sb"))
-    und = cnt.join(va, "a").join(vb, "b")
     # eager checkpoint: pagerank's pre-loop runs three actions over
-    # edges (edge count, websize, the links persist) before the loop
-    edges = und.select(
-        F.col("_sa").alias("src"), F.col("_sb").alias("dst"), "w"
-    ).unionAll(
-        und.select(
-            F.col("_sb").alias("src"), F.col("_sa").alias("dst"), "w"
+    # edges (edge count, websize, the links persist) before the loop.
+    # Both orientations come from ONE explode over the joined rows —
+    # the previous unionAll of two projections evaluated the
+    # cnt⋈va⋈vb subtree twice inside the checkpoint job (same rows,
+    # half the join work).
+    edges = (
+        cnt.join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_sa").alias("src"),
+                        F.col("_sb").alias("dst"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("_sb").alias("src"),
+                        F.col("_sa").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("_e")
         )
-    ).localCheckpoint()
+        .select("_e.src", "_e.dst", "_e.w")
+        .localCheckpoint()
+    )
     res = pagerank(
         edges,
         max_iterations=max_iterations,

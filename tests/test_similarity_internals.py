@@ -97,6 +97,54 @@ def test_trainer_conf_restores_aqe_even_on_error(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
 
 
+def test_trainer_conf_is_reentrant(spark):
+    """Nested trainer scopes (ivfpq_lloyd_build runs spread_sample /
+    pq_lloyd_build inside its own scope) must keep AQE off until the
+    OUTERMOST scope exits and restore the value IT saved — the flat
+    save/restore re-enabled AQE when an inner scope exited and could
+    restore a stale 'false' (r13 ADVICE)."""
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    with _trainer_conf(spark):
+        with _trainer_conf(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # inner exit must NOT restore yet
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    # error inside the inner scope still unwinds both levels cleanly
+    with pytest.raises(RuntimeError):
+        with _trainer_conf(spark):
+            with _trainer_conf(spark):
+                raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_array_sql_rejects_non_finite():
+    """A NaN/inf codebook entry must fail HERE, naming the bad index,
+    not far downstream as an opaque ParseException (r13 ADVICE)."""
+    from pagerank_mapreduce_spark.functions.vectors import array_sql
+
+    assert array_sql([1.0, -2.5]).startswith("array(")
+    with pytest.raises(ValueError, match="index 1"):
+        array_sql([0.0, float("nan")])
+    with pytest.raises(ValueError, match="non-finite"):
+        array_sql([float("inf")])
+
+
+def test_int8_topk_rejects_non_finite_query(spark):
+    """Driver-side quantization silently skipped NaN in its max-abs
+    loop where the engine's greatest() fold propagates it — both
+    paths must fail identically instead (r13 ADVICE)."""
+    from pagerank_mapreduce_spark.operators.similarity import int8_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        int8_topk(df, [1.0, float("nan")])
+    with pytest.raises(ValueError, match="non-finite"):
+        int8_topk(df, [float("-inf"), 0.0])
+
+
 def test_driver_side_query_quantization_matches_engine(spark):
     """int8_topk's driver-side query quantization must reproduce the
     engine expression bit-for-bit — exercised on the cases where a
@@ -162,3 +210,49 @@ def test_ivf_knn_join_vectorized_probe_matches_expr(spark, sf_dir):
     assert rows("expr") == rows("vectorized")
     with pytest.raises(ValueError):
         ivf_knn_join(assigned, cents, q, probe_assignment="nope")
+
+
+def test_vectorized_probe_matches_expr_on_adversarial_near_ties(spark):
+    """r13 ADVICE: the vectorized probe's expanded |q|²−2qCᵀ+|c|²
+    distances are not bit-identical to the expr probe's sequential
+    fold, so NEAR-tied centroids are the divergence surface. Probe it
+    adversarially: a codebook containing an exact duplicate pair, a
+    query exactly equidistant between two centroids (tie must break
+    to the lowest list id in BOTH modes), and pairs whose distances
+    differ by only ~1e-9 relative (far above the ~1e-13 rearrangement
+    error, so both modes must rank them identically). 64 queries ×
+    16 centroids — a denser tie surface than the corpus fixture."""
+    from pagerank_mapreduce_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
+    eps = 1e-9
+    cents = []
+    base = [float(i) for i in range(8)]
+    for j in range(16):
+        c = list(base)
+        if j == 1:
+            c = list(cents[0])  # exact duplicate of centroid 0
+        else:
+            c[j % 8] += float(j)
+            if j in (5, 7):
+                # near-tie partners of centroids 4 and 6
+                c = [x + eps for x in cents[j - 1]]
+        cents.append(c)
+    rows = []
+    for i in range(64):
+        v = [x + (i % 7) * 0.125 for x in base]
+        if i % 5 == 0:
+            # exactly midway between centroids 2 and 3
+            v = [(a + b) / 2.0 for a, b in zip(cents[2], cents[3])]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for mode in ("expr", "vectorized"):
+        got[mode] = sorted(
+            (r["vec_id"], r["list_id"])
+            for r in assign_nearest_centroid(
+                df, cents, "embedding", "list_id", mode
+            ).collect()
+        )
+    assert got["expr"] == got["vectorized"]

@@ -287,10 +287,13 @@ def test_assignment_rejects_unknown_mode(spark):
 
 
 def test_ivf_kmeans_narrow_probe_recall_floor(spark, sf_dir):
-    # sim_ivf_kmeans_topk can never have an exact oracle (learned
-    # codebook), so pin its approximate regime instead: at
-    # nprobe=2 < n_lists=8 (the catalog entry's exact configuration)
-    # top-10 overlap vs brute force must clear a fixed floor. Measured
+    # the Spark ML KMeans codebook (ivf_build) can never have an
+    # exact oracle, so pin its approximate regime instead: at
+    # nprobe=2 < n_lists=8 top-10 overlap vs brute force must clear
+    # a fixed floor. (Round 14: the sim_ivf_kmeans_topk catalog
+    # entry switched to the spread-init Lloyd codebook and is now
+    # full-hash checked; ivf_build remains the operator-library
+    # KMeans path this floor guards.) Measured
     # recall@10 across sf0.001/0.01/0.1 is 0.4-0.6 on the synthetic
     # embeddings (near-uniform vectors are IVF's hardest case); the
     # floor 0.3 fails on any real regression (broken assignment or
@@ -999,11 +1002,13 @@ def test_ivfpq_guards(spark):
 
 
 def test_ivf_kmeans_catalog_entry_carries_quality_verdict(spark, sf_dir):
-    # round-9 strengthening of the rows-only contract: the catalog
-    # entry itself must ship the quality cross-check columns (recall
-    # vs exact brute force, agreement with the hash-green Lloyd twin)
-    # and the verdict must be TRUE — the driver's rows/schema check
-    # then records a self-judging relation, not a bare row count
+    # the catalog entry must ship the quality cross-check columns
+    # (recall vs exact brute force, agreement with the head-init
+    # Lloyd twin) and the verdict must be TRUE. Round 14: the entry's
+    # codebook is the spread-init deterministic Lloyd build and the
+    # whole relation (metrics included) is hash-checked by
+    # _ivf_kmeans_quality_oracle — this test remains the fast
+    # in-suite pin of the verdict itself
     from pagerank_mapreduce_spark.queries import CATALOG
 
     rows = CATALOG["sim_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
