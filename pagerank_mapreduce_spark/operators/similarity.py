@@ -489,7 +489,9 @@ def spread_sample(
 
     Scale shape (no global sort, no full-table window): pass 1 is a
     4096-fine-bucket histogram over the id domain (one groupBy with
-    map-side combine, constant-size collect); the driver locates each
+    map-side combine, constant-size collect) with the (lo, hi) range
+    probe fused in as a broadcast scalar subquery — one action, not
+    two (round 14); the driver locates each
     target rank's (bucket, rank-within-bucket) from the cumulative
     counts; pass 2 ranks ONLY the ≤ n target buckets (pushed
     ``isin`` filter, window partitioned per bucket). Caveat: a
@@ -517,34 +519,50 @@ def spread_sample(
 def _spread_sample_jobs(
     embeddings: DataFrame, n: int, vec_col: str, id_col: str, Window
 ) -> list:
-    """:func:`spread_sample`'s three bounded jobs, run under the
-    trainer conf regime (tiny constant-shape aggregates — see
+    """:func:`spread_sample`'s two bounded jobs (histogram with the
+    fused range probe, then the targeted-bucket ranking), run under
+    the trainer conf regime (tiny constant-shape aggregates — see
     :func:`_trainer_conf`)."""
-    agg = embeddings.agg(
-        F.min(id_col).alias("lo"),
-        F.max(id_col).alias("hi"),
-        F.count(F.lit(1)).alias("cnt"),
-    ).collect()[0]
-    total = int(agg["cnt"])
+    n_fine = 4096
+    # the (lo, hi, count) range probe rides the histogram job as a
+    # broadcast scalar subquery (round 14, pass fusion): the fine
+    # bucket is computed against the subquery's lo/span columns
+    # instead of driver literals, so the two bounded passes share ONE
+    # action (same data passes, one fewer job + collect round trip
+    # per trainer using spread init). total/lo/hi are recovered from
+    # the histogram rows (sum of counts; the range constants repeat
+    # on every row).
+    rng = embeddings.agg(
+        F.min(id_col).alias("_lo"),
+        F.max(id_col).alias("_hi"),
+    )
+    fb_of = (
+        f"CAST((CAST({{id}} AS BIGINT) - _lo) * {n_fine}"
+        f" DIV (CAST(_hi AS BIGINT) - _lo + 1) AS INT)"
+    )
+    hist = (
+        embeddings.select(id_col)
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(fb_of.format(id=id_col)).alias("_fb"), "_lo", "_hi"
+        )
+        .groupBy("_fb", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy("_fb")
+        .collect()
+    )
+    total = sum(int(r["_c"]) for r in hist)
     if total == 0:
         raise ValueError("spread_sample: empty input")
     if total < n:
         raise ValueError(
             f"spread_sample: only {total} rows < n={n} samples requested"
         )
-    lo, hi = int(agg["lo"]), int(agg["hi"])
+    lo, hi = int(hist[0]["_lo"]), int(hist[0]["_hi"])
     span = hi - lo + 1
-    n_fine = 4096
     fb = F.expr(
         f"CAST((CAST({id_col} AS BIGINT) - {lo}) * {n_fine}"
         f" DIV {span} AS INT)"
-    )
-    hist = (
-        embeddings.select(fb.alias("_fb"))
-        .groupBy("_fb")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy("_fb")
-        .collect()
     )
     # locate each target rank ceil(i*N/n) = first rank of group i
     targets = [(i * total + n - 1) // n for i in range(n)]

@@ -29,6 +29,41 @@ if _SHARD:
     ORACLE_NAMES = ORACLE_NAMES[_i::_n]
     ROWS_ONLY_NAMES = ROWS_ONLY_NAMES[_i::_n]
 
+# Default (unsharded, `-m "not slow"`) runs keep a deterministic FAST
+# SAMPLE of the gate — every _FAST_EVERY-th catalog entry plus the
+# flagship and the entries the current round touched — so the
+# driver's serial verify completes inside its budget (r13 verdict
+# item 6: the full gate needs the 9-way shard runner, which always
+# runs everything via -m "slow or not slow"). The sample rotates
+# automatically as the catalog grows (position-based), and the full
+# gate remains the committing bar.
+_FAST_EVERY = 6
+_ALWAYS_FAST = {
+    "pagerank",
+    "graph_ppr",
+    "graph_betweenness",
+    "graph_harmonic",
+    "graph_louvain_full",
+    "text_word_communities",
+    "text_textrank_phrases",
+    "sim_ivf_kmeans_topk",
+    "sim_ivf_lloyd_topk",
+    "sim_pq_spread_topk",
+    "sim_ivf_knn_join",
+}
+
+
+def _sampled(names, every=_FAST_EVERY, always=_ALWAYS_FAST):
+    return [
+        pytest.param(
+            n,
+            marks=()
+            if (i % every == 0 or n in always)
+            else (pytest.mark.slow,),
+        )
+        for i, n in enumerate(names)
+    ]
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
@@ -86,7 +121,7 @@ def assert_frames_match(name, spark_rows, duck_rows, spark_cols, duck_cols):
             assert ok, f"{name}: row {i} col {cols[c]}: spark={x!r} duck={y!r}"
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+@pytest.mark.parametrize("name", _sampled(ORACLE_NAMES))
 def test_oracle_parity(spark, sf_dir, duck, name):
     spec = CATALOG[name]
     sdf = spec.fn(spark, sf_dir)
@@ -129,7 +164,7 @@ def test_no_oracle_output_column_is_hugeint(sf_dir):
     assert not offenders, f"HUGEINT-typed oracle outputs: {offenders}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+@pytest.mark.parametrize("name", _sampled(ROWS_ONLY_NAMES, every=2))
 def test_rows_only_queries_run(spark, sf_dir, name):
     sdf = CATALOG[name].fn(spark, sf_dir)
     assert sdf.count() >= 0

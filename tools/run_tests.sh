@@ -39,7 +39,7 @@ ALL_SHARDS=(A1 A2 B C1 C2 C3 D E1 E2)
 
 if [ $# -ge 1 ]; then
   # shellcheck disable=SC2086
-  exec env ${SHARDENV[$1]:-} python -m pytest ${SHARDS[$1]} -q
+  exec env ${SHARDENV[$1]:-} python -m pytest ${SHARDS[$1]} -q -m "slow or not slow"
 fi
 
 CPUS="${SPARK_GRAFT_TEST_CPUS:-8}"
@@ -50,7 +50,7 @@ t0=$(date +%s)
 for s in "${ALL_SHARDS[@]}"; do
   # shellcheck disable=SC2086
   env ${SHARDENV[$s]:-} SPARK_GRAFT_CPUS="$CPUS" \
-    python -m pytest ${SHARDS[$s]} -q >".testlogs/shard_$s.log" 2>&1 &
+    python -m pytest ${SHARDS[$s]} -q -m "slow or not slow" >".testlogs/shard_$s.log" 2>&1 &
   pids+=($!)
   names+=("$s")
 done
